@@ -31,7 +31,10 @@ object SparkEntry {
     Tables.t(s, dir, name)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ relationalQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- §2.1 scans -----------------------------------------------------
     // S4 full-table scan (kb.py:724-774): plain projection scan.
@@ -195,10 +198,242 @@ object SparkEntry {
     })
   )
 
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- §2.3 J3 / §2.5 T2: pairwise similarity self-join + top-k pairs
+    // (document_top_pairwise_scores, kb.py:1642-1671; upper triangle i<j,
+    // util.py:206-233). Exact all-pairs here; the LSH scale path is the
+    // d*_ dedup/ANN family.
+    "j3_pairwise_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id".as("id"), asDouble($"embedding").as("v"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, $"a.id" < $"b.id")
+        .select($"a.id".as("id1"), $"b.id".as("id2"),
+          round(dot($"a.v", $"b.v"), 6).as("score"))
+        .orderBy(desc("score"), $"id1", $"id2")
+        .limit(25)
+    }),
+
+    // --- §2.3 J4: existence semi-join (delete-guard shape, kb.py:360-370).
+    "j4_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // anti-join (bulk-delete rewrite shape, SURVEY §2.8 M3).
+    "j5_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
+    // --- §2.6 set ops.
+    "u1_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      c.filter($"c_mktsegment" === "BUILDING").select($"c_nationkey")
+        .intersect(
+          c.filter($"c_mktsegment" === "MACHINERY").select($"c_nationkey"))
+        .orderBy($"c_nationkey")
+    }),
+
+    "u2_except" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      n.select($"n_regionkey")
+        .except(
+          t(s, dir, "customer").filter($"c_acctbal" < 0)
+            .join(n, col("c_nationkey") === n("n_nationkey"))
+            .select($"n_regionkey"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // --- §2.2 P7: existence aggregate (directedness probe, kb.py:685-695).
+    "p7_exists_probe" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").agg(
+        (sum(when($"event_type" === "purchase", 1L).otherwise(0L)) > 0L)
+          .as("any_purchase"),
+        (sum(when($"event_type" === "refund", 1L).otherwise(0L)) > 0L)
+          .as("any_refund"))
+    }),
+
+    // --- windowed analytics (scale extension; §2.5 order semantics).
+    // Per-user event sequencing: row_number + inter-event gap via lag.
+    "w1_window_lag" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .filter($"user_id" < 25L)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("gap_us",
+          coalesce(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w), lit(0L)))
+        .select($"event_id", $"user_id", $"rn", $"gap_us")
+        .orderBy($"user_id", $"rn")
+    }),
+
+    // --- §2.8 M6: KV upsert keep-last semantics as a batch operator
+    // (INSERT ON CONFLICT DO UPDATE, kb.py:165-173): last event per user.
+    "kv1_keep_last" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", round($"value", 4).as("last_value"))
+        .orderBy($"user_id")
+    }),
+
+    // --- grouping sets (scale extension beyond reference's flat aggs).
+    "r1_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"sum_qty", $"n")
+        .orderBy($"rf", $"ls")
+    }),
+
+    // --- time-bucketed aggregation (batch twin of the streaming windowed
+    // agg, SURVEY §7.6): hourly per-type event rollup.
+    "e1_time_bucket" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    }),
+
+    // --- §2.9 G2: DFS pre-order traversal over a synthetic forest
+    // (parent(i) = i/10): iterative level joins materialize id-paths,
+    // pre-order = lexicographic path order (kb.py:1580-1593 semantics).
+    "g2_dfs_preorder" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".as("id"), floor($"doc_id" / 10).cast("long").as("parent_id"))
+      val paths = graft.ops.Hierarchy.withPaths(
+        docs, "id", "parent_id", col("id") === 0L)
+      paths
+        .withColumn("preorder",
+          row_number().over(Window.orderBy($"path")))
+        .select($"id".as("doc_id"), $"depth", $"preorder",
+          concat_ws("/", $"path").as("path_str"))
+        .orderBy($"preorder")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracle ++ relationalOracle
+
+  private def relationalOracle: Map[String, String] = Map(
+    "j3_pairwise_topk" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         ORDER BY score DESC, id1, id2
+         LIMIT 25""",
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+
+    "u1_intersect" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         ORDER BY c_nationkey""",
+
+    "u2_except" ->
+      """SELECT n_regionkey FROM nation
+         EXCEPT
+         SELECT n.n_regionkey FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c.c_acctbal < 0
+         ORDER BY n_regionkey""",
+
+    "p7_exists_probe" ->
+      """SELECT (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0) AS any_purchase,
+                (sum(CASE WHEN event_type = 'refund' THEN 1 ELSE 0 END) > 0) AS any_refund
+         FROM events""",
+
+    "w1_window_lag" ->
+      """WITH e AS (
+           SELECT event_id, user_id, ts,
+                  epoch_ns(ts) // 1000 AS us
+           FROM events WHERE user_id < 25)
+         SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         coalesce(us - lag(us, 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS gap_us
+         FROM e
+         ORDER BY user_id, rn""",
+
+    "kv1_keep_last" ->
+      """SELECT user_id, event_id, round(value, 4) AS last_value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id""",
+
+    "r1_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                round(sum(l_quantity), 4) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "e1_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY hour, event_type""",
+
+    "g2_dfs_preorder" ->
+      """WITH RECURSIVE tree(doc_id, path) AS (
+           SELECT doc_id, [doc_id] FROM documents WHERE doc_id = 0
+           UNION ALL
+           SELECT d.doc_id, list_append(t.path, d.doc_id)
+           FROM documents d JOIN tree t
+             ON CAST(floor(d.doc_id / 10) AS BIGINT) = t.doc_id
+           WHERE d.doc_id > 0)
+         SELECT doc_id, len(path) AS depth,
+                row_number() OVER (ORDER BY path) AS preorder,
+                array_to_string(path, '/') AS path_str
+         FROM tree
+         ORDER BY preorder"""
+  )
+
+  private def coreOracle: Map[String, String] = Map(
     "s4_scan" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 

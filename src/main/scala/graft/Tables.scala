@@ -20,8 +20,10 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // `ts div 1000`: integer division — epoch-nanos (~1.7e18) would lose
+    // precision through double division (floor(ts/1000) is wrong by ±1us).
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }
