@@ -30,9 +30,98 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
+  /** Cast computed 32-bit int columns to long: DuckDB's count/len/ascii/
+    * row_number yield BIGINT, and the driver compare is schema-sensitive.
+    */
+  private def longs(df: DataFrame, names: String*): DataFrame =
+    names.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ relationalQueries
+    coreQueries ++ relationalQueries ++ pipelineQueries
+
+  /** Marker stopword lists for the language-ID heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"))
+
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis (SURVEY §7.5) ------------------------------------
+    "x1_token_stats" -> ((s, dir) =>
+      longs(graft.ops.TextAnalysis.tokenStats(t(s, dir, "documents")),
+        "n_tokens", "n_uniq", "n_chars")
+        .orderBy(col("doc_id"))),
+
+    "x2_quality_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"), Seq("the", "a"))
+        .orderBy(col("doc_id"))),
+
+    "x3_lang_id" -> ((s, dir) =>
+      graft.ops.TextAnalysis.langId(t(s, dir, "documents"), langMarkers)
+        .orderBy(col("doc_id"))),
+
+    "x4_fingerprint" -> ((s, dir) =>
+      graft.ops.TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // --- dedup family (SURVEY §7.5) --------------------------------------
+    "d1_exact_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.exactDupStats(t(s, dir, "documents"))),
+
+    "d2_minhash_lsh" -> ((s, dir) =>
+      graft.ops.Dedup.minhashNearDups(t(s, dir, "documents"),
+        k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+        .orderBy(col("doc1"), col("doc2"))),
+
+    "d3_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhash(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard similarity join (the LSH-free baseline),
+      // bounded to the near-dup band
+      val sh = graft.ops.Dedup.shingles(t(s, dir, "documents"), 3)
+      val pairs = sh.select(col("doc_id").as("doc1"))
+        .crossJoin(sh.select(col("doc_id").as("doc2")))
+        .where(col("doc1") < col("doc2"))
+      graft.ops.Dedup.jaccardVerify(pairs, sh)
+        .where(col("jaccard") >= 0.5)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    "d5_embedding_neardup" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.4)
+        .orderBy(col("id1"), col("id2"))),
+
+    // --- similarity search (SURVEY §7.5) ---------------------------------
+    "k1_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      longs(graft.ops.SimilaritySearch.knnJoin(
+        emb.where(col("vec_id") < 5), emb.where(col("vec_id") >= 5), k = 3), "rk")
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "n1_ann_bucketed" -> ((s, dir) =>
+      graft.ops.SimilaritySearch.annTopKBucketed(
+        t(s, dir, "embeddings"), queryVecId = 0L, k = 5, bits = 8)),
+
+    // --- multimodal plumbing (SURVEY §7.5; decode stubbed) ---------------
+    "m1_media_features" -> ((s, dir) =>
+      longs(graft.ops.Multimodal.extractFeatures(
+        graft.ops.Multimodal.asMedia(t(s, dir, "documents"))).toDF(),
+        "n_bytes", "width", "height", "n_frames")
+        .orderBy(col("media_id"))),
+
+    "m2_frame_sample" -> ((s, dir) =>
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.extractFeatures(
+          graft.ops.Multimodal.asMedia(t(s, dir, "documents"))).toDF(),
+        stride = 4)
+        .withColumn("frame_idx", col("frame_idx").cast("long"))
+        .orderBy(col("media_id"), col("frame_idx")))
+  )
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -52,7 +141,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_vecs"),
           countDistinct(size($"embedding")).as("n_dims"),
-          min(size($"embedding")).as("dim"))
+          min(size($"embedding")).cast("long").as("dim"))
     }),
 
     // --- §2.2 projections / filters ------------------------------------
@@ -278,7 +367,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .withColumn("gap_us",
           coalesce(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w), lit(0L)))
-        .select($"event_id", $"user_id", $"rn", $"gap_us")
+        .select($"event_id", $"user_id", $"rn".cast("long").as("rn"), $"gap_us")
         .orderBy($"user_id", $"rn")
     }),
 
@@ -333,7 +422,8 @@ object SparkEntry {
       paths
         .withColumn("preorder",
           row_number().over(Window.orderBy($"path")))
-        .select($"id".as("doc_id"), $"depth", $"preorder",
+        .select($"id".as("doc_id"), $"depth".cast("long").as("depth"),
+          $"preorder".cast("long").as("preorder"),
           concat_ws("/", $"path").as("path_str"))
         .orderBy($"preorder")
     })
@@ -342,7 +432,188 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = coreOracle ++ relationalOracle
+  def oracleSql: Map[String, String] =
+    coreOracle ++ relationalOracle ++ pipelineOracle
+
+  private def pipelineOracle: Map[String, String] = Map(
+    "x1_token_stats" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                length(text) AS n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "x2_quality_score" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::DOUBLE AS nt,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE AS nu,
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a']))::DOUBLE AS ns
+           FROM documents)
+         SELECT doc_id,
+                round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
+                      + (ns / nu) * 0.2, 6) AS quality
+         FROM u ORDER BY doc_id""",
+
+    "x3_lang_id" ->
+      """WITH u AS (
+           SELECT doc_id, lang,
+                  list_distinct(string_split(text, ' ')) AS uq
+           FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+                  len(list_intersect(uq, ['the', 'a'])) AS s_en,
+                  len(list_intersect(uq, ['der', 'die', 'und'])) AS s_de,
+                  len(list_intersect(uq, ['le', 'la', 'et'])) AS s_fr
+           FROM u)
+         SELECT doc_id, lang,
+                CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                     WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                     WHEN s_fr > 0 THEN 'fr'
+                     ELSE 'und' END AS lang_pred
+         FROM sc ORDER BY doc_id""",
+
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+                ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                 1, 15))::BIGINT AS fp60
+         FROM documents ORDER BY doc_id""",
+
+    "d1_exact_dedup" ->
+      """WITH fp AS (
+           SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+           FROM documents),
+         g AS (SELECT fp_md5, count(*) AS n FROM fp GROUP BY fp_md5)
+         SELECT count(*) AS n_unique,
+                sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_in_dup_groups,
+                sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+         FROM g""",
+
+    "d2_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(s) >= 3 THEN
+                    list_transform(range(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                  ELSE [] END) AS sg
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(sg) AS shingle FROM sh),
+         hx AS (
+           SELECT doc_id, hi, min(md5(hi || ':' || shingle)) AS sig
+           FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS hi)
+           GROUP BY doc_id, hi),
+         bands AS (
+           SELECT doc_id, hi // 2 AS band,
+                  md5(string_agg(sig, '|' ORDER BY hi)) AS key
+           FROM hx GROUP BY doc_id, hi // 2),
+         cands AS (
+           SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT doc1, doc2,
+                  round(len(list_intersect(s1.sg, s2.sg))::DOUBLE /
+                        len(list_distinct(list_concat(s1.sg, s2.sg))), 6) AS jaccard
+           FROM cands
+           JOIN sh s1 ON cands.doc1 = s1.doc_id
+           JOIN sh s2 ON cands.doc2 = s2.doc_id)
+         SELECT doc1, doc2, jaccard FROM j
+         WHERE jaccard >= 0.8
+         ORDER BY doc1, doc2""",
+
+    "d3_simhash" ->
+      """WITH ex AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM ex),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+           GROUP BY doc_id, b)
+         SELECT doc_id,
+                sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d4_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(s) >= 3 THEN
+                    list_transform(range(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                  ELSE [] END) AS sg
+           FROM toks)
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                      len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+               len(list_distinct(list_concat(a.sg, b.sg))), 6) >= 0.5
+         ORDER BY doc1, doc2""",
+
+    "d5_embedding_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+         ORDER BY id1, id2""",
+
+    "k1_knn_join" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT qid, cid, round(list_dot_product(cv, qv), 6) AS score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY round(list_dot_product(cv, qv), 6) DESC,
+                                              cid) AS rk
+           FROM c CROSS JOIN q)
+         SELECT qid, cid, score, rk FROM scored WHERE rk <= 3
+         ORDER BY qid, rk""",
+
+    "n1_ann_bucketed" ->
+      """WITH wb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                 + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                 + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                 + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                 + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+                 + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+                 + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+           FROM embeddings),
+         q AS (SELECT v AS qv, bucket AS qbucket FROM wb WHERE vec_id = 0)
+         SELECT vec_id, bucket, round(list_dot_product(v, qv), 6) AS score
+         FROM wb, q WHERE bucket = qbucket
+         ORDER BY score DESC, vec_id
+         LIMIT 5""",
+
+    "m1_media_features" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                length(text) AS n_bytes,
+                64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS width,
+                64 + (ascii(substr(text, 2, 1)) % 9) * 32 AS height,
+                greatest(length(text) // 16, 1) AS n_frames
+         FROM documents ORDER BY media_id""",
+
+    "m2_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                  greatest(length(text) // 16, 1) AS n_frames
+           FROM documents)
+         SELECT media_id, kind, frame_idx, frame_idx * 16 AS byte_offset
+         FROM (SELECT media_id, kind,
+                      unnest(range(0, n_frames, 4)) AS frame_idx FROM f)
+         ORDER BY media_id, frame_idx"""
+  )
 
   private def relationalOracle: Map[String, String] = Map(
     "j3_pairwise_topk" ->

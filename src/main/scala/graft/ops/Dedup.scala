@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §7.5):
+  * exact (fingerprint group-by), MinHash+LSH banding, SimHash, exact
+  * n-gram Jaccard verification, and embedding-cosine near-dup.
+  *
+  * Scale design: the only all-pairs work ever done is *within LSH bands /
+  * buckets* — candidate generation is a shuffle on (band, key) followed by
+  * an equi-join, never a cross join. Exact Jaccard re-verification runs on
+  * the candidate set only. At 100 TB the band join is the dominant
+  * shuffle; band keys are md5 strings, uniformly distributed, so no skew
+  * salting is needed unless a near-universal shingle exists (mitigate by
+  * dropping top-frequency shingles before hashing).
+  *
+  * The reference sketches connected-components dedup in its notebook
+  * (`Build Dad Jokes KB.ipynb` cell 19) but implements only a greedy
+  * approximation; here the candidate-pair machinery is a real operator.
+  */
+object Dedup {
+
+  /** Distinct word k-gram shingles per document. */
+  def shingles(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // shingle i = tokens[i..i+k-1] joined by space, i in 0..n-k;
+    // empty shingle set for docs shorter than k tokens (sequence() would
+    // otherwise count backwards for a negative stop)
+    val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idxs,
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    docs.select(col("doc_id"), array_distinct(sh).as("shingles"))
+  }
+
+  /** Exact dedup summary over canonical fingerprints. */
+  def exactDupStats(docs: DataFrame): DataFrame =
+    TextAnalysis.fingerprint(docs)
+      .groupBy(col("fp_md5")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_in_dup_groups"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+
+  /** MinHash signatures: numHashes independent min-hashes, where
+    * hash_i(shingle) = md5(i || ':' || shingle) and the signature entry is
+    * the lexicographic min — engine-portable (md5 everywhere), uniform,
+    * and an unbiased MinHash family.
+    *
+    * Output: (doc_id, hi, sig).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("hi"), col("sh"))
+      .groupBy(col("doc_id"), col("hi"))
+      .agg(min(md5(concat(col("hi"), lit(":"), col("sh")))).as("sig"))
+
+  /** LSH banding over the signatures: band key = md5 of the concatenated
+    * band rows; docs sharing any (band, key) are candidates. Returns
+    * distinct candidate pairs (doc1 < doc2).
+    */
+  def lshCandidates(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = sigs
+      .withColumn("band", floor(col("hi") / rowsPerBand))
+      .groupBy(col("doc_id"), col("band"))
+      // array_agg ordered by hi: sort_array of (hi, sig) structs
+      .agg(md5(concat_ws("|",
+        array_sort(collect_list(struct(col("hi"), col("sig"))))
+          .getField("sig"))).as("key"))
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc1"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc2"))
+    a.join(b, Seq("band", "key")).where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for a pair list (the verification
+    * stage after LSH candidate generation).
+    */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val s1 = sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2"))
+    pairs.join(s1, "doc1").join(s2, "doc2")
+      .select(col("doc1"), col("doc2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
+    * exact-Jaccard verify → threshold.
+    */
+  def minhashNearDups(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, k)
+    val cands = lshCandidates(minhashSignatures(sh, numHashes), rowsPerBand)
+    jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over distinct unigram tokens: bit b is the sign of
+    * sum over tokens of (+1 if bit b of hash60(token) else -1).
+    */
+  def simhash(docs: DataFrame, bits: Int = 16, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .select(col("doc_id"), TextAnalysis.hash60(col("tok")).as("h"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"), col("h"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("shiftright(h, cast(b as int)) & 1") === 1L,
+        1L).otherwise(-1L)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("cast(shiftleft(1L, cast(b as int)) as bigint)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs: hamming distance (popcount of xor) below a
+    * cutoff. Pair generation here is exact all-pairs for verification; the
+    * scale path blocks on simhash byte prefixes first.
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sims.select(col("doc_id").as("doc1"), col("simhash").as("sh1"))
+    val b = sims.select(col("doc_id").as("doc2"), col("simhash").as("sh2"))
+    a.join(b, col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold. Exact all-pairs
+    * variant (the verification baseline); the scale path is the
+    * sign-LSH bucketing in [[SimilaritySearch]].
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id1"), asDouble(col("embedding")).as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), asDouble(col("embedding")).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(dot(col("v1"), col("v2")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (SURVEY §7.5).
+  *
+  * Baseline: exact brute-force top-k (the reference's only mode —
+  * matrix·vector scoring, `/root/reference/src/svs/kb.py:1184-1189`).
+  * Scale path: sign-LSH bucketing (axis hyperplanes), which turns the
+  * all-pairs scan into a bucket-equi-join — the candidate set shrinks
+  * ~2^bits while recall stays high for near-duplicate-grade similarity.
+  *
+  * Brute force distributes as: broadcast the query vector(s), one narrow
+  * map computes scores, TakeOrderedAndProject does the per-partition
+  * bounded top-k + merge — no shuffle of the corpus itself. The knn join
+  * broadcasts the (small) query side and window-ranks per query.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by dot product against one stored vector. */
+  def topK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val qv = emb.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"))
+    emb.crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(dot(asDouble(col("embedding")), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Exact brute-force k-NN join: for every query vector, the top-k
+    * scoring candidates. Query side is broadcast; ranking is a window
+    * per query id.
+    */
+  def knnJoin(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"), round(dot(col("cv"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
+  /** Sign-LSH bucket id from the first `bits` embedding coordinates:
+    * bit j = (v[j] > 0). Axis-aligned random-hyperplane LSH — fully
+    * deterministic and engine-portable.
+    */
+  def signBucket(vec: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { j =>
+      when(element_at(vec, j + 1) > 0.0f, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: only candidates in the query's bucket are
+    * scored. Trades recall for a ~2^bits candidate reduction; exactness
+    * is restored by multi-probe or a brute-force re-check tier.
+    */
+  def annTopKBucketed(emb: DataFrame, queryVecId: Long, k: Int,
+      bits: Int = 8): DataFrame = {
+    val withBucket = emb.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val q = withBucket.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    withBucket.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"), round(dot(col("v"), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting (SURVEY §7.5).
+  *
+  * All pure Catalyst column expressions — they stay inside whole-stage
+  * codegen and scale linearly with the corpus (no shuffle: every operator
+  * here is a narrow map over documents).
+  *
+  * The reference only sketches text handling in its ingest notebook
+  * (`/root/reference/examples/dad_jokes/Build Dad Jokes KB.ipynb` cell 5:
+  * strip + dedup before add); these operators generalize that stage.
+  */
+object TextAnalysis {
+
+  /** Tokenize on single spaces (the corpus contract; swap for `\\s+` on
+    * messier corpora).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A 60-bit positive integer hash derived from md5 — chosen because it
+    * is reproducible in any engine that has md5 (the DuckDB oracle
+    * included), unlike engine-private hash functions.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq"),
+      length(col(textCol)).as("n_chars"))
+  }
+
+  /** Stopword-ratio-based quality score in [0,1]: rewards length (up to
+    * 200 tokens), lexical diversity, and stopword presence. Deterministic
+    * closed form so the oracle can reproduce it bit-for-bit.
+    */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("double")
+    docs.select(
+      col("doc_id"),
+      round(least(nTok / 200.0, lit(1.0)) * 0.5
+        + (nUniq / nTok) * 0.3
+        + (nStop / nUniq) * 0.2, 6).as("quality"))
+  }
+
+  /** N-gram-heuristic language ID: score each candidate language by its
+    * marker-token hits; argmax with a fixed precedence order, 'und' when
+    * nothing matches.
+    */
+  def langId(docs: DataFrame, markers: Seq[(String, Seq[String])],
+      textCol: String = "text"): DataFrame = {
+    val uniq = array_distinct(tokens(col(textCol)))
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(array_intersect(uniq, array(words.map(lit): _*)))
+    }
+    // chained argmax, ties to the earlier language in `markers`; 'und'
+    // when no marker hits at all
+    val pred = scores.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, ((lang, s), i)) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        val beatsLater = laterScores.foldLeft(s > 0) { (c, o) => c && s >= o }
+        acc.when(beatsLater, lang)
+    }.otherwise("und")
+    docs.select(col("doc_id"), col("lang"), pred.as("lang_pred"))
+  }
+
+  /** Canonicalizing document fingerprint: md5 over lower-cased,
+    * whitespace-collapsed text, plus its 60-bit integer form for compact
+    * join keys. The exact-dedup operator groups on this.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val canon = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    docs.select(
+      col("doc_id"),
+      md5(canon).as("fp_md5"),
+      hash60(canon).as("fp60"))
+  }
+}
