@@ -1,0 +1,547 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.Model._
+import graft.core.Embeddings.EmbeddingProvider
+import graft.functions.VectorFunctions._
+
+/** A knowledge-base store: one directory of versioned Parquet tables plus
+  * an atomically-swapped `_meta.json` — the Spark-native re-expression of
+  * the reference's single SQLite file (`/root/reference/src/svs/kb.py:66-113`).
+  *
+  * Transaction model (reference M10, `kb.py:794-829`): every bulk scope
+  * stages its output tables under the next version directory
+  * (`docs/v<N+1>/…`), then commits by atomically replacing `_meta.json`
+  * (which names the committed version). An exception inside the scope
+  * deletes the staged directories and leaves the meta untouched — readers
+  * never observe a partial write. This is the same
+  * write-temp-then-publish discipline a distributed commit protocol uses,
+  * so the design carries to object stores unchanged.
+  *
+  * Caching (reference `_EmbeddingsMatrix`, `kb.py:856-893`): the
+  * embeddings Dataset is persisted on first use and unpersisted by any
+  * mutation — the "first query slow, later queries fast" contract
+  * (`README.md:135`) maps directly onto lazy Spark caching.
+  *
+  * Single-writer semantics, like the reference's one-connection
+  * discipline (`kb.py:116-137`).
+  */
+final class KbStore private (
+    val spark: SparkSession,
+    val path: String) {
+
+  import spark.implicits._
+
+  @volatile private var metaCache: KbMeta = KbStore.readMeta(path)
+  private var cachedEmb: Option[Dataset[Emb]] = None
+
+  def meta: KbMeta = metaCache
+
+  // ------------------------------------------------------------------
+  // table access
+  // ------------------------------------------------------------------
+  private def tableDir(name: String, version: Long): String =
+    s"$path/$name/v$version"
+
+  private def read(name: String): DataFrame =
+    spark.read.parquet(tableDir(name, metaCache.version))
+
+  def docs: Dataset[Doc] = read("docs").as[Doc]
+  def edges: Dataset[Edge] = read("edges").as[Edge]
+  def keyval: Dataset[KV] = read("keyval").as[KV]
+
+  /** Cached embeddings — the analog of the reference's in-RAM matrix
+    * (`kb.py:573-618`); invalidated by every mutation.
+    */
+  def embeddings: Dataset[Emb] = synchronized {
+    cachedEmb match {
+      case Some(ds) => ds
+      case None =>
+        val ds = read("embeddings").as[Emb]
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cachedEmb = Some(ds)
+        ds
+    }
+  }
+
+  private def invalidate(): Unit = synchronized {
+    cachedEmb.foreach(_.unpersist())
+    cachedEmb = None
+  }
+
+  // ------------------------------------------------------------------
+  // commit machinery
+  // ------------------------------------------------------------------
+  /** Stage the given tables as version+1 and atomically publish. Tables
+    * not in `updated` are carried forward by reference (re-pointed via a
+    * filesystem copy of the committed version directory).
+    */
+  private def commit(updated: Map[String, DataFrame],
+      newMeta: KbMeta => KbMeta): Unit = {
+    val cur = metaCache
+    val next = cur.version + 1
+    try {
+      KbStore.TableNames.foreach { name =>
+        updated.get(name) match {
+          case Some(df) =>
+            df.write.mode(SaveMode.Overwrite).parquet(tableDir(name, next))
+          case None =>
+            // carry forward unchanged table: cheap local copy of parquet
+            // files (on an object store this is a manifest re-point)
+            KbStore.copyDir(Paths.get(tableDir(name, cur.version)),
+              Paths.get(tableDir(name, next)))
+        }
+      }
+      val m = newMeta(cur).copy(version = next)
+      KbStore.writeMetaAtomic(path, m)
+      metaCache = m
+      invalidate()
+    } catch {
+      case e: Throwable =>
+        // rollback: remove staged dirs, meta still points at `cur`
+        KbStore.TableNames.foreach { name =>
+          KbStore.deleteRecursively(Paths.get(tableDir(name, next)))
+        }
+        throw e
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // reads (SURVEY §2.2, §2.4)
+  // ------------------------------------------------------------------
+  def countDocs: Long = docs.count()
+  def countEdges: Long = edges.count()
+  def countKeys: Long = keyval.count()
+  def len: Long = countDocs
+
+  /** P1 fetch_doc (`kb.py:416-473`); NoSuchElementException on miss. */
+  def fetchDoc(id: Long): Doc =
+    docs.filter($"id" === id).collect().headOption.getOrElse(
+      throw new NoSuchElementException(s"doc $id"))
+
+  /** P1 with embedding joined in (include_embedding=True). */
+  def fetchDocWithEmbedding(id: Long): (Doc, Option[Array[Float]]) = {
+    val d = fetchDoc(id)
+    val v = d.emb_id.flatMap { e =>
+      embeddings.filter($"id" === e).collect().headOption.map(_.vec)
+    }
+    (d, v)
+  }
+
+  /** P2 children in id order (`kb.py:475-491`). */
+  def fetchChildren(id: Long): Seq[Doc] =
+    docs.filter($"parent_id" === id).orderBy($"id").collect().toSeq
+
+  /** P3 docs at level in id order (`kb.py:493-509`). */
+  def fetchDocsAtLevel(level: Int): Seq[Doc] =
+    docs.filter($"level" === level).orderBy($"id").collect().toSeq
+
+  /** P4 inverse embedding lookup (`kb.py:511-524`). */
+  def fetchDocWithEmbId(embId: Long): Doc =
+    docs.filter($"emb_id" === embId).collect().headOption.getOrElse(
+      throw new NoSuchElementException(s"emb $embId"))
+
+  // ------------------------------------------------------------------
+  // doc mutations (SURVEY §2.8 M1-M5)
+  // ------------------------------------------------------------------
+  /** Bulk add scope (M2, `kb.py:1486-1524`): queue docs via the passed
+    * adder, embed in batches of 200 on scope exit, commit once.
+    * Returns assigned ids (dense, 1-based, insertion order).
+    */
+  def bulkAddDocs(provider: EmbeddingProvider)(
+      body: KbStore.DocAdder => Unit): Seq[Long] = {
+    val adder = new KbStore.DocAdder(this)
+    body(adder)
+    val newDocs = adder.result
+    if (newDocs.isEmpty) return Seq.empty
+
+    val curMeta = metaCache
+    var nextDocId = curMeta.max_doc_id
+    var nextEmbId = curMeta.max_doc_id // emb ids share the doc counter space
+
+    // resolve levels: parents either pre-existing or earlier in this batch
+    val knownLevels = mutable.Map[Long, Int]()
+    val parentIds = newDocs.flatMap(_.parentId).distinct
+    if (parentIds.nonEmpty) {
+      docs.filter($"id".isin(parentIds: _*))
+        .select($"id", $"level").collect()
+        .foreach(r => knownLevels(r.getLong(0)) = r.getInt(1))
+    }
+
+    val staged = newDocs.map { nd =>
+      nextDocId += 1
+      val level = nd.parentId match {
+        case None => 0
+        case Some(p) => knownLevels.getOrElse(p,
+          throw new IllegalArgumentException(s"parent $p does not exist")) + 1
+      }
+      knownLevels(nextDocId) = level
+      (nextDocId, nd, level)
+    }
+
+    // batched embedding backfill (chunk=200, reference kb.py:52)
+    val toEmbed = staged.filter(!_._2.noEmbedding)
+    val vecs = toEmbed.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
+      Embeddings.checkMagnitude(provider.embed(chunk.map(_._2.text)))
+    }.toSeq
+    val embRows = toEmbed.zip(vecs).map { case ((_, _, _), v) =>
+      nextEmbId += 1
+      Emb(nextEmbId, v)
+    }
+    val embIdByDocId = toEmbed.map(_._1).zip(embRows.map(_.id)).toMap
+
+    val docRows = staged.map { case (id, nd, level) =>
+      Doc(id, nd.parentId, level, nd.text, embIdByDocId.get(id), nd.meta)
+    }
+
+    commit(
+      Map(
+        "docs" -> docs.toDF().union(spark.createDataset(docRows).toDF()),
+        "embeddings" -> embeddings.toDF()
+          .union(spark.createDataset(embRows).toDF())),
+      m => m.copy(max_doc_id = math.max(nextDocId, nextEmbId)))
+    staged.map(_._1)
+  }
+
+  /** Bulk delete (M3, `kb.py:360-414`): per-id parent guard honoring
+    * in-batch deletion order, cascade to incident edges (including edges
+    * whose relationship is the doc) and the embedding row.
+    */
+  def bulkDelDocs(ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    // guard: child links among docs whose parent is being deleted
+    val childLinks = docs.filter($"parent_id".isin(ids: _*))
+      .select($"id", $"parent_id").as[(Long, Long)].collect()
+    val pos = ids.zipWithIndex.toMap
+    ids.zipWithIndex.foreach { case (d, p) =>
+      childLinks.filter(_._2 == d).foreach { case (child, _) =>
+        if (!pos.get(child).exists(_ < p))
+          throw new IllegalStateException(
+            s"cannot delete doc $d: it is a parent of $child")
+      }
+    }
+    val existing = docs.filter($"id".isin(ids: _*))
+      .select($"id", $"emb_id").collect()
+    if (existing.length != ids.distinct.length)
+      throw new NoSuchElementException(
+        s"some ids do not exist: ${ids.diff(existing.map(_.getLong(0)).toSeq)}")
+
+    val idSet = ids.toSet
+    val embIds = existing.flatMap(r =>
+      if (r.isNullAt(1)) None else Some(r.getLong(1))).toSet
+    commit(
+      Map(
+        "docs" -> docs.filter(!$"id".isin(ids: _*)).toDF(),
+        "embeddings" -> (if (embIds.isEmpty) embeddings.toDF()
+          else embeddings.filter(!$"id".isin(embIds.toSeq: _*)).toDF()),
+        "edges" -> edges.filter(
+          !($"src".isin(ids: _*) || $"dst".isin(ids: _*) ||
+            $"rel".isin(ids: _*))).toDF()),
+      identity)
+  }
+
+  /** M4 update_doc_meta (`kb.py:347-358`). */
+  def updateDocMeta(id: Long, newMeta: Option[String]): Unit = {
+    if (docs.filter($"id" === id).isEmpty)
+      throw new NoSuchElementException(s"doc $id")
+    commit(
+      Map("docs" -> docs.toDF().withColumn("meta",
+        when($"id" === id, newMeta.map(lit).getOrElse(lit(null)))
+          .otherwise($"meta"))),
+      identity)
+  }
+
+  // ------------------------------------------------------------------
+  // edge mutations (M8/M9, `kb.py:634-679`)
+  // ------------------------------------------------------------------
+  def addEdges(newEdges: Seq[(Long, Long, Long, Option[Double], Boolean)]): Seq[Long] = {
+    if (newEdges.isEmpty) return Seq.empty
+    val dupInBatch = newEdges.map(e => (e._1, e._2, e._3))
+      .groupBy(identity).collectFirst { case (k, v) if v.size > 1 => k }
+    dupInBatch.foreach(k => throw new IllegalStateException(
+      s"duplicate edge in batch: $k"))
+    val keys = newEdges.map(e => (e._1, e._2, e._3)).toSet
+    val clash = edges.select($"src", $"dst", $"rel").as[(Long, Long, Long)]
+      .collect().find(keys.contains)
+    clash.foreach(k => throw new IllegalStateException(
+      s"edge already exists: $k"))
+    var next = metaCache.max_edge_id
+    val rows = newEdges.map { case (s, d, r, w, dir) =>
+      next += 1
+      Edge(next, s, d, r, w, dir)
+    }
+    commit(
+      Map("edges" -> edges.toDF().union(spark.createDataset(rows).toDF())),
+      m => m.copy(max_edge_id = next))
+    rows.map(_.id)
+  }
+
+  def addEdge(src: Long, dst: Long, rel: Long,
+      weight: Option[Double] = None, directed: Boolean = false): Long =
+    addEdges(Seq((src, dst, rel, weight, directed))).head
+
+  def delEdge(id: Long): Unit = {
+    if (edges.filter($"id" === id).isEmpty)
+      throw new NoSuchElementException(s"edge $id")
+    commit(Map("edges" -> edges.filter($"id" =!= id).toDF()), identity)
+  }
+
+  /** G1 directedness probe + export (`kb.py:681-722`): returns the edges
+    * DataFrame; when any edge is directed, undirected edges are expanded
+    * with their back-edges so a directed-graph consumer sees symmetric
+    * connectivity.
+    */
+  def exportGraph(): (Boolean, DataFrame) = {
+    val anyDirected = !edges.filter($"directed").isEmpty
+    val e = edges.toDF()
+    val out = if (anyDirected) {
+      e.union(e.filter(!$"directed").select($"id", $"dst".as("src"),
+        $"src".as("dst"), $"rel", $"weight", $"directed"))
+    } else e
+    (anyDirected, out)
+  }
+
+  // ------------------------------------------------------------------
+  // keyval (M6/M7 + protocol `kb.py:1746-1756`)
+  // ------------------------------------------------------------------
+  def setKey(key: String, value: Any): Unit = {
+    val row = KV.of(key, value)
+    commit(
+      Map("keyval" -> keyval.filter($"key" =!= key).toDF()
+        .union(spark.createDataset(Seq(row)).toDF())),
+      identity)
+  }
+
+  def hasKey(key: String): Boolean =
+    !keyval.filter($"key" === key).isEmpty
+
+  def getKey(key: String): Any =
+    keyval.filter($"key" === key).collect().headOption
+      .getOrElse(throw new NoSuchElementException(s"key $key")).value
+
+  def getKeyOr(key: String, default: Any): Any =
+    keyval.filter($"key" === key).collect().headOption
+      .map(_.value).getOrElse(default)
+
+  def delKey(key: String): Unit = {
+    if (!hasKey(key)) throw new NoSuchElementException(s"key $key")
+    commit(Map("keyval" -> keyval.filter($"key" =!= key).toDF()), identity)
+  }
+
+  def items: Seq[(String, Any)] =
+    keyval.orderBy($"key").collect().toSeq.map(kv => kv.key -> kv.value)
+
+  // ------------------------------------------------------------------
+  // retrieval (§3.1) + pairwise (§3.3)
+  // ------------------------------------------------------------------
+  /** The flagship read (`kb.py:1608-1640`): embed the query, score all
+    * cached vectors with a dot product (cosine via the unit-norm
+    * invariant), top-n with the reference's tie order (larger id first,
+    * `util.py:190-203`), join docs back.
+    */
+  def retrieve(query: String, n: Int,
+      provider: EmbeddingProvider): Seq[Retrieval] = {
+    if (n <= 0) return Seq.empty
+    val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
+    val scored = embeddings.toDF()
+      .select($"id".as("emb_id"),
+        dot(asDouble($"vec"), lit(qv.map(_.toDouble))).as("score"))
+      .orderBy(desc("score"), desc("emb_id"))
+      .limit(n)
+    val joined = scored.alias("s").join(docs.toDF().alias("d"),
+        col("s.emb_id") === col("d.emb_id"))
+      .orderBy(desc("score"), desc("s.emb_id"))
+      .select(col("score"), col("d.id"), col("d.parent_id"), col("d.level"),
+        col("d.text"), col("d.emb_id"), col("d.meta"))
+      .collect()
+    joined.toSeq.map { r =>
+      Retrieval(r.getDouble(0), Doc(r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getInt(3), r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getString(6))))
+    }
+  }
+
+  /** §3.3 document_top_pairwise_scores (`kb.py:1642-1671`): exact
+    * upper-triangle self-join + top-n — without ever materializing the
+    * n×n matrix the reference builds (`kb.py:1650`).
+    */
+  def topPairwiseScores(n: Int): Seq[(Double, Doc, Doc)] = {
+    val e = embeddings.toDF()
+      .select($"id", asDouble($"vec").as("v"))
+    val pairs = e.alias("a").join(e.alias("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        dot(col("a.v"), col("b.v")).as("score"))
+      .orderBy(desc("score"), desc("id2"), desc("id1"))
+      .limit(n)
+      .collect()
+    // build doc lookups for the few ids involved
+    val rows = pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = rows.flatMap(r => Seq(r._1, r._2)).distinct
+    val docByEmb = docs.filter($"emb_id".isin(ids: _*)).collect()
+      .map(d => d.emb_id.get -> d).toMap
+    rows.toSeq.map { case (i1, i2, s) => (s, docByEmb(i1), docByEmb(i2)) }
+  }
+
+  /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized
+    * id-paths (lexicographic path order == DFS pre-order).
+    */
+  def dfsTraversal(): Seq[Doc] = {
+    val paths = graft.ops.Hierarchy.withPaths(
+      docs.toDF(), "id", "parent_id", col("parent_id").isNull)
+    val ordered = paths.orderBy($"path").select($"id").as[Long].collect()
+    val byId = docs.collect().map(d => d.id -> d).toMap
+    ordered.toSeq.map(byId)
+  }
+
+  // ------------------------------------------------------------------
+  // maintenance (S7/S8)
+  // ------------------------------------------------------------------
+  /** Drop all table versions older than the committed one (VACUUM,
+    * `kb.py:831-834`).
+    */
+  def vacuum(): Unit = {
+    val keep = s"v${metaCache.version}"
+    KbStore.TableNames.foreach { name =>
+      val dir = Paths.get(s"$path/$name")
+      if (Files.isDirectory(dir)) {
+        Files.list(dir).forEach { p =>
+          if (p.getFileName.toString != keep) KbStore.deleteRecursively(p)
+        }
+      }
+    }
+  }
+
+  def close(vacuumFirst: Boolean = false): Unit = {
+    if (vacuumFirst) vacuum()
+    invalidate()
+  }
+}
+
+object KbStore {
+  val TableNames: Seq[String] = Seq("docs", "embeddings", "edges", "keyval")
+  val SchemaVersion = 1
+
+  /** Queued new-doc request inside a bulk-add scope. */
+  final case class NewDoc(text: String, parentId: Option[Long],
+      meta: Option[String], noEmbedding: Boolean)
+
+  /** The adder handle passed to `bulkAddDocs` bodies (unusable outside
+    * the scope — `kb.py:1500`).
+    */
+  final class DocAdder private[core] (store: KbStore) {
+    private val buf = mutable.ArrayBuffer[NewDoc]()
+    private var closed = false
+    def add(text: String, parentId: Option[Long] = None,
+        meta: Option[String] = None, noEmbedding: Boolean = false): Unit = {
+      require(!closed, "add_doc called outside its bulk scope")
+      buf += NewDoc(text, parentId, meta, noEmbedding)
+    }
+    private[core] def result: Seq[NewDoc] = { closed = true; buf.toSeq }
+  }
+
+  /** Create a fresh store (S1/S8: `kb.py:777-792`, force-fresh
+    * `kb.py:1428-1430`).
+    */
+  def create(spark: SparkSession, path: String,
+      embeddingParams: Map[String, String],
+      forceFresh: Boolean = false): KbStore = {
+    val p = Paths.get(path)
+    if (forceFresh) deleteRecursively(p)
+    require(!Files.exists(Paths.get(metaPath(path))),
+      s"store already exists at $path")
+    Files.createDirectories(p)
+    import spark.implicits._
+    spark.createDataset(Seq.empty[Doc]).write
+      .mode(SaveMode.Overwrite).parquet(s"$path/docs/v0")
+    spark.createDataset(Seq.empty[Emb]).write
+      .mode(SaveMode.Overwrite).parquet(s"$path/embeddings/v0")
+    spark.createDataset(Seq.empty[Edge]).write
+      .mode(SaveMode.Overwrite).parquet(s"$path/edges/v0")
+    spark.createDataset(Seq.empty[KV]).write
+      .mode(SaveMode.Overwrite).parquet(s"$path/keyval/v0")
+    val meta = KbMeta(SchemaVersion,
+      java.time.Instant.now().toString, embeddingParams, 0L, 0L, 0L)
+    writeMetaAtomic(path, meta)
+    new KbStore(spark, path)
+  }
+
+  /** Open an existing store, validating the schema version
+    * (`kb.py:841-853`).
+    */
+  def open(spark: SparkSession, path: String): KbStore = {
+    val m = readMeta(path)
+    require(m.schema_version == SchemaVersion,
+      s"unsupported schema_version ${m.schema_version}")
+    new KbStore(spark, path)
+  }
+
+  // ---------------- meta JSON (hand-rolled: zero extra deps) ----------
+  private def metaPath(path: String) = s"$path/_meta.json"
+
+  private[core] def writeMetaAtomic(path: String, m: KbMeta): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val params = m.embedding_params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    val json =
+      s"""{
+         |  "schema_version": ${m.schema_version},
+         |  "created_datetime": ${q(m.created_datetime)},
+         |  "embedding_params": $params,
+         |  "max_doc_id": ${m.max_doc_id},
+         |  "max_edge_id": ${m.max_edge_id},
+         |  "version": ${m.version}
+         |}""".stripMargin
+    val tmp = Paths.get(metaPath(path) + ".tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(metaPath(path)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[core] def readMeta(path: String): KbMeta = {
+    val json = Files.readString(Paths.get(metaPath(path)))
+    def longField(name: String): Long =
+      ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(s"meta missing $name"))
+    def strField(name: String): String =
+      ("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(json).map(m => unescape(m.group(1)))
+        .getOrElse(throw new IllegalStateException(s"meta missing $name"))
+    val params = ("\"embedding_params\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val kvRe = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val paramMap = kvRe.findAllMatchIn(params)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+    KbMeta(longField("schema_version").toInt, strField("created_datetime"),
+      paramMap, longField("max_doc_id"), longField("max_edge_id"),
+      longField("version"))
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  // ---------------- fs helpers ----------------
+  private[core] def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  private[core] def copyDir(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    Files.walk(src).forEach { s =>
+      val d = dst.resolve(src.relativize(s))
+      if (Files.isDirectory(s)) Files.createDirectories(d)
+      else Files.copy(s, d, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}

@@ -1,0 +1,246 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{Embeddings, KbStore}
+import graft.core.Embeddings.{EmbeddingProvider, KeywordProvider, MockProvider}
+
+/** FIXTURES.md golden tests: retrieval (§2), hierarchy (§3), graph (§4),
+  * key/value (§5), transactions (§7).
+  */
+class KbStoreSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-kb").resolve("kb").toString
+
+  private def unitProvider(dim: Int): EmbeddingProvider = MockProvider(dim)
+
+  // ---------------- FIXTURES §2: retrieval golden ----------------
+  test("retrieval fixture: keyword embeddings, golden order, cache invalidation") {
+    val kb = KbStore.create(spark, freshPath(), Map("provider" -> "keyword"))
+    val p = Embeddings.withMagnitudeCheck(KeywordProvider.fixture)
+    val ids = kb.bulkAddDocs(p) { add =>
+      add.add("third doc")
+      add.add("first doc")
+      add.add("second doc")
+    }
+    assert(ids == Seq(1L, 2L, 3L))
+    assert(kb.len == 3)
+
+    def texts(q: String, n: Int) = kb.retrieve(q, n, p).map(_.doc.text)
+    assert(texts("... first ...", 3) == Seq("first doc", "third doc", "second doc"))
+    assert(texts("... second ...", 3) == Seq("second doc", "first doc", "third doc"))
+    assert(texts("... third ...", 3) == Seq("third doc", "first doc", "second doc"))
+
+    // §3.3 golden: top-2 pairs = (doc1, doc2) then (doc2, doc3)
+    val pairs = kb.topPairwiseScores(2).map(t => (t._2.id, t._3.id))
+    assert(pairs == Seq((1L, 2L), (2L, 3L)))
+
+    // cache invalidation across a write (tests/test_kb.py:1801-1813)
+    val id4 = kb.bulkAddDocs(p)(_.add("forth doc")).head
+    assert(id4 == 4L)
+    assert(texts("... forth ...", 1) == Seq("forth doc"))
+
+    // delete 1, 2, 4 → only 'second doc' remains (:1832-1846)
+    kb.bulkDelDocs(Seq(1L, 2L, 4L))
+    assert(texts("... second ...", 5) == Seq("second doc"))
+    kb.close()
+  }
+
+  test("magnitude out-of-spec vectors are rejected (tests/test_kb.py:1851-1875)") {
+    val tooBig = KeywordProvider(Seq("x" -> Array(1.0f, 0.1f, 0.0f)))
+    val tooSmall = KeywordProvider(Seq("x" -> Array(0.99f, 0.0f, 0.0f)))
+    for (bad <- Seq(tooBig, tooSmall)) {
+      val kb = KbStore.create(spark, freshPath(), Map())
+      val wrapped = Embeddings.withMagnitudeCheck(bad)
+      intercept[IllegalArgumentException] {
+        kb.bulkAddDocs(wrapped)(_.add("x"))
+      }
+      assert(kb.len == 0) // rollback: nothing committed
+    }
+  }
+
+  // ---------------- FIXTURES §3: hierarchy golden ----------------
+  test("hierarchy fixture: levels, children, id order, delete guard") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = unitProvider(2)
+    kb.bulkAddDocs(p) { add =>
+      add.add("first doc") // id 1, level 0
+    }
+    kb.bulkAddDocs(p) { add =>
+      add.add("second doc", parentId = Some(1L)) // id 2, level 1
+    }
+    kb.bulkAddDocs(p) { add =>
+      add.add("third doc", meta = Some("""{"test": "stuff"}""")) // id 3
+      add.add("forth doc", parentId = Some(2L), meta = Some("""{"test": "again"}""")) // id 4, level 2
+      add.add("fifth doc", parentId = Some(4L), meta = Some("""{"test": 5}"""),
+        noEmbedding = true) // id 5, level 3
+    }
+    val all = kb.docs.collect().sortBy(_.id)
+    assert(all.map(d => (d.id, d.parent_id, d.level)).toSeq == Seq(
+      (1L, None, 0), (2L, Some(1L), 1), (3L, None, 0),
+      (4L, Some(2L), 2), (5L, Some(4L), 3)))
+    assert(all.find(_.id == 5).get.emb_id.isEmpty) // has_embedding=false
+    assert(all.find(_.id == 4).get.emb_id.isDefined)
+
+    // invalid parent → error (tests/test_kb.py:195-201)
+    intercept[IllegalArgumentException] {
+      kb.bulkAddDocs(p)(_.add("orphan", parentId = Some(99L)))
+    }
+
+    // children / level queries in id order (:283-368)
+    assert(kb.fetchChildren(2L).map(_.id) == Seq(4L))
+    assert(kb.fetchDocsAtLevel(0).map(_.id) == Seq(1L, 3L))
+
+    // inverse embedding lookup (:370-376)
+    val emb2 = kb.fetchDoc(2L).emb_id.get
+    assert(kb.fetchDocWithEmbId(emb2).id == 2L)
+
+    // delete of a parent refused (:383-385)
+    intercept[IllegalStateException] { kb.bulkDelDocs(Seq(2L)) }
+    // but child-before-parent order within one bulk works
+    kb.bulkDelDocs(Seq(5L, 4L))
+    assert(kb.len == 3)
+
+    // meta update (M4)
+    kb.updateDocMeta(3L, Some("""{"test": "updated"}"""))
+    assert(kb.fetchDoc(3L).meta.contains("""{"test": "updated"}"""))
+    intercept[NoSuchElementException] { kb.updateDocMeta(42L, None) }
+    kb.close()
+  }
+
+  test("dfs traversal pre-order (tests/test_kb.py:1652-1688)") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = unitProvider(2)
+    // forest {1→(3→5, 4)}: roots 1, 2(unrelated)… build FIXTURES shape:
+    // 1 root; 3,4 children of 1; 5 child of 3 → pre-order [1, 3, 5, 4]
+    kb.bulkAddDocs(p)(_.add("r")) // 1
+    kb.bulkAddDocs(p) { a => a.add("c1", Some(1L)); a.add("c2", Some(1L)) } // 3? ids 2,3
+    // ids assigned densely: c1=2, c2=3; child of c1:
+    kb.bulkAddDocs(p)(_.add("g", Some(2L))) // 4
+    val order = kb.dfsTraversal().map(_.id)
+    assert(order == Seq(1L, 2L, 4L, 3L))
+    kb.close()
+  }
+
+  // ---------------- FIXTURES §4: graph golden ----------------
+  test("graph fixture: uniqueness, cascade, directedness downgrade") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = unitProvider(2)
+    kb.bulkAddDocs(p) { a =>
+      Seq("first doc", "second doc", "third doc", "forth doc", "fifth doc",
+        "edge type 1", "edge type 2").foreach(t => a.add(t))
+    }
+    val e1 = kb.addEdge(2, 4, 6)
+    val e2 = kb.addEdge(2, 4, 7)
+    val e3 = kb.addEdge(1, 4, 6, weight = Some(0.5))
+    val e4 = kb.addEdge(1, 3, 7, weight = Some(1.5))
+    val e5 = kb.addEdge(2, 3, 6, directed = true)
+    val e6 = kb.addEdge(2, 5, 7, weight = Some(2.5), directed = true)
+    assert(Seq(e1, e2, e3, e4, e5, e6) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(kb.countEdges == 6)
+
+    // duplicate (src, dst, rel) refused (tests/test_kb.py:581-589)
+    intercept[IllegalStateException] { kb.addEdge(2, 4, 6) }
+
+    // mixed graph: directed with undirected expanded to back-edges (:626-643)
+    val (dir1, g1) = kb.exportGraph()
+    assert(dir1)
+    val backEdges = g1.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(backEdges.contains((4L, 2L)) && backEdges.contains((3L, 1L)))
+    assert(g1.count() == 6 + 4) // 4 undirected edges expanded
+
+    // del_edge by id (M9)
+    kb.delEdge(2L)
+    assert(kb.countEdges == 5)
+    intercept[NoSuchElementException] { kb.delEdge(2L) }
+
+    // cascade: deleting docs 1 and 5 removes their incident edges (:683-700)
+    kb.bulkDelDocs(Seq(1L, 5L))
+    assert(kb.countDocs == 5)
+    assert(kb.edges.collect().map(_.id).sorted.toSeq == Seq(1L, 5L))
+
+    // directedness downgrade once the last directed edge is gone (:714-728)
+    kb.delEdge(5L)
+    val (dir2, g2) = kb.exportGraph()
+    assert(!dir2)
+    assert(g2.count() == 1)
+    kb.close()
+  }
+
+  // ---------------- FIXTURES §5: key/value golden ----------------
+  test("keyval: ANY-type preservation, upsert, protocol") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    kb.setKey("k_int", 77)
+    kb.setKey("k_strnum", "99")
+    kb.setKey("k_str", "hi")
+    kb.setKey("k_bytes", "buffer val".getBytes("UTF-8"))
+    kb.setKey("k_float", 87.5)
+
+    assert(kb.getKey("k_int") == 77L)
+    assert(kb.getKey("k_strnum") == "99") // stays a string (STRICT ANY)
+    assert(kb.getKey("k_str") == "hi")
+    assert(kb.getKey("k_bytes").asInstanceOf[Array[Byte]]
+      .sameElements("buffer val".getBytes("UTF-8")))
+    assert(kb.getKey("k_float") == 87.5)
+
+    assert(kb.countKeys == 5)
+    assert(kb.hasKey("k_int") && !kb.hasKey("nope"))
+    intercept[NoSuchElementException] { kb.getKey("nope") }
+    assert(kb.getKeyOr("nope", 42) == 42)
+
+    kb.setKey("k_int", 78) // upsert overwrites
+    assert(kb.getKey("k_int") == 78L)
+    assert(kb.countKeys == 5)
+
+    kb.delKey("k_str")
+    assert(!kb.hasKey("k_str"))
+    intercept[NoSuchElementException] { kb.delKey("k_str") }
+    assert(kb.items.map(_._1) ==
+      Seq("k_bytes", "k_float", "k_int", "k_strnum"))
+    kb.close()
+  }
+
+  // ---------------- FIXTURES §7: transactions ----------------
+  test("transactions: commit on clean exit, rollback on exception") {
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = unitProvider(2)
+    kb.bulkAddDocs(p)(_.add("committed"))
+    val vBefore = kb.meta.version
+
+    // exception inside the scope → nothing persisted, version unchanged
+    intercept[RuntimeException] {
+      kb.bulkAddDocs(p) { a =>
+        a.add("staged-but-lost")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(kb.meta.version == vBefore)
+    assert(kb.len == 1)
+
+    // provider failure mid-backfill also rolls back
+    val failing = new EmbeddingProvider {
+      def name = "fail"; def dim = 2
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        throw new RuntimeException("provider down")
+    }
+    intercept[RuntimeException] { kb.bulkAddDocs(failing)(_.add("x")) }
+    assert(kb.len == 1)
+
+    // adder unusable outside its scope (kb.py:1500)
+    var leaked: KbStore.DocAdder = null
+    kb.bulkAddDocs(p) { a => leaked = a; a.add("second") }
+    intercept[IllegalArgumentException] { leaked.add("too late") }
+
+    // re-open: committed state visible; schema-version check
+    val kb2 = KbStore.open(spark, path)
+    assert(kb2.len == 2)
+    assert(kb2.meta.embedding_params.isEmpty)
+
+    // vacuum removes stale versions, current still readable
+    kb2.vacuum()
+    assert(kb2.len == 2)
+    kb2.close()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.core.Embeddings
+
+/** Kernel property tests mirroring the reference's exhaustive tables for
+  * get_top_k / chunking / magnitude (tests/test_util.py:142-507,
+  * tests/test_embeddings.py).
+  */
+class KernelSpec extends SparkSpec {
+
+  private def checkProp(p: Prop, minSuccessful: Int = 30): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(minSuccessful)
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("top-k semantics: descending score, larger-id-first ties, clamped k") {
+    import spark.implicits._
+    val scores = Seq(0.4, 0.8, 0.2, 0.8) // ids 0..3, tie on 0.8
+    val df = scores.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+    def topk(k: Int) = df.orderBy(desc("score"), desc("id")).limit(k)
+      .select($"id").as[Long].collect().toSeq
+    assert(topk(1) == Seq(3L)) // tie → larger id first
+    assert(topk(4) == Seq(3L, 1L, 0L, 2L))
+    assert(topk(10) == Seq(3L, 1L, 0L, 2L)) // k > n clamps
+    assert(topk(0) == Seq.empty)
+  }
+
+  test("dot product property: matches local computation") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.choose(-1.0, 1.0))
+    checkProp(forAll(gen, gen) { (a: List[Double], b: List[Double]) =>
+      val expected = a.zip(b).map { case (x, y) => x * y }.sum
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(dot(col("a"), col("b"))).head().getDouble(0)
+      math.abs(expected - got) < 1e-9
+    }, minSuccessful = 10)
+  }
+
+  test("magnitude check: accepts unit, rejects out-of-tolerance") {
+    Embeddings.checkMagnitude(Seq(Array(1.0f, 0.001f, 0.0f))) // ok
+    Embeddings.checkMagnitude(Seq(Array(0.707f, 0.707f, 0.0f))) // ok
+    intercept[IllegalArgumentException] {
+      Embeddings.checkMagnitude(Seq(Array(1.0f, 0.1f, 0.0f)))
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.checkMagnitude(Seq(Array(0.99f, 0.0f, 0.0f)))
+    }
+  }
+
+  test("chunked embedding batches (chunkify semantics, util.py:236-240)") {
+    val p = Embeddings.MockProvider(4)
+    // grouped(n) covers the exhaustive remainder table
+    assert((1 to 7).grouped(3).map(_.size).toSeq == Seq(3, 3, 1))
+    assert(Seq.empty[Int].grouped(3).toSeq == Seq.empty)
+    val vecs = p.embed(Seq("a", "b"))
+    assert(vecs.forall(v => v.length == 4 && v(0) == 1.0f && v(1) == 0.0f))
+  }
+
+  test("normalize yields unit vectors for any nonzero input") {
+    import spark.implicits._
+    val gen = Gen.listOfN(6, Gen.choose(-10.0, 10.0))
+      .suchThat(l => l.exists(math.abs(_) > 0.1))
+    checkProp(forAll(gen) { (a: List[Double]) =>
+      val n = Seq(Tuple1(a.toArray)).toDF("a")
+        .select(l2Norm(normalize(col("a")))).head().getDouble(0)
+      math.abs(n - 1.0) < 1e-9
+    }, minSuccessful = 10)
+  }
+}

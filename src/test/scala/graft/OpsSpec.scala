@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.ops._
+
+/** Unit tests for the pipeline operators over the sf0.001 tables. */
+class OpsSpec extends SparkSpec {
+  private lazy val docs = Tables.t(spark, sf("0.001"), "documents")
+  private lazy val emb = Tables.t(spark, sf("0.001"), "embeddings")
+
+  test("vector functions: dot / norm / normalize / magnitude") {
+    import spark.implicits._
+    val df = Seq((Array(3.0, 4.0), Array(1.0, 0.0))).toDF("a", "b")
+    val r = df.select(
+      dot($"a", $"b").as("d"),
+      l2Norm($"a").as("n"),
+      cosine($"a", $"b").as("c"),
+      magnitudeOk(normalize($"a")).as("ok")).head()
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 0.6) < 1e-12)
+    assert(r.getBoolean(3))
+  }
+
+  test("shingles: k=3 word n-grams, short docs yield empty sets") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, 3).collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("minhash LSH finds the planted near-duplicates (and only near-dups)") {
+    val dups = Dedup.minhashNearDups(docs, k = 3, numHashes = 8,
+      rowsPerBand = 2, threshold = 0.8).collect()
+    assert(dups.nonEmpty)
+    assert(dups.forall(_.getDouble(2) >= 0.8))
+    // LSH candidates verified by exact jaccard must be symmetric-free (i<j)
+    assert(dups.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash: deterministic, and near-dups are closer than average") {
+    import spark.implicits._
+    val sims = Dedup.simhash(docs)
+    // deterministic: recompputing yields identical signatures
+    val twice = sims.as("a").join(Dedup.simhash(docs).as("b"),
+      $"a.doc_id" === $"b.doc_id")
+    assert(twice.filter($"a.simhash" =!= $"b.simhash").isEmpty)
+
+    // near-dup pairs have strictly lower mean hamming than all pairs
+    val allPairs = Dedup.simhashPairs(sims, maxHamming = 16)
+    val overallMean = allPairs.agg(avg(col("hamming"))).head().getDouble(0)
+    val nearDups = Dedup.minhashNearDups(docs, threshold = 0.9)
+      .select(col("doc1"), col("doc2"))
+    val nearMean = nearDups.join(allPairs, Seq("doc1", "doc2"))
+      .agg(avg(col("hamming"))).head().getDouble(0)
+    assert(nearMean < overallMean)
+  }
+
+  test("knn join returns k neighbors per query, ranked") {
+    val out = SimilaritySearch.knnJoin(
+      emb.where(col("vec_id") < 3), emb.where(col("vec_id") >= 3), 5)
+    val grouped = out.groupBy(col("qid")).count().collect()
+    assert(grouped.length == 3 && grouped.forall(_.getLong(1) == 5))
+  }
+
+  test("ann bucketed top-k is a subset of brute-force ranking") {
+    val brute = SimilaritySearch.topK(emb, 0L, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = SimilaritySearch.annTopKBucketed(emb, 0L, 5, bits = 8).collect()
+    assert(ann.nonEmpty)
+    // every ANN hit carries its true score
+    ann.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(2)) < 1e-9))
+    // the query vector itself is always in its own bucket → rank 1
+    assert(ann.head.getLong(0) == 0L)
+  }
+
+  test("text analysis: stats, quality bounds, lang id, fingerprints") {
+    val stats = TextAnalysis.tokenStats(docs).collect()
+    assert(stats.forall(r => r.getInt(1) >= r.getInt(2))) // n_tokens >= n_uniq
+    val q = TextAnalysis.qualityScore(docs, Seq("the", "a")).collect()
+    assert(q.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    val langs = TextAnalysis.langId(docs,
+      Seq("en" -> Seq("the", "a"))).collect()
+    assert(langs.forall(r => Set("en", "und")(r.getString(2))))
+    val fp = TextAnalysis.fingerprint(docs)
+    assert(fp.select(col("fp_md5")).distinct().count() == docs.count())
+  }
+
+  test("multimodal: partition-batched stub decode + frame sampling") {
+    val media = Multimodal.asMedia(docs)
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.collect()
+    assert(f.length == docs.count())
+    assert(f.forall(x => x.n_frames >= 1 && x.width >= 64 && x.height >= 64))
+    val frames = Multimodal.sampleFrames(feats.toDF(), stride = 4)
+    val perDoc = frames.groupBy(col("media_id")).count().collect()
+    // ceil(n_frames/4) sampled frames each
+    val expect = f.map(x => x.media_id -> ((x.n_frames + 3) / 4).toLong).toMap
+    perDoc.foreach(r => assert(r.getLong(1) == expect(r.getLong(0))))
+  }
+
+  test("hierarchy paths: depth and lexicographic pre-order") {
+    import spark.implicits._
+    val nodes = Seq((1L, 0L), (10L, 1L), (11L, 1L), (100L, 10L))
+      .toDF("id", "parent_id")
+    val paths = ops.Hierarchy.withPaths(nodes, "id", "parent_id",
+      col("id") === 1L)
+    val got = paths.orderBy(col("path")).select(col("id"), col("depth"))
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (10L, 2), (100L, 3), (11L, 2)))
+  }
+}
