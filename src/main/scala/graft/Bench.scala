@@ -1,25 +1,141 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.FloatVecDot
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Two parts:
+  *  1. every SparkEntry query timed once at SPARK_GRAFT_SF_DIR;
+  *  2. the reference's published benchmark protocol (BASELINE.md):
+  *     synthetic unit vectors d=1536 at N=10,548 and N=1,000,000, then
+  *     cold-then-warm `retrieve(query, n=100)` — reported as
+  *     svs_{build,cold,warm}_{10k,1m} entries in the queries map, directly
+  *     comparable to the reference's 0.5s/0.011s (10k) and 120s/0.24s (1M)
+  *     numbers (`/root/reference/README.md:126-129`).
+  *
+  * The retrieval kernel is the packed-f32 BINARY column + the codegen'd
+  * [[FloatVecDot]] expression — the Spark-native analog of the
+  * reference's blob matrix + NumPy dot (`kb.py:573-618`, `kb.py:1185`).
+  */
 object Bench {
+
+  private final val Dim = 1536
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- part 1: the operator inventory at sfDir ----
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- part 2: reference protocol (cold-then-warm retrieval) ----
+    svsProtocol(spark, n = 10548, tag = "10k", results)
+    svsProtocol(spark, n = 1000000, tag = "1m", results)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Deterministic synthetic unit vectors (the reference's fake d1536
+    * embeddings, `One Million Documents Benchmark.ipynb` cell 5), packed
+    * little-endian f32.
+    */
+  private def syntheticEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val rnd = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+        val v = new Array[Float](Dim)
+        var s = 0.0
+        var i = 0
+        while (i < Dim) {
+          val x = rnd.nextGaussian()
+          v(i) = x.toFloat
+          s += x * x
+          i += 1
+        }
+        val inv = (1.0 / math.sqrt(s)).toFloat
+        i = 0
+        while (i < Dim) { v(i) *= inv; i += 1 }
+        (id, FloatVecDot.pack(v))
+      }
+      .toDF("id", "vec")
+  }
+
+  private def timed[A](body: => A): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** retrieve(query_vec, n=100) as a DataFrame job: score every vector
+    * (codegen'd f32 dot), TakeOrderedAndProject top-100 with the
+    * reference's tie order.
+    */
+  private def retrieveJob(emb: DataFrame, queryId: Long): Unit = {
+    val q = emb.where(col("id") === queryId).select(col("vec").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("id"),
+        FloatVecDot.floatVecDot(col("vec"), col("qv")).as("score"))
+      .orderBy(desc("score"), desc("id"))
+      .limit(100)
+      .collect()
+  }
+
+  private def svsProtocol(spark: SparkSession, n: Long, tag: String,
+      results: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
+    val path = s"/tmp/graft_bench_$tag"
+    KbStoreCleanup.delete(path)
+
+    // build: generate + write the store (reference 'bulk load', 8s @ 1M)
+    results(s"svs_build_$tag") = timed {
+      syntheticEmbeddings(spark, n).write.mode("overwrite").parquet(path)
+    }
+
+    // cold: fresh read from disk, score, top-100 (reference 2min @ 1M)
+    val cold = spark.read.parquet(path)
+    results(s"svs_cold_$tag") = timed { retrieveJob(cold, queryId = 1L) }
+
+    // warm: cached vectors (reference 0.24s @ 1M)
+    val cached = spark.read.parquet(path)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize (the reference's first-query matrix build)
+    retrieveJob(cached, queryId = 1L) // warm-up pass (JIT + codegen)
+    results(s"svs_warm_$tag") = timed { retrieveJob(cached, queryId = 2L) }
+    cached.unpersist()
+    KbStoreCleanup.delete(path)
+  }
+}
+
+private object KbStoreCleanup {
+  def delete(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 }

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Embeddings.EmbeddingProvider
+import graft.functions.FloatVecDot
+
+/** Structured Streaming operators (SURVEY §2.10/§7.6).
+  *
+  * The reference is batch-only; these are the scale extensions a
+  * continuously-ingesting training-data pipeline needs. Every transform
+  * here is expressed so the SAME code runs in batch (tested against the
+  * DuckDB oracle via `e1_time_bucket`) and under a streaming source with
+  * watermarked state — the `foreachBatch` ingest mirrors the reference's
+  * `bulk_add_docs` core (`/root/reference/src/svs/kb.py:1486-1524`)
+  * without operator changes.
+  */
+object StreamingIngest {
+
+  /** Watermarked tumbling-window aggregation over an event stream.
+    * Batch twin: SparkEntry `e1_time_bucket`.
+    */
+  def windowedEventCounts(events: DataFrame,
+      watermark: String = "30 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** One user event for stateful processing. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  /** An assembled session. */
+  case class Session(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  private case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when no event arrives for `gapMs` (processing-time timeout in
+    * streaming; in tests the final sessions are flushed on timeout).
+    */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId, it, state: GroupState[SessionState]) =>
+          var out = List.empty[Session]
+          var cur = state.getOption
+          if (state.hasTimedOut) {
+            cur.foreach { s =>
+              out ::= Session(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.sum)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming embed-and-pack stage: the `bulk_add_docs` backfill
+    * (provider called in partition batches of 200) as a streaming-safe
+    * transform. Output schema: (doc_id, text, vec BINARY packed f32).
+    */
+  def embedStage(docs: Dataset[(Long, String)],
+      provider: EmbeddingProvider): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      it.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
+        val vecs = provider.embed(chunk.map(_._2))
+        chunk.zip(vecs).map { case ((id, text), v) =>
+          (id, text, FloatVecDot.pack(v))
+        }
+      }
+    }.toDF("doc_id", "text", "vec")
+  }
+
+  /** Wire a streaming source of (doc_id, text) through the embed stage
+    * into an append-mode parquet sink — the Structured Streaming face of
+    * the reference's bulk ingest. Returns the started query.
+    */
+  def startIngest(spark: SparkSession, source: DataFrame,
+      provider: EmbeddingProvider, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val staged = embedStage(source.as[(Long, String)], provider)
+    staged.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}

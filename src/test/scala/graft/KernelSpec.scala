@@ -73,4 +73,22 @@ class KernelSpec extends SparkSpec {
       math.abs(n - 1.0) < 1e-9
     }, minSuccessful = 10)
   }
+
+  test("FloatVecDot: pack/unpack round-trip and codegen dot correctness") {
+    import spark.implicits._
+    import graft.functions.FloatVecDot
+    val a = Array(1.0f, 3.5f, -2.25f, 0.5f)
+    val b = Array(0.5f, -1.0f, 2.0f, 4.0f)
+    assert(FloatVecDot.unpack(FloatVecDot.pack(a)).sameElements(a))
+    assert(FloatVecDot.pack(Array(1.0f)).sameElements(
+      Array[Byte](0x00, 0x00, 0x80.toByte, 0x3f))) // 1.0 LE (FIXTURES §6)
+    assert(FloatVecDot.pack(Array.empty[Float]).isEmpty)
+    val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val got = Seq((FloatVecDot.pack(a), FloatVecDot.pack(b))).toDF("a", "b")
+      .select(FloatVecDot.floatVecDot(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-9)
+    // interpreted eval path agrees with codegen
+    assert(math.abs(FloatVecDot.dot(FloatVecDot.pack(a), FloatVecDot.pack(b))
+      - expected) < 1e-9)
+  }
 }
