@@ -79,17 +79,12 @@ object SparkEntry {
       graft.ops.Dedup.simhash(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
-    "d4_ngram_jaccard" -> ((s, dir) => {
-      // exact n-gram Jaccard similarity join (the LSH-free baseline),
-      // bounded to the near-dup band
-      val sh = graft.ops.Dedup.shingles(t(s, dir, "documents"), 3)
-      val pairs = sh.select(col("doc_id").as("doc1"))
-        .crossJoin(sh.select(col("doc_id").as("doc2")))
-        .where(col("doc1") < col("doc2"))
-      graft.ops.Dedup.jaccardVerify(pairs, sh)
-        .where(col("jaccard") >= 0.5)
-        .orderBy(col("doc1"), col("doc2"))
-    }),
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      // exact n-gram Jaccard similarity join via posting lists (no
+      // cross join — see Dedup.jaccardSimilarityJoin scale notes)
+      graft.ops.Dedup.jaccardSimilarityJoin(t(s, dir, "documents"),
+        k = 3, threshold = 0.5)
+        .orderBy(col("doc1"), col("doc2"))),
 
     "d5_embedding_neardup" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.4)
@@ -295,12 +290,14 @@ object SparkEntry {
     // d*_ dedup/ANN family.
     "j3_pairwise_topk" -> ((s, dir) => {
       import s.implicits._
+      import graft.functions.FloatVecDot.floatVecDot
+      import graft.functions.FloatVecPack.floatVecPack
       val e = t(s, dir, "embeddings")
-        .select($"vec_id".as("id"), asDouble($"embedding").as("v"))
+        .select($"vec_id".as("id"), floatVecPack($"embedding").as("v"))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, $"a.id" < $"b.id")
         .select($"a.id".as("id1"), $"b.id".as("id2"),
-          round(dot($"a.v", $"b.v"), 6).as("score"))
+          round(floatVecDot($"a.v", $"b.v"), 6).as("score"))
         .orderBy(desc("score"), $"id1", $"id2")
         .limit(25)
     }),
