@@ -90,6 +90,62 @@ object SparkEntry {
       graft.ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.4)
         .orderBy(col("id1"), col("id2"))),
 
+    // G3 semantic dedup: similarity pairs → connected components → keep
+    // one per component (the notebook's sketched graph dedup, real now).
+    "d6_semantic_dedup" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.jaccardSimilarityJoin(
+        t(s, dir, "documents"), k = 3, threshold = 0.5)
+      graft.ops.Dedup.semanticDedup(pairs).orderBy(col("doc_id"))
+    }),
+
+    // batch sessionization (streaming twin lives in StreamingIngest):
+    // 10-minute-gap sessions per user, one row per session.
+    "e2_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .filter($"user_id" < 25L)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("new_sess",
+          when(coalesce($"us" - lag($"us", 1).over(w),
+            lit(Long.MaxValue)) > 600000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_sess").over(wAll))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max($"us") - min($"us")).as("duration_us"),
+          round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // TPC-H Q5 shape: 5-way join through small dims (all broadcast) into
+    // the fact table, grouped by nation.
+    "q5_regional_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(desc("revenue"), $"n_name")
+    }),
+
+    // S9 distinct projection (the ingest notebook's unique()).
+    "u3_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"lang", $"source").distinct()
+        .orderBy($"lang", $"source")
+    }),
+
     // --- similarity search (SURVEY §7.5) ---------------------------------
     "k1_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -558,6 +614,74 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
          ORDER BY id1, id2""",
+
+    "d6_semantic_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(s) >= 3 THEN
+                    list_transform(range(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                  ELSE [] END) AS sg
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                 len(list_distinct(list_concat(a.sg, b.sg))), 6) >= 0.5),
+         verts AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc1 AS doc_id FROM pairs UNION SELECT doc2 FROM pairs)),
+         e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+               UNION ALL SELECT doc2, doc1 FROM pairs
+               UNION ALL SELECT doc_id, doc_id FROM verts),
+         l0 AS (SELECT doc_id, doc_id AS label FROM verts),
+         l1 AS (SELECT e.a AS doc_id, min(l0.label) AS label
+                FROM e JOIN l0 ON e.b = l0.doc_id GROUP BY e.a),
+         l2 AS (SELECT e.a AS doc_id, min(l1.label) AS label
+                FROM e JOIN l1 ON e.b = l1.doc_id GROUP BY e.a),
+         l3 AS (SELECT e.a AS doc_id, min(l2.label) AS label
+                FROM e JOIN l2 ON e.b = l2.doc_id GROUP BY e.a)
+         SELECT doc_id, label AS component, (doc_id = label) AS keep
+         FROM l3 ORDER BY doc_id""",
+
+    "e2_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, ts,
+                  epoch_ns(ts) // 1000 AS us
+           FROM events WHERE user_id < 25),
+         g AS (
+           SELECT user_id, event_id, value, us, ts,
+                  CASE WHEN coalesce(us - lag(us, 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id),
+                    9223372036854775807) > 600000000 THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (
+           SELECT user_id, event_id, value, us,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+                max(us) - min(us) AS duration_us,
+                round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q5_regional_revenue" ->
+      """SELECT n.n_name,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY n.n_name
+         ORDER BY revenue DESC, n.n_name""",
+
+    "u3_distinct" ->
+      """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
 
     "k1_knn_join" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -114,4 +114,25 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq
     assert(got == Seq((1L, 1), (10L, 2), (100L, 3), (11L, 2)))
   }
+
+  test("connected components: chain, pair, keep-one-per-component (G3)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val got = Dedup.semanticDedup(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("csv ingestion: trim + distinct (S9 notebook pipeline)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("jokes.csv")
+    java.nio.file.Files.writeString(f,
+      "joke\n  why did the chicken  \nwhy did the chicken\nsecond joke\n")
+    val got = spark.read.option("header", "true").csv(f.toString)
+      .select(trim($"joke").as("joke")).distinct()
+      .orderBy($"joke").as[String].collect().toSeq
+    assert(got == Seq("second joke", "why did the chicken"))
+  }
 }
