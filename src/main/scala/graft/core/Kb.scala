@@ -1,0 +1,128 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Embeddings.EmbeddingProvider
+import graft.core.Model.{Doc, Retrieval}
+
+/** User-facing facade reproducing the reference's `KB` API surface
+  * (SURVEY.md Appendix A; `/root/reference/src/svs/kb.py:1407-1799`).
+  * One synchronous API — Spark jobs are the async substrate, so the
+  * reference's KB/AsyncKB duplication collapses into this single class.
+  *
+  * Construction mirrors `KB(path, embedding_func, force_fresh_db)`
+  * (`kb.py:1410-1435`): the provider's params are persisted in the store
+  * meta on create and validated on re-open (`kb.py:896-922` — a
+  * mismatched provider warns rather than fails, same as the reference).
+  */
+final class Kb private (
+    val store: KbStore,
+    val provider: EmbeddingProvider) {
+
+  private val checked = Embeddings.withMagnitudeCheck(provider)
+
+  // ---- reads ----
+  /** `len(kb)` (`kb.py:1797-1799`). */
+  def length: Long = store.len
+
+  /** `kb.retrieve(query, n)` (`kb.py:1608`). */
+  def retrieve(query: String, n: Int): Seq[Retrieval] =
+    store.retrieve(query, n, checked)
+
+  /** `kb.document_top_pairwise_scores(n)` (`kb.py:1642`). */
+  def documentTopPairwiseScores(n: Int): Seq[(Double, Doc, Doc)] =
+    store.topPairwiseScores(n)
+
+  // ---- bulk scopes (`kb.py:1486-1795`) ----
+  /** `with kb.bulk_add_docs() as add_doc:` */
+  def bulkAddDocs(body: KbStore.DocAdder => Unit): Seq[Long] =
+    store.bulkAddDocs(checked)(body)
+
+  /** `with kb.bulk_del_docs() as del_doc:` */
+  def bulkDelDocs(ids: Seq[Long]): Unit = store.bulkDelDocs(ids)
+
+  /** `with kb.bulk_query_docs() as q:` (`types.py:156-192`). */
+  def bulkQueryDocs[A](body: Kb.DocQuerier => A): A =
+    body(new Kb.DocQuerier(store))
+
+  /** `with kb.bulk_graph_update() as g:` (`types.py:195-224`). */
+  def bulkGraphUpdate[A](body: Kb.GraphUpdater => A): A =
+    body(new Kb.GraphUpdater(store))
+
+  /** `with kb.bulk_keyval_update() as kv:` (`types.py:227-262`). */
+  def bulkKeyvalUpdate[A](body: Kb.KeyvalUpdater => A): A =
+    body(new Kb.KeyvalUpdater(store))
+
+  /** `kb.close(vacuum, also_gzip)` (`kb.py:1437-1464`): gzip maps to a
+    * gzip-codec compaction of the current version (S6 — Parquet
+    * compresses natively, so this is a codec rewrite, not a file gzip).
+    */
+  def close(vacuum: Boolean = false, alsoGzip: Boolean = false): Unit = {
+    if (alsoGzip) store.compact("gzip")
+    store.close(vacuumFirst = vacuum)
+  }
+}
+
+object Kb {
+
+  /** Open or create, like `KB(path_or_url, embedding_func, force_fresh_db)`. */
+  def apply(spark: SparkSession, path: String, provider: EmbeddingProvider,
+      forceFresh: Boolean = false): Kb = {
+    val exists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_meta.json")) && !forceFresh
+    val store =
+      if (exists) {
+        val st = KbStore.open(spark, path)
+        val stored = st.meta.embedding_params
+        if (stored.nonEmpty && stored != provider.params)
+          System.err.println(
+            s"[graft] warning: stored embedding params $stored differ " +
+              s"from provided ${provider.params}; using provided " +
+              "(reference kb.py:916-922 semantics)")
+        st
+      } else KbStore.create(spark, path, provider.params, forceFresh)
+    new Kb(store, provider)
+  }
+
+  /** Scoped query handle (count/query_doc/query_children/query_level/
+    * dfs_traversal/update_doc_meta).
+    */
+  final class DocQuerier private[core] (store: KbStore) {
+    def count: Long = store.countDocs
+    def queryDoc(id: Long): Doc = store.fetchDoc(id)
+    def queryDocWithEmbedding(id: Long): (Doc, Option[Array[Float]]) =
+      store.fetchDocWithEmbedding(id)
+    def queryChildren(id: Long): Seq[Doc] = store.fetchChildren(id)
+    def queryLevel(level: Int): Seq[Doc] = store.fetchDocsAtLevel(level)
+    def dfsTraversal(): Seq[Doc] = store.dfsTraversal()
+    def updateDocMeta(id: Long, meta: Option[String]): Unit =
+      store.updateDocMeta(id, meta)
+  }
+
+  /** Scoped graph handle (count_edges/add_edge/add_directed_edge/
+    * del_edge/build graph export).
+    */
+  final class GraphUpdater private[core] (store: KbStore) {
+    def countEdges: Long = store.countEdges
+    def addEdge(src: Long, dst: Long, rel: Long,
+        weight: Option[Double] = None): Long =
+      store.addEdge(src, dst, rel, weight, directed = false)
+    def addDirectedEdge(src: Long, dst: Long, rel: Long,
+        weight: Option[Double] = None): Long =
+      store.addEdge(src, dst, rel, weight, directed = true)
+    def delEdge(id: Long): Unit = store.delEdge(id)
+    /** `build_networkx_graph` analog: (anyDirected, expanded edges DF). */
+    def buildGraph(): (Boolean, DataFrame) = store.exportGraph()
+  }
+
+  /** Scoped keyval handle (has/get/set/remove/count/items). */
+  final class KeyvalUpdater private[core] (store: KbStore) {
+    def has(key: String): Boolean = store.hasKey(key)
+    def get(key: String): Any = store.getKey(key)
+    def get(key: String, default: Any): Any = store.getKeyOr(key, default)
+    def set(key: String, value: Any): Unit = store.setKey(key, value)
+    def remove(key: String): Unit = store.delKey(key)
+    def count: Long = store.countKeys
+    def items: Seq[(String, Any)] = store.items
+  }
+}

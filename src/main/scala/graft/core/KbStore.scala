@@ -83,14 +83,15 @@ final class KbStore private (
     * filesystem copy of the committed version directory).
     */
   private def commit(updated: Map[String, DataFrame],
-      newMeta: KbMeta => KbMeta): Unit = {
+      newMeta: KbMeta => KbMeta, codec: String = "snappy"): Unit = {
     val cur = metaCache
     val next = cur.version + 1
     try {
       KbStore.TableNames.foreach { name =>
         updated.get(name) match {
           case Some(df) =>
-            df.write.mode(SaveMode.Overwrite).parquet(tableDir(name, next))
+            df.write.mode(SaveMode.Overwrite)
+              .option("compression", codec).parquet(tableDir(name, next))
           case None =>
             // carry forward unchanged table: cheap local copy of parquet
             // files (on an object store this is a manifest re-point)
@@ -404,6 +405,16 @@ final class KbStore private (
   // ------------------------------------------------------------------
   // maintenance (S7/S8)
   // ------------------------------------------------------------------
+  /** S6 gzip sink analog (`kb.py:1456-1464`): rewrite the current
+    * version with the given parquet codec (compaction + recompression —
+    * Parquet compresses natively so "gzip the file" becomes a codec
+    * rewrite).
+    */
+  def compact(codec: String = "gzip"): Unit =
+    commit(
+      KbStore.TableNames.map(name => name -> read(name).coalesce(1)).toMap,
+      identity, codec)
+
   /** Drop all table versions older than the committed one (VACUUM,
     * `kb.py:831-834`).
     */

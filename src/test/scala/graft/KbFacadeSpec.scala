@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Kb
+import graft.core.Embeddings.KeywordProvider
+
+/** Appendix-A parity: the full reference `KB` method surface driven
+  * through the `Kb` facade in one end-to-end scenario.
+  */
+class KbFacadeSpec extends SparkSpec {
+
+  test("full KB API surface end-to-end") {
+    val path = Files.createTempDirectory("graft-facade").resolve("kb").toString
+    val kb = Kb(spark, path, KeywordProvider.fixture)
+
+    // bulk_add_docs
+    val ids = kb.bulkAddDocs { add =>
+      add.add("first doc")
+      add.add("second doc", parentId = Some(1L))
+      add.add("third doc")
+    }
+    assert(ids == Seq(1L, 2L, 3L) && kb.length == 3)
+
+    // retrieve + pairwise
+    assert(kb.retrieve("... second ...", 1).head.doc.text == "second doc")
+    assert(kb.documentTopPairwiseScores(1).nonEmpty)
+
+    // bulk_query_docs surface
+    kb.bulkQueryDocs { q =>
+      assert(q.count == 3)
+      assert(q.queryDoc(2L).level == 1)
+      assert(q.queryChildren(1L).map(_.id) == Seq(2L))
+      assert(q.queryLevel(0).map(_.id) == Seq(1L, 3L))
+      assert(q.dfsTraversal().map(_.id) == Seq(1L, 2L, 3L))
+      q.updateDocMeta(3L, Some("""{"k": 1}"""))
+      assert(q.queryDoc(3L).meta.contains("""{"k": 1}"""))
+      val (_, vec) = q.queryDocWithEmbedding(1L)
+      assert(vec.exists(_.length == 3))
+    }
+
+    // bulk_graph_update surface
+    kb.bulkGraphUpdate { g =>
+      g.addEdge(1L, 2L, 3L, weight = Some(0.5))
+      g.addDirectedEdge(2L, 3L, 1L)
+      assert(g.countEdges == 2)
+      val (anyDirected, edges) = g.buildGraph()
+      assert(anyDirected && edges.count() == 3) // undirected expanded
+      g.delEdge(2L)
+      assert(g.countEdges == 1)
+    }
+
+    // bulk_keyval_update surface
+    kb.bulkKeyvalUpdate { kv =>
+      kv.set("a", 1)
+      kv.set("b", "x")
+      assert(kv.has("a") && !kv.has("z"))
+      assert(kv.get("a") == 1L && kv.get("z", "dflt") == "dflt")
+      assert(kv.count == 2 && kv.items.map(_._1) == Seq("a", "b"))
+      kv.remove("b")
+      assert(kv.count == 1)
+    }
+
+    // bulk_del_docs + close(vacuum, also_gzip)
+    kb.bulkDelDocs(Seq(2L))
+    assert(kb.length == 2)
+    kb.close(vacuum = true, alsoGzip = true)
+
+    // re-open with the same provider: state intact
+    val kb2 = Kb(spark, path, KeywordProvider.fixture)
+    assert(kb2.length == 2)
+    assert(kb2.retrieve("... third ...", 1).head.doc.text == "third doc")
+    kb2.close()
+  }
+
+  test("force_fresh_db truncates (tests/test_kb.py:1723-1735)") {
+    val path = Files.createTempDirectory("graft-fresh").resolve("kb").toString
+    val kb = Kb(spark, path, KeywordProvider.fixture)
+    kb.bulkAddDocs(_.add("first doc"))
+    kb.close()
+    val kb2 = Kb(spark, path, KeywordProvider.fixture, forceFresh = true)
+    assert(kb2.length == 0)
+    kb2.close()
+  }
+}
