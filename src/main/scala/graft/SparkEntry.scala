@@ -555,9 +555,12 @@ object SparkEntry {
            FROM toks),
          ex AS (SELECT doc_id, unnest(sg) AS shingle FROM sh),
          hx AS (
-           SELECT doc_id, hi, min(md5(hi || ':' || shingle)) AS sig
-           FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS hi)
-           GROUP BY doc_id, hi),
+           SELECT doc_id, grp * 4 + slice AS hi,
+                  min(substr(md5(grp || ':' || shingle), 1 + slice * 8, 8)) AS sig
+           FROM ex
+           CROSS JOIN (SELECT unnest(range(0, 2)) AS grp)
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS slice)
+           GROUP BY doc_id, grp * 4 + slice),
          bands AS (
            SELECT doc_id, hi // 2 AS band,
                   md5(string_agg(sig, '|' ORDER BY hi)) AS key

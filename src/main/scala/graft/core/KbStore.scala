@@ -40,6 +40,7 @@ final class KbStore private (
 
   @volatile private var metaCache: KbMeta = KbStore.readMeta(path)
   private var cachedEmb: Option[Dataset[Emb]] = None
+  private var cachedIdx: Option[graft.ops.VectorIndex] = None
 
   def meta: KbMeta = metaCache
 
@@ -73,6 +74,24 @@ final class KbStore private (
   private def invalidate(): Unit = synchronized {
     cachedEmb.foreach(_.unpersist())
     cachedEmb = None
+    cachedIdx.foreach(_.unpersist())
+    cachedIdx = None
+  }
+
+  /** The batch-built retrieval index (reference `_EmbeddingsMatrix`,
+    * `kb.py:856-893`): lazily built on first retrieve, invalidated by
+    * every mutation. None when the store has no embeddings.
+    */
+  def index(): Option[graft.ops.VectorIndex] = synchronized {
+    cachedIdx.orElse {
+      embeddings.limit(1).collect().headOption.map { probe =>
+        val idx = graft.ops.VectorIndex.fromArrays(
+          embeddings.toDF().select($"id", $"vec"), probe.vec.length)
+          .materialize()
+        cachedIdx = Some(idx)
+        idx
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -350,23 +369,17 @@ final class KbStore private (
       provider: EmbeddingProvider): Seq[Retrieval] = {
     if (n <= 0) return Seq.empty
     val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
-    val scored = embeddings.toDF()
-      .select($"id".as("emb_id"),
-        dot(asDouble($"vec"), lit(qv.map(_.toDouble))).as("score"))
-      .orderBy(desc("score"), desc("emb_id"))
-      .limit(n)
-    val joined = scored.alias("s").join(docs.toDF().alias("d"),
-        col("s.emb_id") === col("d.emb_id"))
-      .orderBy(desc("score"), desc("s.emb_id"))
-      .select(col("score"), col("d.id"), col("d.parent_id"), col("d.level"),
-        col("d.text"), col("d.emb_id"), col("d.meta"))
-      .collect()
-    joined.toSeq.map { r =>
-      Retrieval(r.getDouble(0), Doc(r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)),
-        r.getInt(3), r.getString(4),
-        if (r.isNullAt(5)) None else Some(r.getLong(5)),
-        if (r.isNullAt(6)) None else Some(r.getString(6))))
+    index() match {
+      case None => Seq.empty
+      case Some(idx) =>
+        val hits = idx.topK(qv, n) // (emb_id, score), reference tie order
+        if (hits.isEmpty) return Seq.empty
+        val embIds = hits.map(_._1)
+        val docByEmb = docs.filter($"emb_id".isin(embIds: _*))
+          .collect().map(d => d.emb_id.get -> d).toMap
+        hits.map { case (embId, score) =>
+          Retrieval(score, docByEmb(embId))
+        }
     }
   }
 

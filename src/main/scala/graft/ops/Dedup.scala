@@ -43,19 +43,28 @@ object Dedup {
         sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_in_dup_groups"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
 
-  /** MinHash signatures: numHashes independent min-hashes, where
-    * hash_i(shingle) = md5(i || ':' || shingle) and the signature entry is
-    * the lexicographic min — engine-portable (md5 everywhere), uniform,
-    * and an unbiased MinHash family.
+  /** MinHash signatures: numHashes independent 32-bit min-hashes. Hash
+    * family: hash_i(shingle) = the i-th 8-hex-char slice of
+    * md5((i/4) || ':' || shingle) — fixed-width hex, so lexicographic min
+    * equals numeric min. One md5 call yields four hashes (4× cheaper than
+    * hashing per-i), still engine-portable (md5 + substr everywhere) and
+    * an unbiased MinHash family.
     *
     * Output: (doc_id, hi, sig).
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit((numHashes - 1) / 4))).as("grp"))
       .select(col("doc_id"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("hi"), col("sh"))
+        md5(concat(col("grp"), lit(":"), col("sh"))).as("h"), col("grp"))
+      .select(col("doc_id"), col("grp"),
+        explode(sequence(lit(0), lit(3))).as("slice"), col("h"))
+      .select(col("doc_id"), (col("grp") * 4 + col("slice")).as("hi"),
+        expr("substr(h, 1 + slice * 8, 8)").as("hv"))
+      .where(col("hi") < numHashes)
       .groupBy(col("doc_id"), col("hi"))
-      .agg(min(md5(concat(col("hi"), lit(":"), col("sh")))).as("sig"))
+      .agg(min(col("hv")).as("sig"))
 
   /** LSH banding over the signatures: band key = md5 of the concatenated
     * band rows; docs sharing any (band, key) are candidates. Returns

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** A batch-built, memory-resident vector index: the Spark-native
+  * re-expression of the reference's cached embeddings matrix
+  * (`/root/reference/src/svs/kb.py:573-618`, `kb.py:856-893`).
+  *
+  * Layout: one dense block per partition — a contiguous little-endian
+  * f32 matrix (`n_block × dim`) plus its id vector — exactly the
+  * reference's `(n×m) float32 matrix + int64 id lookup`, sharded across
+  * executors instead of materialized on one machine. Scoring a query is
+  * a sequential scan of each block (JIT-vectorizable, zero per-row object
+  * overhead) with a bounded local top-k heap, then a driver-side merge of
+  * `numPartitions × k` candidates — the same partial-select-then-merge
+  * shape as `TakeOrderedAndProject`, but over raw primitive arrays.
+  *
+  * This is deliberately an RDD fast path (SURVEY §7.3 preference (d)):
+  * the declarative DataFrame formulation of retrieval stays the
+  * correctness baseline (`v1_retrieve_topk`, oracle-checked); this index
+  * exists because the hot loop — millions of f32 dots per query — gains
+  * ~5× from block-contiguous storage that Catalyst's columnar cache
+  * cannot express. At cluster scale the blocks live on executors and the
+  * merge traffic is k rows per partition.
+  *
+  * Tie order matches the reference's top-k (larger id first on equal
+  * score, `util.py:190-203`).
+  */
+final class VectorIndex private (
+    blocks: RDD[(Array[Long], Array[Byte])],
+    val dim: Int) extends Serializable {
+
+  /** Number of indexed vectors. */
+  lazy val count: Long = blocks.map(_._1.length.toLong).sum().toLong
+
+  /** Materialize the index in executor memory (the reference's lazy
+    * first-query matrix build).
+    */
+  def materialize(): VectorIndex = { blocks.count(); this }
+
+  def unpersist(): Unit = blocks.unpersist()
+
+  /** Exact top-k by dot product (cosine under the unit-norm invariant). */
+  def topK(query: Array[Float], k: Int): Seq[(Long, Double)] = {
+    if (k <= 0) return Seq.empty
+    val d = dim
+    val q = query
+    val perPart = blocks.mapPartitions { it =>
+      // bounded min-heap of (score, id)
+      val heap = new java.util.PriorityQueue[(Double, Long)](
+        math.max(k, 1), VectorIndex.heapOrder)
+      it.foreach { case (ids, mat) =>
+        val n = ids.length
+        var r = 0
+        while (r < n) {
+          var acc = 0.0
+          val base = r * d * 4
+          var i = 0
+          while (i < d) {
+            val o = base + i * 4
+            val bits = (mat(o) & 0xff) | ((mat(o + 1) & 0xff) << 8) |
+              ((mat(o + 2) & 0xff) << 16) | ((mat(o + 3) & 0xff) << 24)
+            acc += java.lang.Float.intBitsToFloat(bits).toDouble * q(i)
+            i += 1
+          }
+          val cand = (acc, ids(r))
+          if (heap.size < k) heap.add(cand)
+          else if (VectorIndex.heapOrder.compare(cand, heap.peek()) > 0) {
+            heap.poll(); heap.add(cand)
+          }
+          r += 1
+        }
+      }
+      Iterator.single(heap.toArray(Array.empty[(Double, Long)]))
+    }.collect()
+    perPart.flatten
+      .sortBy { case (s, id) => (-s, -id) } // desc score, larger id first
+      .take(k)
+      .map { case (s, id) => (id, s) }
+      .toSeq
+  }
+}
+
+object VectorIndex {
+
+  private val heapOrder: java.util.Comparator[(Double, Long)] =
+    (a: (Double, Long), b: (Double, Long)) => {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+
+  /** Build from a DataFrame with (id LONG, vec BINARY packed f32) —
+    * e.g. the Bench corpus or a packed embeddings table.
+    *
+    * @param numBlocks optional shard count; use fewer blocks for small
+    *                  corpora so per-task scheduling overhead doesn't
+    *                  dominate query latency (a block of ≲100k×d1536
+    *                  scans in a few ms)
+    */
+  def fromPacked(df: DataFrame, dim: Int, numBlocks: Int = 0): VectorIndex = {
+    val base = df.select(col("id"), col("vec"))
+    val shaped = if (numBlocks > 0) base.coalesce(numBlocks) else base
+    val blocks = shaped
+      .rdd
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuffer[Long]()
+        val bufs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        it.foreach { row =>
+          ids += row.getLong(0)
+          bufs += row.getAs[Array[Byte]](1)
+        }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val mat = new Array[Byte](bufs.iterator.map(_.length).sum)
+          var off = 0
+          bufs.foreach { b =>
+            System.arraycopy(b, 0, mat, off, b.length); off += b.length
+          }
+          Iterator.single((ids.toArray, mat))
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new VectorIndex(blocks, dim)
+  }
+
+  /** Build from an (id LONG, vec ARRAY<FLOAT>) embeddings table. */
+  def fromArrays(df: DataFrame, dim: Int): VectorIndex = {
+    import graft.functions.FloatVecPack.floatVecPack
+    fromPacked(df.select(col("id"), floatVecPack(col("vec")).as("vec")), dim)
+  }
+}

@@ -135,4 +135,24 @@ class OpsSpec extends SparkSpec {
       .orderBy($"joke").as[String].collect().toSeq
     assert(got == Seq("second joke", "why did the chicken"))
   }
+
+  test("vector index topK equals the declarative brute-force ranking") {
+    import spark.implicits._
+    val packed = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val idx = VectorIndex.fromArrays(packed, 64).materialize()
+    assert(idx.count == 500L)
+    val q = emb.where(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val got = idx.topK(q, 10)
+    val brute = SimilaritySearch.topK(emb, 7L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // same ids in same order; index scores are unrounded
+    assert(got.map(_._1).toSeq == brute.map(_._1).toSeq)
+    got.zip(brute).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-5)
+    }
+    assert(idx.topK(q, 0).isEmpty)
+    idx.unpersist()
+  }
 }
