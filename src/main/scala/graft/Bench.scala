@@ -52,6 +52,17 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_SVS", "1") != "0") {
       svsProtocol(spark, n = 10548, tag = "10k", results)
       svsProtocol(spark, n = 1000000, tag = "1m", results)
+      // text-only bulk load — the phase the reference's 8s @ 1M measures
+      val docsPath = "/tmp/graft_bench_docs"
+      KbStoreCleanup.delete(docsPath)
+      val docsDf = syntheticDocs(spark, 1000000)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      docsDf.count() // generation excluded, like the reference's
+      results("svs_load_docs_1m") = timed {
+        docsDf.write.mode("overwrite").parquet(docsPath)
+      }
+      docsDf.unpersist()
+      KbStoreCleanup.delete(docsPath)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
@@ -88,6 +99,26 @@ object Bench {
       .toDF("id", "vec")
   }
 
+  /** Synthetic ~1200-char docs (the reference's text-load corpus,
+    * `README.md:129` fn2 — its 8s number covers text only, vectors are
+    * inserted in the separate '~2h' embed phase).
+    */
+  private def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val words = Array("spark", "vector", "store", "document", "retrieval",
+      "index", "batch", "stream", "graph", "dedup", "cosine", "shuffle")
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val rnd = new java.util.Random(id)
+        val sb = new java.lang.StringBuilder(1250)
+        while (sb.length < 1200) {
+          sb.append(words(rnd.nextInt(words.length))).append(' ')
+        }
+        (id, sb.toString)
+      }
+      .toDF("id", "text")
+  }
+
   private def timed[A](body: => A): Double = {
     val t0 = System.nanoTime()
     body
@@ -119,12 +150,18 @@ object Bench {
 
     // untimed: generate the synthetic corpus (the reference's '~2h embed'
     // phase is likewise excluded from its load number)
-    syntheticEmbeddings(spark, n).write.mode("overwrite").parquet(staging)
+    syntheticEmbeddings(spark, n).write.mode("overwrite")
+      .option("compression", "none").parquet(staging)
 
     // build: bulk-load pre-embedded vectors into the store (reference
-    // 'load into store', 8s @ 1M)
+    // 'load into store', 8s @ 1M). Uncompressed parquet: random f32
+    // vectors are incompressible, so snappy only burns CPU (the columns
+    // a real store would compress — ids, text — still would be).
     results(s"svs_build_$tag") = timed {
-      spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .option("compression", "none")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(path)
     }
     KbStoreCleanup.delete(staging)
 

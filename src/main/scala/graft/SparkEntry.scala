@@ -139,6 +139,22 @@ object SparkEntry {
         .orderBy(desc("revenue"), $"n_name")
     }),
 
+    // TPC-H Q17 shape: correlated scalar subquery (decorrelated into a
+    // per-key aggregate + join — what Catalyst does under the hood; we
+    // declare it explicitly so the plan is one shuffle on l_partkey).
+    "q17_small_quantity" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter($"p_brand" === "Brand#23")
+      val perPart = l.groupBy($"l_partkey".as("pk"))
+        .agg((avg($"l_quantity") * 0.5).as("half_avg_qty"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(perPart, l("l_partkey") === col("pk"))
+        .filter($"l_quantity" < $"half_avg_qty")
+        .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     // S9 distinct projection (the ingest notebook's unique()).
     "u3_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -682,6 +698,16 @@ object SparkEntry {
          WHERE r.r_name = 'ASIA'
          GROUP BY n.n_name
          ORDER BY revenue DESC, n.n_name""",
+
+    "q17_small_quantity" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+                count(*) AS n
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_brand = 'Brand#23'
+           AND l.l_quantity < (
+             SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)""",
 
     "u3_distinct" ->
       """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
