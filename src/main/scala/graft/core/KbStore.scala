@@ -229,6 +229,72 @@ final class KbStore private (
     staged.map(_._1)
   }
 
+  /** Distributed bulk add — the 100 TB face of M2 (SURVEY §3.2 plan):
+    * `newDocs` is a DataFrame with `(text STRING, parent_id LONG?,
+    * meta STRING?)` of arbitrary size. Ids are assigned densely from the
+    * persisted high-water mark via `zipWithIndex` (deterministic,
+    * partition-ordered — no `monotonically_increasing_id` gaps); levels
+    * are derived with one join against existing docs (parents must
+    * pre-exist here — intra-batch hierarchies are the driver-side
+    * scope's job); embedding happens inside `mapPartitions` in provider
+    * batches of 200 (connection reuse per partition); one atomic commit
+    * appends both tables.
+    */
+  def bulkAddDocsDistributed(newDocs: DataFrame,
+      provider: EmbeddingProvider): Long = {
+    val n0 = metaCache.max_doc_id
+    val withMeta =
+      if (newDocs.columns.contains("meta")) newDocs
+      else newDocs.withColumn("meta", lit(null).cast("string"))
+    val withParent =
+      if (withMeta.columns.contains("parent_id")) withMeta
+      else withMeta.withColumn("parent_id", lit(null).cast("long"))
+
+    // dense id assignment from the high-water mark
+    val indexed = withParent
+      .select(col("text"), col("parent_id").cast("long"), col("meta"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) =>
+        (n0 + 1 + i, Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getString(0), Option(r.getString(2)))
+      }
+    import spark.implicits._
+    val ids = indexed.toDF("id", "parent_id", "text", "meta")
+
+    // level derivation: one broadcast-or-shuffle join against existing
+    // docs; missing parents fail the job before anything is committed
+    val parents = docs.toDF().select($"id".as("pid"), $"level".as("plevel"))
+    val levelled = ids.join(parents, ids("parent_id") === col("pid"), "left")
+      .select($"id", $"parent_id", $"text", $"meta",
+        when($"parent_id".isNull, 0)
+          .otherwise($"plevel" + 1).as("level"))
+    val missing = levelled.filter($"parent_id".isNotNull && $"level".isNull)
+    if (!missing.isEmpty)
+      throw new IllegalArgumentException(
+        "some parent_ids do not exist in the store")
+
+    // batched embedding inside mapPartitions (chunk=200, kb.py:52);
+    // emb ids share the doc id (1:1 for the distributed path)
+    val prov = provider
+    val embRows = levelled.select($"id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
+          val vecs = Embeddings.checkMagnitude(prov.embed(chunk.map(_._2)))
+          chunk.map(_._1).zip(vecs).map { case (id, v) => Emb(id, v) }
+        }
+      }
+
+    val docRows = levelled.select($"id", $"parent_id",
+      $"level".cast("int").as("level"), $"text", $"id".as("emb_id"), $"meta")
+    val added = newDocs.count()
+    commit(
+      Map(
+        "docs" -> docs.toDF().union(docRows),
+        "embeddings" -> embeddings.toDF().union(embRows.toDF())),
+      m => m.copy(max_doc_id = n0 + added))
+    added
+  }
+
   /** Bulk delete (M3, `kb.py:360-414`): per-id parent guard honoring
     * in-batch deletion order, cascade to incident edges (including edges
     * whose relationship is the doc) and the embedding row.
