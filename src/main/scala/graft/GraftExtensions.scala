@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatVecDot, FloatVecPack}
+
+/** Session extensions registering the graft custom expressions as SQL
+  * functions, so `spark.sql("SELECT float_vec_dot(a, b)")` works — the
+  * SURVEY §7.3 path (c): extension injection via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_vec_dot(a, b) takes 2 arguments")
+        FloatVecDot(args.head, args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("float_vec_pack"),
+      new ExpressionInfo(classOf[FloatVecPack].getName, "float_vec_pack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "float_vec_pack(v) takes 1 argument")
+        FloatVecPack(args.head)
+      }))
+  }
+}

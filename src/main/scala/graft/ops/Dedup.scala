@@ -181,7 +181,39 @@ object Dedup {
     *
     * @return (doc_id, component) — component = min doc id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      localThreshold: Long = 1000000): DataFrame = {
+    // fast path: near-dup pair graphs are tiny relative to the corpus
+    // (they fit on the driver long before the corpus does) — union-find
+    // locally instead of paying one shuffle round per graph diameter.
+    // Same output as the distributed path: component = min reachable id.
+    val pairCount = pairs.count()
+    if (pairCount <= localThreshold) {
+      val edges = pairs.select(col("doc1"), col("doc2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        if (r != x) { r = find(r); parent(x) = r }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("doc_id", "component")
+    }
+    distributedConnectedComponents(pairs, maxIter)
+  }
+
+  /** Distributed min-label propagation (the scale path for graphs too
+    * large to collect).
+    */
+  def distributedConnectedComponents(pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
     val verts = pairs.select(col("doc1").as("doc_id"))
       .union(pairs.select(col("doc2"))).distinct()
     // undirected adjacency + self-loops so isolated labels survive rounds

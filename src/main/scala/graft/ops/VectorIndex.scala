@@ -36,19 +36,47 @@ final class VectorIndex private (
   /** Number of indexed vectors. */
   lazy val count: Long = blocks.map(_._1.length.toLong).sum().toLong
 
-  /** Materialize the index in executor memory (the reference's lazy
-    * first-query matrix build).
+  /** Driver-local copy of the blocks for small indexes: below this many
+    * vectors the whole matrix is cheaper to hold on the driver (it is
+    * exactly the reference's in-RAM matrix) than to schedule a Spark job
+    * per query — a 10k×1536 corpus is 65 MB and scans in ~10 ms, while
+    * job dispatch alone costs ~30-50 ms.
     */
-  def materialize(): VectorIndex = { blocks.count(); this }
+  private var localBlocks: Option[Array[(Array[Long], Array[Byte])]] = None
 
-  def unpersist(): Unit = blocks.unpersist()
+  /** Materialize the index in executor memory (the reference's lazy
+    * first-query matrix build); indexes under `localThreshold` vectors
+    * are additionally pinned on the driver for job-free queries.
+    */
+  def materialize(localThreshold: Long = 200000): VectorIndex = {
+    if (count <= localThreshold) {
+      // stripe once across cores so local queries parallelize without
+      // per-query copying
+      val rowBytes = dim * 4
+      localBlocks = Some(blocks.collect().flatMap { case (ids, mat) =>
+        val n = ids.length
+        val nStripes = math.min(
+          Runtime.getRuntime.availableProcessors(), math.max(1, n / 1024))
+        (0 until nStripes).map { s =>
+          val lo = (n.toLong * s / nStripes).toInt
+          val hi = (n.toLong * (s + 1) / nStripes).toInt
+          (java.util.Arrays.copyOfRange(ids, lo, hi),
+            java.util.Arrays.copyOfRange(mat, lo * rowBytes, hi * rowBytes))
+        }
+      })
+    }
+    this
+  }
+
+  def unpersist(): Unit = { blocks.unpersist(); localBlocks = None }
 
   /** Exact top-k by dot product (cosine under the unit-norm invariant). */
   def topK(query: Array[Float], k: Int): Seq[(Long, Double)] = {
     if (k <= 0) return Seq.empty
     val d = dim
     val q = query
-    val perPart = blocks.mapPartitions { it =>
+    val scanPartition: Iterator[(Array[Long], Array[Byte])] =>
+        Iterator[Array[(Double, Long)]] = { it =>
       // bounded min-heap of (score, id)
       val heap = new java.util.PriorityQueue[(Double, Long)](
         math.max(k, 1), VectorIndex.heapOrder)
@@ -75,7 +103,16 @@ final class VectorIndex private (
         }
       }
       Iterator.single(heap.toArray(Array.empty[(Double, Long)]))
-    }.collect()
+    }
+    val perPart = localBlocks match {
+      case Some(stripes) =>
+        // driver-local pre-striped scan on the common FJ pool: no Spark
+        // job, no copying — the reference's warm in-RAM query path
+        java.util.Arrays.stream(stripes.indices.toArray).parallel()
+          .mapToObj(i => scanPartition(Iterator.single(stripes(i))).next())
+          .toArray(new Array[Array[(Double, Long)]](_))
+      case None => blocks.mapPartitions(scanPartition).collect()
+    }
     perPart.flatten
       .sortBy { case (s, id) => (-s, -id) } // desc score, larger id first
       .take(k)

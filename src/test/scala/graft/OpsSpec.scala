@@ -155,4 +155,38 @@ class OpsSpec extends SparkSpec {
     assert(idx.topK(q, 0).isEmpty)
     idx.unpersist()
   }
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    val ev = Tables.t(spark, sf("0.001"), "events")
+    val direct = ev.groupBy($"event_type").agg(count(lit(1)).as("n"),
+      round(sum($"value"), 6).as("total")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val salted = Skew.saltedCountSum(ev, $"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).sortBy(_._1)
+    assert(direct.map(x => (x._1, x._2)).toSeq ==
+      salted.map(x => (x._1, x._2)).toSeq)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(math.abs(d._3 - s._3) < 1e-4)
+    }
+  }
+
+  test("sql function registration via extensions") {
+    import graft.functions.FloatVecDot
+    // the extension class injects without error
+    new GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // and the same expressions work through SQL on the live session
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec_dot",
+      exprs => graft.functions.FloatVecDot(exprs.head, exprs(1)),
+      "built-in")
+    val a = FloatVecDot.pack(Array(1.0f, 2.0f))
+    val b = FloatVecDot.pack(Array(3.0f, 4.0f))
+    import spark.implicits._
+    val got = Seq((a, b)).toDF("a", "b").createOrReplaceTempView("vv")
+    assert(spark.sql("SELECT float_vec_dot(a, b) FROM vv")
+      .head().getDouble(0) == 11.0)
+  }
 }
