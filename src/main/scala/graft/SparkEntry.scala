@@ -174,6 +174,20 @@ object SparkEntry {
       graft.ops.SimilaritySearch.annTopKBucketed(
         t(s, dir, "embeddings"), queryVecId = 0L, k = 5, bits = 8)),
 
+    // P9 semantic filter (Build Dad Jokes KB.ipynb cells 8-13): keep
+    // documents whose similarity to a probe vector clears a threshold.
+    "v2_semantic_filter" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0L)
+        .select(asDouble($"embedding").as("qv"))
+      emb.crossJoin(broadcast(qv))
+        .select($"vec_id",
+          round(dot(asDouble($"embedding"), $"qv"), 6).as("score"))
+        .where($"score" >= 0.2)
+        .orderBy(desc("score"), $"vec_id")
+    }),
+
     // --- multimodal plumbing (SURVEY §7.5; decode stubbed) ---------------
     "m1_media_features" -> ((s, dir) =>
       longs(graft.ops.Multimodal.extractFeatures(
@@ -743,6 +757,15 @@ object SparkEntry {
          FROM wb, q WHERE bucket = qbucket
          ORDER BY score DESC, vec_id
          LIMIT 5""",
+
+    "v2_semantic_filter" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+                round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+         FROM embeddings e, q
+         WHERE round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) >= 0.2
+         ORDER BY score DESC, e.vec_id""",
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

@@ -481,6 +481,27 @@ final class KbStore private (
     ordered.toSeq.map(byId)
   }
 
+  /** Corpus re-embed / provider migration (SURVEY §7.5; the reference's
+    * `Re-embed Dad Jokes with Ollama.ipynb` workflow): recompute every
+    * stored document's embedding under a new provider in partition
+    * batches, swap the embeddings table atomically, persist the new
+    * provider params.
+    */
+  def reembedAll(provider: EmbeddingProvider): Unit = {
+    val prov = provider
+    val newEmb = docs.filter($"emb_id".isNotNull)
+      .select($"emb_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
+          val vecs = Embeddings.checkMagnitude(prov.embed(chunk.map(_._2)))
+          chunk.map(_._1).zip(vecs).map { case (id, v) => Emb(id, v) }
+        }
+      }
+    commit(
+      Map("embeddings" -> newEmb.toDF()),
+      m => m.copy(embedding_params = provider.params))
+  }
+
   // ------------------------------------------------------------------
   // maintenance (S7/S8)
   // ------------------------------------------------------------------

@@ -243,4 +243,23 @@ class KbStoreSpec extends SparkSpec {
     assert(kb2.len == 2)
     kb2.close()
   }
+
+  test("re-embed migration: new provider swaps embeddings atomically") {
+    val kb = KbStore.create(spark, freshPath(), Map("provider" -> "keyword"))
+    val kw = Embeddings.withMagnitudeCheck(KeywordProvider.fixture)
+    kb.bulkAddDocs(kw) { a => a.add("first doc"); a.add("second doc") }
+    val before = kb.embeddings.collect().map(e => e.id -> e.vec.toSeq).toMap
+
+    val mock = MockProvider(3)
+    kb.reembedAll(mock)
+    val after = kb.embeddings.collect().map(e => e.id -> e.vec.toSeq).toMap
+    assert(after.keySet == before.keySet)
+    assert(after.values.forall(_ == Seq(1.0f, 0.0f, 0.0f)))
+    assert(kb.meta.embedding_params == Map("provider" -> "mock"))
+    // retrieval consistent under the new provider (all scores equal →
+    // tie order: larger emb id first)
+    val r = kb.retrieve("anything", 2, mock)
+    assert(r.map(_.doc.id) == Seq(2L, 1L))
+    kb.close()
+  }
 }
