@@ -51,7 +51,24 @@ object SparkEntry {
     // --- text analysis (SURVEY §7.5) ------------------------------------
     "x1_token_stats" -> ((s, dir) =>
       longs(graft.ops.TextAnalysis.tokenStats(t(s, dir, "documents")),
-        "n_tokens", "n_uniq", "n_chars")
+        "n_tokens", "n_uniq", "n_bpe_pieces", "n_chars")
+        .orderBy(col("doc_id"))),
+
+    // deterministic hash sampling (training-data subsetting without RNG
+    // state: a narrow map, reproducible across engines and runs)
+    "d7_hash_sample" -> ((s, dir) =>
+      graft.ops.TextAnalysis.hashSample(
+        t(s, dir, "documents"), "doc_id", pct = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // per-stratum mixture sampling (dataset mixing / rare-class
+    // upsampling step of a training pipeline)
+    "d8_mixture_sample" -> ((s, dir) =>
+      graft.ops.TextAnalysis.mixtureSample(
+        t(s, dir, "documents"), "lang",
+        rates = Map("en" -> 30, "de" -> 10), defaultPct = 5)
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
     "x2_quality_score" -> ((s, dir) =>
@@ -523,8 +540,21 @@ object SparkEntry {
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_tokens,
                 len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_pieces,
                 length(text) AS n_chars
          FROM documents ORDER BY doc_id""",
+
+    "d7_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id || ':s0'), 1, 15))::BIGINT % 100 < 10
+         ORDER BY doc_id""",
+
+    "d8_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id || ':mix'), 1, 15))::BIGINT % 100 <
+               (CASE WHEN lang = 'en' THEN 30
+                     WHEN lang = 'de' THEN 10 ELSE 5 END)
+         ORDER BY doc_id""",
 
     "x2_quality_score" ->
       """WITH u AS (

@@ -29,14 +29,40 @@ object TextAnalysis {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Per-document token statistics. */
+  /** Per-document token statistics: whitespace tokens plus a BPE-ish
+    * subword count (alpha runs / digit runs / other symbols — the
+    * pre-tokenization split a byte-pair encoder starts from).
+    */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_uniq"),
+      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .as("n_bpe_pieces"),
       length(col(textCol)).as("n_chars"))
+  }
+
+  /** Deterministic hash sampling: keep a row iff its md5-derived bucket
+    * (0-99) falls below `pct`. Engine-portable, reproducible, and — at
+    * 100 TB — a narrow map with no RNG state or shuffle, unlike
+    * `df.sample`.
+    */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int,
+      salt: String = "s0"): DataFrame =
+    df.where(pmod(hash60(concat(col(keyCol), lit(":" + salt))), lit(100L)) < pct)
+
+  /** Mixture sampling: per-stratum deterministic rates — the dataset
+    * mixing step of a training pipeline (e.g. upsample rare languages).
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int,
+      keyCol: String = "doc_id"): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(pmod(hash60(concat(col(keyCol), lit(":mix"))), lit(100L)) < pct)
   }
 
   /** Stopword-ratio-based quality score in [0,1]: rewards length (up to
