@@ -191,6 +191,20 @@ object SparkEntry {
       graft.ops.SimilaritySearch.annTopKBucketed(
         t(s, dir, "embeddings"), queryVecId = 0L, k = 5, bits = 8)),
 
+    // IVF ANN: centroids = vectors 0..9, 2-probe query for vec 42.
+    "n2_ivf_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val qv = emb.filter($"vec_id" === 42L)
+        .select(asDouble($"embedding").as("qv"))
+      val assigned = graft.ops.SimilaritySearch.ivfAssign(emb, cents)
+      graft.ops.SimilaritySearch.ivfTopK(assigned, cents, qv,
+        k = 10, nProbe = 2)
+        .select($"vec_id", $"cid", $"score")
+    }),
+
     // P9 semantic filter (Build Dad Jokes KB.ipynb cells 8-13): keep
     // documents whose similarity to a probe vector clears a threshold.
     "v2_semantic_filter" -> ((s, dir) => {
@@ -796,6 +810,29 @@ object SparkEntry {
          FROM embeddings e, q
          WHERE round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) >= 0.2
          ORDER BY score DESC, e.vec_id""",
+
+    "n2_ivf_ann" ->
+      """WITH cents AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+           FROM embeddings WHERE vec_id < 10),
+         q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+         assign AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) DESC,
+                               c.cid) AS rk
+             FROM embeddings e CROSS JOIN cents c)
+           WHERE rk = 1),
+         probes AS (
+           SELECT cid FROM cents CROSS JOIN q
+           ORDER BY list_dot_product(cvec, qv) DESC, cid LIMIT 2)
+         SELECT a.vec_id, a.cid,
+                round(list_dot_product(a.embedding::DOUBLE[], q.qv), 6) AS score
+         FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+         ORDER BY score DESC, a.vec_id
+         LIMIT 10""",
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

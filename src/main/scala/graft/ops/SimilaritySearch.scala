@@ -53,6 +53,49 @@ object SimilaritySearch {
       when(element_at(vec, j + 1) > 0.0f, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: assign every vector to its best centroid
+    * (argmax dot, ties to the smaller centroid id), then answer queries
+    * by probing only the `nProbe` centroids closest to the query and
+    * scoring candidates within those lists.
+    *
+    * Scale shape: the assignment is one broadcast join against the
+    * (small) centroid set + a per-row argmax — a narrow map; the
+    * inverted lists are just a cluster-id column, so "probing" is a
+    * partition-prunable equality filter. A k-means refinement of the
+    * centroids drops in without changing the query path.
+    *
+    * @param centroids small DataFrame (cid LONG, cvec ARRAY<FLOAT>)
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cscore"), col("cid"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        dot(asDouble(col("embedding")), asDouble(col("cvec"))).as("cscore"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF query: probe the top `nProbe` centroids for the query vector,
+    * exact-score only their lists.
+    */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame,
+      queryVec: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val probes = centroids.crossJoin(broadcast(queryVec))
+      .select(col("cid"),
+        dot(asDouble(col("cvec")), col("qv")).as("pscore"))
+      .orderBy(desc("pscore"), col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    assigned.join(broadcast(probes), "cid")
+      .crossJoin(broadcast(queryVec))
+      .select(col("vec_id"), col("cid"),
+        round(dot(asDouble(col("embedding")), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Bucketed ANN top-k: only candidates in the query's bucket are
     * scored. Trades recall for a ~2^bits candidate reduction; exactness
     * is restored by multi-probe or a brute-force re-check tier.

@@ -76,4 +76,32 @@ class StreamingSpec extends SparkSpec {
       .head().getAs[Array[Byte]](0)
     assert(FloatVecDot.unpack(vec).toSeq == Seq(1.0f, 0.0f, 0.0f, 0.0f))
   }
+
+  test("streaming ingest into the KbStore via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-skb").resolve("kb").toString
+    val kb = graft.core.KbStore.create(spark, path, Map("provider" -> "mock"))
+    val p = MockProvider(4)
+
+    val stream = MemoryStream[String]
+    stream.addData(Seq("alpha", "beta"))
+    val q = stream.toDF().toDF("text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) kb.bulkAddDocsDistributed(batch, p): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    stream.addData(Seq("gamma"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(kb.len == 3)
+    assert(kb.embeddings.count() == 3)
+    // ids remain dense across micro-batches
+    assert(kb.docs.collect().map(_.id).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(kb.retrieve("anything", 1, p).nonEmpty)
+    kb.close()
+  }
 }
