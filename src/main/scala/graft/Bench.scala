@@ -41,7 +41,11 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // ---- part 1: the operator inventory at sfDir ----
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // (optional args = run only the named queries — dev profiling knob)
+    val only = args.toSet
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       results(name) = (System.nanoTime() - t0) / 1e9

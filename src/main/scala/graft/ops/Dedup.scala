@@ -52,19 +52,28 @@ object Dedup {
     *
     * Output: (doc_id, hi, sig).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    // one md5 per (shingle, grp); the four per-slice mins are aggregate
+    // COLUMNS (map-side partial min keeps the shuffle at
+    // #docs × #grps rows), unpivoted to (doc_id, hi, sig) afterwards
+    val mins = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit((numHashes - 1) / 4))).as("grp"))
-      .select(col("doc_id"),
-        md5(concat(col("grp"), lit(":"), col("sh"))).as("h"), col("grp"))
       .select(col("doc_id"), col("grp"),
-        explode(sequence(lit(0), lit(3))).as("slice"), col("h"))
-      .select(col("doc_id"), (col("grp") * 4 + col("slice")).as("hi"),
-        expr("substr(h, 1 + slice * 8, 8)").as("hv"))
+        md5(concat(col("grp"), lit(":"), col("sh"))).as("h"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(substring(col("h"), 1, 8)).as("s0"),
+        min(substring(col("h"), 9, 8)).as("s1"),
+        min(substring(col("h"), 17, 8)).as("s2"),
+        min(substring(col("h"), 25, 8)).as("s3"))
+    mins.select(col("doc_id"), col("grp"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("slice"), col(s"s$i").as("sig"))): _*)).as("x"))
+      .select(col("doc_id"),
+        (col("grp") * 4 + col("x.slice")).as("hi"), col("x.sig").as("sig"))
       .where(col("hi") < numHashes)
-      .groupBy(col("doc_id"), col("hi"))
-      .agg(min(col("hv")).as("sig"))
+  }
 
   /** LSH banding over the signatures: band key = md5 of the concatenated
     * band rows; docs sharing any (band, key) are candidates. Returns
