@@ -51,7 +51,7 @@ final class KbStore private (
     s"$path/$name/v$version"
 
   private def read(name: String): DataFrame =
-    spark.read.parquet(tableDir(name, metaCache.version))
+    spark.read.parquet(tableDir(name, metaCache.table_versions(name)))
 
   def docs: Dataset[Doc] = read("docs").as[Doc]
   def edges: Dataset[Edge] = read("edges").as[Edge]
@@ -97,35 +97,30 @@ final class KbStore private (
   // ------------------------------------------------------------------
   // commit machinery
   // ------------------------------------------------------------------
-  /** Stage the given tables as version+1 and atomically publish. Tables
-    * not in `updated` are carried forward by reference (re-pointed via a
-    * filesystem copy of the committed version directory).
+  /** Stage the given tables as version+1 and atomically publish via the
+    * meta manifest. Tables not in `updated` keep their existing version
+    * pointer — carry-forward moves zero bytes (the property that makes
+    * point-mutations affordable when one table is 100 TB and another is
+    * a 5-row keyval).
     */
   private def commit(updated: Map[String, DataFrame],
       newMeta: KbMeta => KbMeta, codec: String = "snappy"): Unit = {
     val cur = metaCache
     val next = cur.version + 1
     try {
-      KbStore.TableNames.foreach { name =>
-        updated.get(name) match {
-          case Some(df) =>
-            df.write.mode(SaveMode.Overwrite)
-              .option("compression", codec).parquet(tableDir(name, next))
-          case None =>
-            // carry forward unchanged table: cheap local copy of parquet
-            // files (on an object store this is a manifest re-point)
-            KbStore.copyDir(Paths.get(tableDir(name, cur.version)),
-              Paths.get(tableDir(name, next)))
-        }
+      updated.foreach { case (name, df) =>
+        df.write.mode(SaveMode.Overwrite)
+          .option("compression", codec).parquet(tableDir(name, next))
       }
-      val m = newMeta(cur).copy(version = next)
+      val pointers = cur.table_versions ++ updated.keys.map(_ -> next)
+      val m = newMeta(cur).copy(version = next, table_versions = pointers)
       KbStore.writeMetaAtomic(path, m)
       metaCache = m
       invalidate()
     } catch {
       case e: Throwable =>
         // rollback: remove staged dirs, meta still points at `cur`
-        KbStore.TableNames.foreach { name =>
+        updated.keys.foreach { name =>
           KbStore.deleteRecursively(Paths.get(tableDir(name, next)))
         }
         throw e
@@ -519,8 +514,8 @@ final class KbStore private (
     * `kb.py:831-834`).
     */
   def vacuum(): Unit = {
-    val keep = s"v${metaCache.version}"
     KbStore.TableNames.foreach { name =>
+      val keep = s"v${metaCache.table_versions(name)}"
       val dir = Paths.get(s"$path/$name")
       if (Files.isDirectory(dir)) {
         Files.list(dir).forEach { p =>
@@ -579,7 +574,8 @@ object KbStore {
     spark.createDataset(Seq.empty[KV]).write
       .mode(SaveMode.Overwrite).parquet(s"$path/keyval/v0")
     val meta = KbMeta(SchemaVersion,
-      java.time.Instant.now().toString, embeddingParams, 0L, 0L, 0L)
+      java.time.Instant.now().toString, embeddingParams, 0L, 0L, 0L,
+      TableNames.map(_ -> 0L).toMap)
     writeMetaAtomic(path, meta)
     new KbStore(spark, path)
   }
@@ -601,6 +597,8 @@ object KbStore {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val params = m.embedding_params.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    val tables = m.table_versions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
     val json =
       s"""{
          |  "schema_version": ${m.schema_version},
@@ -608,7 +606,8 @@ object KbStore {
          |  "embedding_params": $params,
          |  "max_doc_id": ${m.max_doc_id},
          |  "max_edge_id": ${m.max_edge_id},
-         |  "version": ${m.version}
+         |  "version": ${m.version},
+         |  "table_versions": $tables
          |}""".stripMargin
     val tmp = Paths.get(metaPath(path) + ".tmp")
     Files.writeString(tmp, json)
@@ -631,9 +630,17 @@ object KbStore {
     val kvRe = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
     val paramMap = kvRe.findAllMatchIn(params)
       .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+    val tables = ("\"table_versions\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val numRe = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
+    val tableMap = numRe.findAllMatchIn(tables)
+      .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap
+    val version = longField("version")
     KbMeta(longField("schema_version").toInt, strField("created_datetime"),
       paramMap, longField("max_doc_id"), longField("max_edge_id"),
-      longField("version"))
+      version,
+      if (tableMap.nonEmpty) tableMap
+      else TableNames.map(_ -> version).toMap)
   }
 
   private def unescape(s: String): String =
@@ -647,12 +654,4 @@ object KbStore {
     }
   }
 
-  private[core] def copyDir(src: Path, dst: Path): Unit = {
-    Files.createDirectories(dst)
-    Files.walk(src).forEach { s =>
-      val d = dst.resolve(src.relativize(s))
-      if (Files.isDirectory(s)) Files.createDirectories(d)
-      else Files.copy(s, d, StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
 }

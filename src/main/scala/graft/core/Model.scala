@@ -68,11 +68,17 @@ object Model {
     * persisted embedding-function params, id high-water marks, and the
     * current committed table version.
     */
+  /** `table_versions` is the commit manifest: each table name points at
+    * its current version directory. Unchanged tables keep their pointer
+    * across commits — carrying a table forward is a manifest re-point,
+    * never a data copy (O(1) per commit regardless of table size).
+    */
   final case class KbMeta(
       schema_version: Int,
       created_datetime: String,
       embedding_params: Map[String, String],
       max_doc_id: Long,
       max_edge_id: Long,
-      version: Long)
+      version: Long,
+      table_versions: Map[String, Long])
 }
