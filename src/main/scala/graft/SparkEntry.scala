@@ -528,17 +528,14 @@ object SparkEntry {
     // pre-order = lexicographic path order (kb.py:1580-1593 semantics).
     "g2_dfs_preorder" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
         .select($"doc_id".as("id"), floor($"doc_id" / 10).cast("long").as("parent_id"))
       val paths = graft.ops.Hierarchy.withPaths(
         docs, "id", "parent_id", col("id") === 0L)
-      paths
-        .withColumn("preorder",
-          row_number().over(Window.orderBy($"path")))
+      // preorder via distributed range-sort + zipWithIndex (no global Window)
+      graft.ops.Hierarchy.withPreorder(paths)
         .select($"id".as("doc_id"), $"depth".cast("long").as("depth"),
-          $"preorder".cast("long").as("preorder"),
-          concat_ws("/", $"path").as("path_str"))
+          $"preorder", concat_ws("/", $"path").as("path_str"))
         .orderBy($"preorder")
     })
   )
@@ -614,8 +611,8 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT fp_md5, count(*) AS n FROM fp GROUP BY fp_md5)
          SELECT count(*) AS n_unique,
-                sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_in_dup_groups,
-                sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+                sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_in_dup_groups,
+                sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups
          FROM g""",
 
     "d2_minhash_lsh" ->
@@ -734,9 +731,9 @@ object SparkEntry {
            FROM e),
          s AS (
            SELECT user_id, event_id, value, us,
-                  sum(new_sess) OVER (PARTITION BY user_id
+                  (sum(new_sess) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
                 max(us) - min(us) AS duration_us,
@@ -983,7 +980,7 @@ object SparkEntry {
            SELECT sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            FROM embeddings)
          SELECT count(*) AS n,
-                sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END) AS n_bad,
+                sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END)::BIGINT AS n_bad,
                 round(min(nrm), 4) AS min_norm,
                 round(max(nrm), 4) AS max_norm
          FROM n""",

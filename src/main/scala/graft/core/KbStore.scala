@@ -471,9 +471,15 @@ final class KbStore private (
   def dfsTraversal(): Seq[Doc] = {
     val paths = graft.ops.Hierarchy.withPaths(
       docs.toDF(), "id", "parent_id", col("parent_id").isNull)
-    val ordered = paths.orderBy($"path").select($"id").as[Long].collect()
-    val byId = docs.collect().map(d => d.id -> d).toMap
-    ordered.toSeq.map(byId)
+    // preorder assigned by distributed range-sort (no global Window, no
+    // second full-table collect); the single collect here is the API
+    // contract — the reference returns a materialized list (kb.py:1580)
+    val ranked = graft.ops.Hierarchy.withPreorder(paths)
+      .select(col("id").as("rid"), col("preorder"))
+    docs.toDF().join(ranked, col("id") === col("rid"))
+      .orderBy(col("preorder"))
+      .drop("rid", "preorder")
+      .as[Doc].collect().toSeq
   }
 
   /** Corpus re-embed / provider migration (SURVEY §7.5; the reference's

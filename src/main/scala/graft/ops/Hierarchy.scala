@@ -58,4 +58,25 @@ object Hierarchy {
     }
     acc.select(col("id"), col("path"), size(col("path")).as("depth"))
   }
+
+  /** DFS pre-order rank = 1-based position in the lexicographic order of
+    * id-paths. Computed with a range-partitioned RDD sort + zipWithIndex —
+    * never a global single-partition Window, so the rank assignment scales
+    * with the forest instead of serializing it through one task.
+    *
+    * @param paths output of [[withPaths]] (id, path, depth)
+    * @return (id, path, depth, preorder LONG)
+    */
+  def withPreorder(paths: DataFrame): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    import scala.math.Ordering.Implicits._
+    paths.select(col("id"), col("path"), col("depth").cast("int"))
+      .rdd
+      .map(r => (r.getSeq[Long](1).toList, (r.getLong(0), r.getInt(2))))
+      .sortBy(_._1)
+      .zipWithIndex()
+      .map { case ((path, (id, depth)), idx) => (id, path, depth, idx + 1L) }
+      .toDF("id", "path", "depth", "preorder")
+  }
 }

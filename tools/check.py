@@ -60,10 +60,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: spark result missing: {str(e)[:200]}")
             n_bad += 1
             continue
+        otypes = {d[0]: d[1] for d in o.description}
+        stypes = {d[0]: d[1] for d in s.description}
         oc, orows = canon(orows, ocols)
         sc, srows = canon(srows, scols)
         if oc != sc:
             print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
+            n_bad += 1
+        elif any(otypes[c] != stypes[c] for c in oc):
+            # the driver's hash is type-sensitive (e.g. DuckDB sum() of ints
+            # is HUGEINT vs Spark BIGINT) even when Python values compare equal
+            bad = [(c, otypes[c], stypes[c]) for c in oc
+                   if otypes[c] != stypes[c]]
+            print(f"FAIL {name}: column types differ {bad}")
             n_bad += 1
         elif orows != srows:
             diffs = [i for i, (a, b) in enumerate(zip(orows, srows)) if a != b]
