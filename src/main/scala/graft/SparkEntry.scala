@@ -419,6 +419,18 @@ object SparkEntry {
         .limit(25)
     }),
 
+    // same result as j3 via the scale path: grid of dense vector blocks,
+    // per-cell bounded heaps, global merge — exact, but never materializes
+    // the n(n-1)/2 pair rows through join machinery (PairwiseTopK notes).
+    "j3b_pairwise_blocked" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.FloatVecPack.floatVecPack
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+      graft.ops.PairwiseTopK.blockedTopKPairs(e, dim = 64, k = 25,
+        numBlocks = 8, roundTo = 6)
+    }),
+
     // --- §2.3 J4: existence semi-join (delete-guard shape, kb.py:360-370).
     "j4_semi_join" -> ((s, dir) => {
       import s.implicits._
@@ -854,6 +866,13 @@ object SparkEntry {
 
   private def relationalOracle: Map[String, String] = Map(
     "j3_pairwise_topk" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         ORDER BY score DESC, id1, id2
+         LIMIT 25""",
+
+    "j3b_pairwise_blocked" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
          round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -97,6 +97,10 @@ object Kb {
     def dfsTraversal(): Seq[Doc] = store.dfsTraversal()
     def updateDocMeta(id: Long, meta: Option[String]): Unit =
       store.updateDocMeta(id, meta)
+    /** `set_doc_embedding(doc_id, embedding, skip_check_old)` (`kb.py:526`). */
+    def setDocEmbedding(id: Long, embedding: Option[Array[Float]],
+        skipCheckOld: Boolean = false): Unit =
+      store.setDocEmbedding(id, embedding, skipCheckOld)
   }
 
   /** Scoped graph handle (count_edges/add_edge/add_directed_edge/
@@ -111,8 +115,11 @@ object Kb {
         weight: Option[Double] = None): Long =
       store.addEdge(src, dst, rel, weight, directed = true)
     def delEdge(id: Long): Unit = store.delEdge(id)
-    /** `build_networkx_graph` analog: (anyDirected, expanded edges DF). */
-    def buildGraph(): (Boolean, DataFrame) = store.exportGraph()
+    /** `build_networkx_graph(multigraph)` analog: (anyDirected, edges DF —
+      * back-edge-expanded; simple-collapsed when `multigraph = false`).
+      */
+    def buildGraph(multigraph: Boolean = true): (Boolean, DataFrame) =
+      store.exportGraph(multigraph)
   }
 
   /** Scoped keyval handle (has/get/set/remove/count/items). */
@@ -120,6 +127,9 @@ object Kb {
     def has(key: String): Boolean = store.hasKey(key)
     def get(key: String): Any = store.getKey(key)
     def get(key: String, default: Any): Any = store.getKeyOr(key, default)
+    /** `get(key, ExceptionClass)` raise protocol (`kb.py:1746-1756`). */
+    def getOrRaise(key: String, raiseAs: Class[_ <: Throwable]): Any =
+      store.getKeyRaising(key, raiseAs)
     def set(key: String, value: Any): Unit = store.setKey(key, value)
     def remove(key: String): Unit = store.delKey(key)
     def count: Long = store.countKeys

@@ -327,6 +327,43 @@ final class KbStore private (
       identity)
   }
 
+  /** M5 set_doc_embedding (`kb.py:526-571`): replace, set, or clear one
+    * document's embedding. Without `skipCheckOld` the old embedding row is
+    * deleted first (KeyError → NoSuchElementException if the doc is
+    * missing); with it the old row is left alone — the caller already
+    * handled it (the reference's bulk backfill path, `kb.py:1059`).
+    * The new embedding id is max(current ids) + 1 — the same observable
+    * id sequence as the reference's sqlite rowid assignment
+    * (`tests/test_kb.py:408-430` pins the reuse-after-delete behavior).
+    */
+  def setDocEmbedding(docId: Long, embedding: Option[Array[Float]],
+      skipCheckOld: Boolean = false): Unit = {
+    var embTable = embeddings.toDF()
+    if (!skipCheckOld) {
+      val row = docs.filter($"id" === docId).select($"emb_id").collect()
+        .headOption.getOrElse(throw new NoSuchElementException(s"doc $docId"))
+      if (!row.isNullAt(0))
+        embTable = embTable.filter($"id" =!= row.getLong(0))
+    } else if (docs.filter($"id" === docId).isEmpty) {
+      // the reference's UPDATE raises when rowcount != 1 (kb.py:569-571)
+      throw new NoSuchElementException(s"doc $docId")
+    }
+    val newEmbId = embedding.map { v =>
+      val maxId = embTable.agg(max($"id")).collect().head
+      val id = (if (maxId.isNullAt(0)) 0L else maxId.getLong(0)) + 1L
+      embTable = embTable.union(spark.createDataset(Seq(Emb(id, v))).toDF())
+      id
+    }
+    val newDocs = docs.toDF().withColumn("emb_id",
+      when($"id" === docId,
+        newEmbId.map(lit).getOrElse(lit(null)).cast("long"))
+        .otherwise($"emb_id"))
+    commit(
+      Map("docs" -> newDocs, "embeddings" -> embTable),
+      m => m.copy(max_doc_id =
+        math.max(m.max_doc_id, newEmbId.getOrElse(0L))))
+  }
+
   /** M4 update_doc_meta (`kb.py:347-358`). */
   def updateDocMeta(id: Long, newMeta: Option[String]): Unit = {
     if (docs.filter($"id" === id).isEmpty)
@@ -377,14 +414,29 @@ final class KbStore private (
     * DataFrame; when any edge is directed, undirected edges are expanded
     * with their back-edges so a directed-graph consumer sees symmetric
     * connectivity.
+    *
+    * `multigraph = false` collapses parallel edges with networkx
+    * simple-graph semantics — repeated `add_edge` overwrites, so the
+    * LAST-inserted edge (max id) wins per key; the key is the directed
+    * (src, dst) pair for directed graphs and the unordered pair for
+    * undirected ones (`tests/test_kb.py:626-728` pins both).
     */
-  def exportGraph(): (Boolean, DataFrame) = {
+  def exportGraph(multigraph: Boolean = true): (Boolean, DataFrame) = {
     val anyDirected = !edges.filter($"directed").isEmpty
     val e = edges.toDF()
-    val out = if (anyDirected) {
+    val expanded = if (anyDirected) {
       e.union(e.filter(!$"directed").select($"id", $"dst".as("src"),
         $"src".as("dst"), $"rel", $"weight", $"directed"))
     } else e
+    val out = if (multigraph) expanded
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val k1 = if (anyDirected) $"src" else least($"src", $"dst")
+      val k2 = if (anyDirected) $"dst" else greatest($"src", $"dst")
+      val w = Window.partitionBy(k1, k2).orderBy($"id".desc)
+      expanded.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+    }
     (anyDirected, out)
   }
 
@@ -409,6 +461,18 @@ final class KbStore private (
   def getKeyOr(key: String, default: Any): Any =
     keyval.filter($"key" === key).collect().headOption
       .map(_.value).getOrElse(default)
+
+  /** `get(key, ExceptionClass)` raise protocol (`kb.py:1746-1756`): a
+    * missing key re-raises the lookup error itself when the class IS a
+    * lookup error, otherwise raises a fresh instance of the given class.
+    */
+  def getKeyRaising(key: String, raiseAs: Class[_ <: Throwable]): Any =
+    keyval.filter($"key" === key).collect().headOption.map(_.value)
+      .getOrElse {
+        if (classOf[NoSuchElementException].isAssignableFrom(raiseAs))
+          throw new NoSuchElementException(s"key $key")
+        throw raiseAs.getDeclaredConstructor().newInstance()
+      }
 
   def delKey(key: String): Unit = {
     if (!hasKey(key)) throw new NoSuchElementException(s"key $key")
@@ -445,20 +509,31 @@ final class KbStore private (
   }
 
   /** §3.3 document_top_pairwise_scores (`kb.py:1642-1671`): exact
-    * upper-triangle self-join + top-n — without ever materializing the
-    * n×n matrix the reference builds (`kb.py:1650`).
+    * top-n pairs — without ever materializing the n×n matrix the
+    * reference builds (`kb.py:1650`). Cardinality switch (SURVEY §7.3):
+    * up to [[KbStore.PairwiseExactLimit]] vectors the blocked-grid EXACT
+    * operator runs (per-cell bounded heaps, global merge); beyond that —
+    * where exact all-pairs is infeasible on any engine — the sign-sketch
+    * candidates + exact re-rank path takes over (disclosed approximation,
+    * [[graft.ops.PairwiseTopK]] notes).
     */
   def topPairwiseScores(n: Int): Seq[(Double, Doc, Doc)] = {
-    val e = embeddings.toDF()
-      .select($"id", asDouble($"vec").as("v"))
-    val pairs = e.alias("a").join(e.alias("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        dot(col("a.v"), col("b.v")).as("score"))
-      .orderBy(desc("score"), desc("id2"), desc("id1"))
-      .limit(n)
-      .collect()
+    val total = embeddings.count()
+    if (total < 2 || n <= 0) return Seq.empty
+    val dim = embeddings.limit(1).collect().head.vec.length
+    val packed = embeddings.toDF()
+      .select($"id", graft.functions.FloatVecPack.floatVecPack($"vec").as("vec"))
+    val blocks = math.max(1, math.min(32, total / 4096)).toInt
+    val pairs =
+      if (total <= KbStore.PairwiseExactLimit)
+        graft.ops.PairwiseTopK.blockedTopKPairs(
+          packed, dim, n, blocks, refTie = true)
+      else
+        graft.ops.PairwiseTopK.sketchTopKPairs(
+          packed, dim, n, refTie = true)
     // build doc lookups for the few ids involved
-    val rows = pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rows = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val ids = rows.flatMap(r => Seq(r._1, r._2)).distinct
     val docByEmb = docs.filter($"emb_id".isin(ids: _*)).collect()
       .map(d => d.emb_id.get -> d).toMap
@@ -540,6 +615,11 @@ final class KbStore private (
 object KbStore {
   val TableNames: Seq[String] = Seq("docs", "embeddings", "edges", "keyval")
   val SchemaVersion = 1
+
+  /** Above this many vectors `topPairwiseScores` switches from the exact
+    * blocked grid (flops grow as n²) to sketch candidates + exact re-rank.
+    */
+  val PairwiseExactLimit: Long = 200000L
 
   /** Queued new-doc request inside a bulk-add scope. */
   final case class NewDoc(text: String, parentId: Option[Long],

@@ -244,6 +244,100 @@ class KbStoreSpec extends SparkSpec {
     kb2.close()
   }
 
+  // ---------------- M5: set_doc_embedding (tests/test_kb.py:408-430) ----
+  test("set_doc_embedding: clear, replace, rowid-style id reuse") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = unitProvider(2)
+    kb.bulkAddDocs(p) { a =>
+      a.add("first doc"); a.add("second doc"); a.add("third doc")
+    }
+    kb.bulkDelDocs(Seq(2L))
+
+    // clear doc 1's embedding: row deleted, pointer nulled
+    kb.setDocEmbedding(1L, None)
+    assert(kb.fetchDoc(1L).emb_id.isEmpty)
+    assert(kb.embeddings.collect().map(_.id).toSeq.sorted == Seq(3L))
+
+    // replace doc 3's: old row 3 deleted first, new id = max+1 of the
+    // emptied table = 1 (the reference's sqlite rowid reuse, :421-430)
+    kb.setDocEmbedding(3L, Some(Array(0f, 1f)))
+    assert(kb.embeddings.collect().map(_.id).toSeq == Seq(1L))
+    assert(kb.fetchDoc(3L).emb_id.contains(1L))
+    assert(kb.embeddings.collect().head.vec.toSeq == Seq(0f, 1f))
+
+    // skip_check_old leaves the old row alone (kb.py:1059 backfill path)
+    kb.setDocEmbedding(1L, Some(Array(1f, 0f)), skipCheckOld = true)
+    assert(kb.embeddings.collect().map(_.id).toSeq.sorted == Seq(1L, 2L))
+
+    intercept[NoSuchElementException] { kb.setDocEmbedding(99L, None) }
+    intercept[NoSuchElementException] {
+      kb.setDocEmbedding(99L, Some(Array(1f, 0f)), skipCheckOld = true)
+    }
+    kb.close()
+  }
+
+  // -------- G1: multigraph=false collapse (tests/test_kb.py:626-728) ----
+  test("graph export multigraph=false: last edge wins per simple-graph key") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = unitProvider(2)
+    kb.bulkAddDocs(p) { a =>
+      Seq("first doc", "second doc", "third doc", "forth doc", "fifth doc",
+        "edge type 1", "edge type 2").foreach(t => a.add(t))
+    }
+    kb.addEdge(2, 4, 6)
+    kb.addEdge(2, 4, 7)
+    kb.addEdge(1, 4, 6, weight = Some(0.5))
+    kb.addEdge(1, 3, 7, weight = Some(1.5))
+    kb.addEdge(2, 3, 6, directed = true)
+    kb.addEdge(2, 5, 7, weight = Some(2.5), directed = true)
+    kb.delEdge(2L)
+
+    // directed simple graph: 8 distinct (src, dst) pairs (:666-682)
+    val (dir, g) = kb.exportGraph(multigraph = false)
+    assert(dir)
+    val got = g.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    assert(got == Set(
+      (1L, 3L, 7L, Some(1.5)), (1L, 4L, 6L, Some(0.5)),
+      (2L, 3L, 6L, None), (2L, 4L, 6L, None), (2L, 5L, 7L, Some(2.5)),
+      (3L, 1L, 7L, Some(1.5)), (4L, 1L, 6L, Some(0.5)), (4L, 2L, 6L, None)))
+
+    // re-adding a parallel (2,4) edge: the later insertion wins the key
+    kb.addEdge(2, 4, 7)
+    val (_, g2) = kb.exportGraph(multigraph = false)
+    val byKey = g2.collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(byKey((2L, 4L)) == 7L)
+
+    // dropping the directed edges downgrades to an undirected simple
+    // graph: the key becomes the unordered pair (:714-728)
+    kb.delEdge(5L); kb.delEdge(6L)
+    val (dir3, g3) = kb.exportGraph(multigraph = false)
+    assert(!dir3)
+    val pairs = g3.collect().map { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      ((math.min(a, b), math.max(a, b)), r.getLong(3))
+    }.toMap
+    assert(pairs == Map((2L, 4L) -> 7L, (1L, 4L) -> 6L, (1L, 3L) -> 7L))
+    kb.close()
+  }
+
+  // -------- KV raise protocol (kb.py:1746-1756) ----
+  test("keyval get(key, ExceptionClass) raise protocol") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    kb.setKey("a", 1)
+    assert(kb.getKeyRaising("a", classOf[IllegalStateException]) == 1L)
+    // a lookup-error class re-raises the lookup error itself
+    intercept[NoSuchElementException] {
+      kb.getKeyRaising("nope", classOf[NoSuchElementException])
+    }
+    // any other exception class is raised fresh
+    intercept[IllegalStateException] {
+      kb.getKeyRaising("nope", classOf[IllegalStateException])
+    }
+    kb.close()
+  }
+
   test("re-embed migration: new provider swaps embeddings atomically") {
     val kb = KbStore.create(spark, freshPath(), Map("provider" -> "keyword"))
     val kw = Embeddings.withMagnitudeCheck(KeywordProvider.fixture)
