@@ -205,6 +205,24 @@ object SparkEntry {
         .select($"vec_id", $"cid", $"score")
     }),
 
+    // IVF with one Lloyd refinement round (spherical k-means) over the
+    // same seed centroids — the assignment join is unchanged, only the
+    // centroid table improves.
+    "n3_ivf_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents0 = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val cents = graft.ops.SimilaritySearch.kmeansCentroids(
+        emb, cents0, iters = 1)
+      val qv = emb.filter($"vec_id" === 42L)
+        .select(asDouble($"embedding").as("qv"))
+      val assigned = graft.ops.SimilaritySearch.ivfAssign(emb, cents)
+      graft.ops.SimilaritySearch.ivfTopK(assigned, cents, qv,
+        k = 10, nProbe = 2)
+        .select($"vec_id", $"cid", $"score")
+    }),
+
     // P9 semantic filter (Build Dad Jokes KB.ipynb cells 8-13): keep
     // documents whose similarity to a probe vector clears a threshold.
     "v2_semantic_filter" -> ((s, dir) => {
@@ -840,6 +858,48 @@ object SparkEntry {
          SELECT a.vec_id, a.cid,
                 round(list_dot_product(a.embedding::DOUBLE[], q.qv), 6) AS score
          FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+         ORDER BY score DESC, a.vec_id
+         LIMIT 10""",
+
+    "n3_ivf_kmeans" ->
+      """WITH cents0 AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+           FROM embeddings WHERE vec_id < 10),
+         assign0 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) DESC,
+                               c.cid) AS rk
+             FROM embeddings e CROSS JOIN cents0 c)
+           WHERE rk = 1),
+         members AS (
+           SELECT cid, list(embedding::DOUBLE[]) AS vs FROM assign0 GROUP BY cid),
+         means AS (
+           SELECT cid, list_transform(range(1, 65),
+                    i -> list_avg(list_transform(vs, v -> v[i]))) AS mv
+           FROM members),
+         cents AS (
+           SELECT c0.cid,
+                  coalesce(list_transform(m.mv,
+                    x -> x / sqrt(list_dot_product(m.mv, m.mv))), c0.cvec) AS cvec
+           FROM cents0 c0 LEFT JOIN means m ON c0.cid = m.cid),
+         q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+         assign1 AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) DESC,
+                               c.cid) AS rk
+             FROM embeddings e CROSS JOIN cents c)
+           WHERE rk = 1),
+         probes AS (
+           SELECT cid FROM cents CROSS JOIN q
+           ORDER BY list_dot_product(cvec, qv) DESC, cid LIMIT 2)
+         SELECT a.vec_id, a.cid,
+                round(list_dot_product(a.embedding::DOUBLE[], q.qv), 6) AS score
+         FROM assign1 a JOIN probes p ON a.cid = p.cid CROSS JOIN q
          ORDER BY score DESC, a.vec_id
          LIMIT 10""",
 

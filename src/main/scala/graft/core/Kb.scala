@@ -84,6 +84,24 @@ object Kb {
     new Kb(store, provider)
   }
 
+  /** Re-open WITHOUT a provider: rehydrate it from the persisted params,
+    * like `_db_check`'s `make_embeddings_func(db_eparams)` branch
+    * (`kb.py:909-912`); error when the store has none (`kb.py:919-922`).
+    * The transport seam exists because this environment has no egress —
+    * a rehydrated openai/ollama config is fully constructed and only
+    * fails at the first actual HTTP call unless a transport is injected.
+    */
+  def open(spark: SparkSession, path: String,
+      transport: Embeddings.HttpTransport = Embeddings.NoEgressTransport): Kb = {
+    val store = KbStore.open(spark, path)
+    val stored = store.meta.embedding_params
+    if (stored.isEmpty)
+      throw new RuntimeException(
+        "No embedding function. You did not pass one and there is not one " +
+          "in the database (reference kb.py:919-922 semantics).")
+    new Kb(store, Embeddings.fromParams(stored, transport))
+  }
+
   /** Scoped query handle (count/query_doc/query_children/query_level/
     * dfs_traversal/update_doc_meta).
     */

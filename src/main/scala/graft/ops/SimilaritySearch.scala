@@ -98,7 +98,8 @@ object SimilaritySearch {
 
   /** Bucketed ANN top-k: only candidates in the query's bucket are
     * scored. Trades recall for a ~2^bits candidate reduction; exactness
-    * is restored by multi-probe or a brute-force re-check tier.
+    * is restored by multi-probe ([[annTopKMultiProbe]]) or a brute-force
+    * re-check tier.
     */
   def annTopKBucketed(emb: DataFrame, queryVecId: Long, k: Int,
       bits: Int = 8): DataFrame = {
@@ -111,5 +112,59 @@ object SimilaritySearch {
       .select(col("vec_id"), col("bucket"), round(dot(col("v"), col("qv")), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Multi-probe bucketed ANN: candidates are every bucket within
+    * `maxHamming` sign-bits of the query's bucket — the standard recall
+    * knob for sign-LSH (probing r bits recovers neighbors whose few
+    * near-zero coordinates flipped). The probe set is an explicit IN
+    * list of ≤ Σ C(bits, i) bucket ids, so a corpus bucketed/partitioned
+    * by `bucket` prunes to those partitions instead of scanning.
+    */
+  def annTopKMultiProbe(emb: DataFrame, queryVecId: Long, k: Int,
+      bits: Int = 8, maxHamming: Int = 2): DataFrame = {
+    val withBucket = emb.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val q = withBucket.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    withBucket.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= maxHamming)
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Lloyd (spherical) k-means refinement of IVF centroids over the
+    * existing assignment join: assign → per-dimension mean → renormalize
+    * to the unit sphere, `iters` times. Each round is one broadcast
+    * assignment pass + one narrow aggregation; the centroid set itself is
+    * tiny by definition, so it is collected between rounds (exactly where
+    * Spark's own MLlib keeps its k-means centers). Empty clusters keep
+    * their previous centroid, so the centroid count never shrinks.
+    *
+    * @param initial (cid LONG, cvec ARRAY) seed centroids
+    * @return refined (cid LONG, cvec ARRAY<DOUBLE>) centroids
+    */
+  def kmeansCentroids(emb: DataFrame, initial: DataFrame,
+      iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = initial.select(col("cid"), asDouble(col("cvec")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(emb, cents)
+        .select(col("cid"), posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+          .getField("m").as("mv"))
+        .select(col("cid"), normalize(col("mv")).as("newvec"))
+      val updated = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("newvec"), col("cvec")).as("cvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cents = updated.toSeq.toDF("cid", "cvec")
+    }
+    cents
   }
 }

@@ -124,6 +124,53 @@ class OpsSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("alternating CC: chain graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 256-node chain: min-label propagation needs ~256 rounds — the
+    // large-star/small-star pair must finish in O(log n)
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val (labels, rounds) = Dedup.alternatingConnectedComponents(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 256)
+    assert(got.forall(_._2 == 0L), "all chain nodes label to the min id")
+    assert(rounds <= 10, s"expected O(log 256) rounds, took $rounds")
+
+    // matches the union-find fast path on a mixed graph (+ isolated pair)
+    val mixed = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
+      .toDF("doc1", "doc2")
+    val alt = Dedup.alternatingConnectedComponents(mixed)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L))
+  }
+
+  test("ANN recall gate: multi-probe and IVF k-means reach recall@10 >= 0.9") {
+    import spark.implicits._
+    val exact = SimilaritySearch.topK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+
+    // this corpus's true neighbors are near-orthogonal (max cos ~0.5),
+    // so sign bits disagree ~half the time — radius 4 of 8 bits is the
+    // honest recall/coverage point here; genuinely near-dup data (cos
+    // >= 0.8) reaches the same recall at radius 1-2
+    val mp = SimilaritySearch.annTopKMultiProbe(emb, 0L, 10,
+      bits = 8, maxHamming = 4).collect().map(_.getLong(0)).toSet
+    assert((exact & mp).size >= 9,
+      s"multi-probe recall@10 = ${(exact & mp).size}/10")
+
+    val cents0 = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val cents = SimilaritySearch.kmeansCentroids(emb, cents0, iters = 2)
+    assert(cents.count() == 10, "empty clusters keep their seed centroid")
+    val qv = emb.filter($"vec_id" === 0L)
+      .select(asDouble($"embedding").as("qv"))
+    val assigned = SimilaritySearch.ivfAssign(emb, cents)
+    val ivf = SimilaritySearch.ivfTopK(assigned, cents, qv, 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & ivf).size >= 9,
+      s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
+  }
+
   test("csv ingestion: trim + distinct (S9 notebook pipeline)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{Embeddings, Kb, KbStore}
+import graft.core.Embeddings._
+
+/** HTTP provider config surface + LRU/single-flight cache
+  * (reference `embeddings/openai.py`, `ollama.py`, `util.py:51-93`,
+  * `kb.py:896-922`) — driven through in-process fake transports because
+  * this environment has zero egress.
+  */
+class ProviderSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-prov").resolve("kb").toString
+
+  /** Records requests; answers with a canned per-provider response. */
+  private final class FakeTransport(kind: String) extends HttpTransport {
+    val requests = new scala.collection.mutable.ArrayBuffer[
+      (String, Map[String, String], String)]
+    def post(url: String, headers: Map[String, String],
+        body: String): (Int, String) = synchronized {
+      requests += ((url, headers, body))
+      val n = "\"input\":\\[".r.findFirstIn(body).map { _ =>
+        body.split("\"input\":\\[")(1).takeWhile(_ != ']')
+          .count(_ == '"') / 2
+      }.getOrElse(0)
+      def vec(i: Int) = "[1.0,0.0,0.0]"
+      kind match {
+        case "openai" =>
+          val data = (0 until n).map(i =>
+            s"""{"index":$i,"embedding":${vec(i)}}""").mkString(",")
+          (200, s"""{"data":[$data]}""")
+        case "ollama" =>
+          val arr = (0 until n).map(vec).mkString(",")
+          (200, s"""{"embeddings":[$arr]}""")
+        case "error" => (500, """{"error":{"message":"boom"}}""")
+      }
+    }
+  }
+
+  test("openai config: url, auth header, payload shape, response parse") {
+    val t = new FakeTransport("openai")
+    val p = new HttpEmbeddingProvider(
+      OpenAiConfig(model = "text-embedding-3-small",
+        apiKey = Some("sk-test"), dimensions = Some(3), user = Some("u1")), t)
+    val out = p.embed(Seq("hello", "world"))
+    assert(out.length == 2 && out.head.toSeq == Seq(1.0f, 0.0f, 0.0f))
+    val (url, headers, body) = t.requests.head
+    assert(url == "https://api.openai.com/v1/embeddings")
+    assert(headers("Authorization") == "Bearer sk-test")
+    assert(body.contains(""""input":["hello","world"]"""))
+    assert(body.contains(""""model":"text-embedding-3-small""""))
+    assert(body.contains(""""encoding_format":"float""""))
+    assert(body.contains(""""dimensions":3"""))
+    assert(body.contains(""""user":"u1""""))
+    // persisted params mirror the reference: no api key, no user
+    assert(p.params == Map("provider" -> "openai",
+      "model" -> "text-embedding-3-small", "dimensions" -> "3"))
+  }
+
+  test("ollama config: base_url resolution, payload, params roundtrip") {
+    val t = new FakeTransport("ollama")
+    val cfg = OllamaConfig(model = "nomic-embed-text", truncate = false,
+      keepAlive = "10m", baseUrl = Some("http://fake:1234"))
+    val p = new HttpEmbeddingProvider(cfg, t)
+    val out = p.embed(Seq("a"))
+    assert(out.length == 1)
+    val (url, _, body) = t.requests.head
+    assert(url == "http://fake:1234/api/embed")
+    assert(body.contains(""""model":"nomic-embed-text""""))
+    assert(body.contains(""""truncate":false"""))
+    assert(body.contains(""""keep_alive":"10m""""))
+    // rehydration reconstructs an equivalent config from params
+    val back = Embeddings.fromParams(cfg.params, t)
+    assert(back.params == cfg.params)
+    assert(back.asInstanceOf[HttpEmbeddingProvider]
+      .config.asInstanceOf[OllamaConfig] == cfg)
+  }
+
+  test("non-200 responses raise with the provider's error shape") {
+    val p = new HttpEmbeddingProvider(
+      OpenAiConfig(apiKey = Some("k")), new FakeTransport("error"))
+    val e = intercept[RuntimeException] { p.embed(Seq("x")) }
+    assert(e.getMessage.contains("status=500"))
+  }
+
+  test("default transport refuses: zero-egress environment") {
+    val p = new HttpEmbeddingProvider(OpenAiConfig(apiKey = Some("k")))
+    intercept[UnsupportedOperationException] { p.embed(Seq("x")) }
+  }
+
+  test("LRU cache: batch-keyed hits, eviction at maxSize (util.py:51-93)") {
+    Embeddings.ProviderCache.clear()
+    var calls = 0
+    val counting = new EmbeddingProvider {
+      def name = "counting"; def dim = 3
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        calls += 1; texts.map(_ => Array(1.0f, 0f, 0f))
+      }
+    }
+    val p = Embeddings.cached(counting, maxSize = 2)
+    p.embed(Seq("a")); p.embed(Seq("a"))
+    assert(calls == 1) // second identical batch is a cache hit
+    p.embed(Seq("b"))
+    assert(calls == 2)
+    p.embed(Seq("a")) // still cached ("a" was touched most recently? no — LRU order a,b; "a" was re-read so order is a fresh)
+    assert(calls == 2)
+    p.embed(Seq("c")) // evicts the least-recently-used ("b")
+    p.embed(Seq("b"))
+    assert(calls == 4)
+    // distinct batches are distinct keys, like the reference's tuple key
+    p.embed(Seq("a", "b"))
+    assert(calls == 5)
+  }
+
+  test("single-flight: concurrent same-key calls compute once") {
+    Embeddings.ProviderCache.clear()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val slow = new EmbeddingProvider {
+      def name = "slow"; def dim = 3
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        calls.incrementAndGet()
+        started.countDown()
+        Thread.sleep(200)
+        texts.map(_ => Array(1.0f, 0f, 0f))
+      }
+    }
+    val p = Embeddings.cached(slow, maxSize = 10)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = p.embed(Seq("same")).length
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 1))
+      assert(calls.get() == 1) // 3 callers waited on the 1 computation
+    } finally pool.shutdown()
+  }
+
+  test("rehydrate-and-warn on reopen (kb.py:896-922)") {
+    val path = freshPath()
+    val t = new FakeTransport("ollama")
+    val cfg = OllamaConfig(model = "nomic-embed-text")
+    // create with a non-mock provider config: params persist to meta
+    val kb = Kb(spark, path, new HttpEmbeddingProvider(cfg, t))
+    kb.bulkAddDocs(_.add("first doc"))
+    assert(kb.store.meta.embedding_params == cfg.params)
+    kb.close()
+
+    // reopen with NO provider: rehydrated from the stored params
+    val kb2 = Kb.open(spark, path, t)
+    assert(kb2.provider.params == cfg.params)
+    kb2.bulkAddDocs(_.add("second doc"))
+    assert(kb2.length == 2)
+    kb2.close()
+
+    // reopen with a DIFFERENT provider: warns (kb.py:905-907) and uses it
+    val kb3 = Kb(spark, path, Embeddings.MockProvider())
+    assert(kb3.provider.params == Map("provider" -> "mock"))
+    kb3.close()
+
+    // a store created without params refuses a provider-less open
+    val bare = KbStore.create(spark, freshPath(), Map())
+    bare.close()
+    intercept[RuntimeException] { Kb.open(spark, bare.path, t) }
+  }
+}
