@@ -666,13 +666,44 @@ object KbStore {
     new KbStore(spark, path)
   }
 
-  /** Open an existing store, validating the schema version
+  /** One schema-migration step: rewrite a version-`from` store in place
+    * to version `from + 1` (tables and/or meta), returning the updated
+    * meta to persist. The reference reserves this slot without filling
+    * it ("this is where migrations will go", `kb.py:841-853`).
+    */
+  trait Migration {
+    def from: Int
+    def apply(spark: SparkSession, path: String, meta: KbMeta): KbMeta
+  }
+
+  /** Registered upgrade chain, keyed by source version. Empty today —
+    * v1 is the only schema — but `open` walks it so a future v2 ships
+    * as one entry here instead of a breaking `require`.
+    */
+  private val migrations = mutable.Map[Int, Migration]()
+
+  def registerMigration(m: Migration): Unit =
+    migrations.synchronized { migrations(m.from) = m }
+
+  /** Open an existing store, validating the schema version and applying
+    * any registered migration chain from older versions
     * (`kb.py:841-853`).
     */
   def open(spark: SparkSession, path: String): KbStore = {
-    val m = readMeta(path)
-    require(m.schema_version == SchemaVersion,
-      s"unsupported schema_version ${m.schema_version}")
+    var m = readMeta(path)
+    require(m.schema_version <= SchemaVersion,
+      s"store schema_version ${m.schema_version} is newer than this " +
+        s"library's $SchemaVersion — upgrade the library")
+    while (m.schema_version < SchemaVersion) {
+      val step = migrations.synchronized(migrations.get(m.schema_version))
+        .getOrElse(throw new IllegalStateException(
+          s"no migration registered from schema_version ${m.schema_version}"))
+      val next = step(spark, path, m)
+      require(next.schema_version == m.schema_version + 1,
+        s"migration from ${m.schema_version} must advance exactly one version")
+      writeMetaAtomic(path, next)
+      m = next
+    }
     new KbStore(spark, path)
   }
 

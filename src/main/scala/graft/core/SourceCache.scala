@@ -18,6 +18,32 @@ object SourceCache {
     MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Transport behind [[fetch]]'s cache: stream `url` into `tmp`
+    * (`file_cached_wget`'s aiohttp GET, `util.py:129-135`). The default
+    * handles `file://` and bare local paths; HTTP is injected where the
+    * environment has egress.
+    */
+  trait UrlFetcher extends Serializable {
+    def download(url: String, tmp: Path): Unit
+  }
+
+  object LocalFetcher extends UrlFetcher {
+    def download(url: String, tmp: Path): Unit = {
+      val src = if (url.startsWith("file://")) Paths.get(new java.net.URI(url))
+        else if (!url.contains("://")) Paths.get(url)
+        else throw new IllegalArgumentException(
+          s"no network egress available for $url — inject a UrlFetcher")
+      require(Files.exists(src), s"unsupported or missing source: $url")
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  // Single-flight per URL: the reference serializes *all* fetches behind
+  // one asyncio lock (`util.py:30-93`, noted there as heavy-handed); we
+  // lock per-URL so distinct URLs download concurrently while concurrent
+  // fetches of the same URL still populate the cache exactly once.
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def ext(url: String): String = {
     val name = url.substring(url.lastIndexOf('/') + 1)
     val i = name.indexOf('.')
@@ -28,21 +54,24 @@ object SourceCache {
     * cache hit returns without re-fetching) — `file_cached_wget`,
     * `util.py:96-136`.
     */
-  def fetch(url: String, cacheDir: String = ".remote_cache"): Path = {
+  def fetch(url: String, cacheDir: String = ".remote_cache",
+            fetcher: UrlFetcher = LocalFetcher): Path = {
     val dir = Paths.get(cacheDir)
     Files.createDirectories(dir)
     val target = dir.resolve(sha256Hex(url) + ext(url))
     if (Files.exists(target)) return target
-    val src = if (url.startsWith("file://")) Paths.get(new java.net.URI(url))
-      else Paths.get(url)
-    require(Files.exists(src), s"unsupported or missing source: $url")
-    val tmp = dir.resolve(target.getFileName.toString + ".tmp")
-    try {
-      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    } catch {
-      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    val lock = inflight.computeIfAbsent(url, _ => new Object)
+    lock.synchronized {
+      if (Files.exists(target)) return target // populated while we waited
+      val tmp = dir.resolve(target.getFileName.toString + ".tmp")
+      try {
+        fetcher.download(url, tmp)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Throwable => Files.deleteIfExists(tmp); throw e
+      }
     }
+    inflight.remove(url)
     target
   }
 
@@ -74,6 +103,7 @@ object SourceCache {
   /** Fetch + decompress in one step (the reference's open-from-URL path,
     * `kb.py:930`).
     */
-  def resolve(url: String, cacheDir: String = ".remote_cache"): Path =
-    resolveUncompressed(fetch(url, cacheDir))
+  def resolve(url: String, cacheDir: String = ".remote_cache",
+              fetcher: UrlFetcher = LocalFetcher): Path =
+    resolveUncompressed(fetch(url, cacheDir, fetcher))
 }

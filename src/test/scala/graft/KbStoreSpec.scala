@@ -356,4 +356,47 @@ class KbStoreSpec extends SparkSpec {
     assert(r.map(_.doc.id) == Seq(2L, 1L))
     kb.close()
   }
+
+  // ---------------- schema migrations (kb.py:841-853 slot) ----------
+  test("open applies registered schema migrations; rejects newer stores") {
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map("provider" -> "mock"))
+    kb.bulkAddDocs(MockProvider(3))(_.add("doc one"))
+    kb.close()
+
+    def setVersion(v: Int): Unit = {
+      val metaFile = java.nio.file.Paths.get(s"$path/_meta.json")
+      val json = Files.readString(metaFile).replaceFirst(
+        "\"schema_version\": \\d+", s""""schema_version": $v""")
+      Files.writeString(metaFile, json)
+    }
+
+    // a store from the future is refused outright
+    setVersion(KbStore.SchemaVersion + 1)
+    intercept[IllegalArgumentException] { KbStore.open(spark, path) }
+
+    // an old store with no registered path fails loudly...
+    setVersion(0)
+    intercept[IllegalStateException] { KbStore.open(spark, path) }
+
+    // ...and opens cleanly once the upgrade step is registered
+    var ran = false
+    KbStore.registerMigration(new KbStore.Migration {
+      val from = 0
+      def apply(spark: org.apache.spark.sql.SparkSession, path: String,
+          meta: graft.core.Model.KbMeta): graft.core.Model.KbMeta = {
+        ran = true
+        meta.copy(schema_version = 1)
+      }
+    })
+    val kb2 = KbStore.open(spark, path)
+    assert(ran)
+    assert(kb2.meta.schema_version == KbStore.SchemaVersion)
+    assert(kb2.len == 1) // data untouched by the meta-only migration
+    // the upgraded version is persisted: reopen skips the migration
+    ran = false
+    KbStore.open(spark, path).close()
+    assert(!ran)
+    kb2.close()
+  }
 }

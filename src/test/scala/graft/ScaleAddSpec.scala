@@ -70,4 +70,37 @@ class ScaleAddSpec extends SparkSpec {
     assert(SourceCache.resolveUncompressed(gz) == out)
     assert(Files.getLastModifiedTime(out) == m1)
   }
+
+  test("source cache: injected transport, single-flight, no-egress default") {
+    val cache = Files.createTempDirectory("graft-cache2").toString
+
+    // the default fetcher refuses remote schemes in this environment
+    intercept[IllegalArgumentException] {
+      SourceCache.fetch("https://example.com/data.txt", cache)
+    }
+
+    // injected transport: downloads exactly once, cache hit after
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fake = new SourceCache.UrlFetcher {
+      def download(url: String, tmp: java.nio.file.Path): Unit = {
+        calls.incrementAndGet()
+        Files.writeString(tmp, s"body-of:$url")
+      }
+    }
+    val url = "https://example.com/corpus.txt"
+    // 8 concurrent fetches of the same URL populate once (single-flight)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[java.nio.file.Path] {
+          def call() = SourceCache.fetch(url, cache, fake)
+        })
+      }
+      val paths = futs.map(_.get()).distinct
+      assert(paths.size == 1)
+      assert(Files.readString(paths.head) == s"body-of:$url")
+    } finally pool.shutdown()
+    assert(calls.get() == 1)
+    assert(SourceCache.fetch(url, cache, fake) != null && calls.get() == 1)
+  }
 }
