@@ -384,9 +384,16 @@ final class KbStore private (
       .groupBy(identity).collectFirst { case (k, v) if v.size > 1 => k }
     dupInBatch.foreach(k => throw new IllegalStateException(
       s"duplicate edge in batch: $k"))
-    val keys = newEdges.map(e => (e._1, e._2, e._3)).toSet
-    val clash = edges.select($"src", $"dst", $"rel").as[(Long, Long, Long)]
-      .collect().find(keys.contains)
+    // (src, dst, rel) uniqueness without materializing the edges table on
+    // the driver: semi-join the stored edges against the (tiny, broadcast)
+    // new-key set. At 10^9 stored edges this is a broadcast-hash probe on
+    // the executors — the old collect().find() was a driver OOM waiting.
+    val keyDf = spark.createDataset(
+      newEdges.map(e => (e._1, e._2, e._3))).toDF("src", "dst", "rel")
+    val clash = edges.toDF()
+      .join(broadcast(keyDf), Seq("src", "dst", "rel"), "left_semi")
+      .select($"src", $"dst", $"rel").as[(Long, Long, Long)]
+      .limit(1).collect().headOption
     clash.foreach(k => throw new IllegalStateException(
       s"edge already exists: $k"))
     var next = metaCache.max_edge_id
@@ -591,23 +598,42 @@ final class KbStore private (
       KbStore.TableNames.map(name => name -> read(name).coalesce(1)).toMap,
       identity, codec)
 
-  /** Drop all table versions older than the committed one (VACUUM,
-    * `kb.py:831-834`).
+  /** Drop old table versions (VACUUM, `kb.py:831-834`). By default the
+    * most recent `retain` prior versions of each table survive, so a
+    * reader that resolved the manifest before the last commit can still
+    * finish its scan — version retention is what the manifest design is
+    * for. `retain = 0` reclaims everything but the committed version
+    * (safe in the reference, whose readers share the one SQLite
+    * connection; here it requires no concurrent readers). Staged
+    * directories from versions NEWER than the manifest (a crashed,
+    * never-published commit) are always reclaimed.
     */
-  def vacuum(): Unit = {
+  def vacuum(retain: Int = 1): Unit = {
     KbStore.TableNames.foreach { name =>
-      val keep = s"v${metaCache.table_versions(name)}"
+      val cur = metaCache.table_versions(name)
       val dir = Paths.get(s"$path/$name")
       if (Files.isDirectory(dir)) {
-        Files.list(dir).forEach { p =>
-          if (p.getFileName.toString != keep) KbStore.deleteRecursively(p)
+        val listed = Files.list(dir)
+        val versions = try {
+          val b = Seq.newBuilder[(Long, Path)]
+          listed.forEach { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("v")) n.drop(1).toLongOption.foreach(v => b += (v -> p))
+          }
+          b.result()
+        } finally listed.close()
+        val keepPrior = versions.map(_._1).filter(_ < cur)
+          .sorted.takeRight(math.max(0, retain)).toSet
+        versions.foreach { case (v, p) =>
+          if (v != cur && !keepPrior.contains(v)) KbStore.deleteRecursively(p)
         }
       }
     }
   }
 
   def close(vacuumFirst: Boolean = false): Unit = {
-    if (vacuumFirst) vacuum()
+    // closing ends this writer's session — full reclamation is safe
+    if (vacuumFirst) vacuum(retain = 0)
     invalidate()
   }
 }

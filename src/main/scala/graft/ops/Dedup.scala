@@ -354,20 +354,37 @@ object Dedup {
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("component")).as("keep"))
 
-  /** Embedding-cosine near-dup pairs above a threshold. Exact all-pairs
-    * variant (the verification baseline) — scored with the codegen'd
-    * packed-f32 kernel; the scale path is the sign-LSH bucketing in
-    * [[SimilaritySearch]].
+  /** Embedding-cosine near-dup pairs above a threshold — scored with the
+    * codegen'd packed-f32 kernel. Cardinality switch (mirrors
+    * `KbStore.topPairwiseScores`): up to `exactLimit` vectors the exact
+    * upper-triangle join runs (the verification baseline, O(n²) flops —
+    * fine to ~200k); beyond that, sign-sketch banded candidates + exact
+    * re-verification ([[PairwiseTopK.sketchThresholdPairs]]) take over —
+    * exact precision, banding-bounded recall, and the join shuffles
+    * 32-byte sketches instead of the corpus.
+    *
+    * `bands` is the scale path's recall knob (raise it for thresholds
+    * below ~0.9); it does not affect the exact path.
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+      exactLimit: Long = 200000L, bands: Int = 16): DataFrame = {
     import graft.functions.FloatVecDot.floatVecDot
     import graft.functions.FloatVecPack.floatVecPack
     val packed = emb.select(col("vec_id"), floatVecPack(col("embedding")).as("v"))
-    val a = packed.select(col("vec_id").as("id1"), col("v").as("v1"))
-    val b = packed.select(col("vec_id").as("id2"), col("v").as("v2"))
-    a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        round(floatVecDot(col("v1"), col("v2")), 6).as("cos"))
-      .where(col("cos") >= threshold)
+    if (emb.count() <= exactLimit) {
+      val a = packed.select(col("vec_id").as("id1"), col("v").as("v1"))
+      val b = packed.select(col("vec_id").as("id2"), col("v").as("v2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(floatVecDot(col("v1"), col("v2")), 6).as("cos"))
+        .where(col("cos") >= threshold)
+    } else {
+      val dim = emb.select(size(col("embedding"))).limit(1)
+        .collect().head.getInt(0)
+      PairwiseTopK.sketchThresholdPairs(
+          packed.select(col("vec_id").as("id"), col("v").as("vec")),
+          dim, threshold, bands = bands)
+        .select(col("id1"), col("id2"), col("score").as("cos"))
+    }
   }
 }

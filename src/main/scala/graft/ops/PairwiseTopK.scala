@@ -192,23 +192,21 @@ object PairwiseTopK {
     ordered.limit(k)
   }
 
-  /** Approximate top-k pairs at corpus scale: sign-sketch banding +
-    * Hamming prefilter + exact re-rank of the best `rerank` candidates.
+  /** b-bit hyperplane sign sketch per vector + its band keys, as
+    * (id LONG, sk ARRAY<LONG>, bkeys ARRAY<LONG>). The hyperplane matrix
+    * is regenerated per partition from the seed (deterministic, a few
+    * MB) — never broadcast, never shuffled. Shared candidate machinery
+    * for [[sketchTopKPairs]] and [[sketchThresholdPairs]].
     */
-  def sketchTopKPairs(packed: DataFrame, dim: Int, k: Int,
-      sketchBits: Int = 256, bands: Int = 16, rerank: Int = 20000,
-      seed: Long = 42L, refTie: Boolean = false): DataFrame = {
+  def signSketches(packed: DataFrame, dim: Int, sketchBits: Int,
+      bands: Int, seed: Long): DataFrame = {
     require(sketchBits % 64 == 0 && sketchBits % bands == 0,
       "sketchBits must be a multiple of 64 and of bands")
     val spark = packed.sparkSession
     import spark.implicits._
     val words = sketchBits / 64
     val bandBits = sketchBits / bands
-
-    // 1. b-bit hyperplane sign sketch per vector + its band keys. The
-    // hyperplane matrix is regenerated per partition from the seed
-    // (deterministic, a few MB) — never broadcast, never shuffled.
-    val sketches = packed.select(col("id"), col("vec")).rdd
+    packed.select(col("id"), col("vec")).rdd
       .mapPartitions { it =>
         val rnd = new java.util.Random(seed)
         val hp = Array.fill(sketchBits * dim)(rnd.nextGaussian())
@@ -242,6 +240,16 @@ object PairwiseTopK {
         }
       }
       .toDF("id", "sk", "bkeys")
+  }
+
+  /** Approximate top-k pairs at corpus scale: sign-sketch banding +
+    * Hamming prefilter + exact re-rank of the best `rerank` candidates.
+    */
+  def sketchTopKPairs(packed: DataFrame, dim: Int, k: Int,
+      sketchBits: Int = 256, bands: Int = 16, rerank: Int = 20000,
+      seed: Long = 42L, refTie: Boolean = false): DataFrame = {
+    // 1. sketches (shared machinery)
+    val sketches = signSketches(packed, dim, sketchBits, bands, seed)
 
     // 2. banded collisions → candidate pairs ranked by full-sketch Hamming
     val banded = sketches.select(col("id"), col("sk"),
@@ -270,5 +278,50 @@ object PairwiseTopK {
       if (refTie) exact.orderBy(desc("score"), desc("id2"), desc("id1"))
       else exact.orderBy(desc("score"), col("id1"), col("id2"))
     ordered.limit(k)
+  }
+
+  /** ALL pairs above a cosine threshold, approximately, at corpus scale:
+    * the threshold-mining face of the sketch machinery (near-dup mining
+    * calls this, not top-k). Candidates are in-band sketch collisions; a
+    * full-sketch Hamming cutoff derived from the threshold (expected
+    * Hamming of a cos-s pair is `bits·acos(s)/π`, padded by
+    * `hammingSlack`) kills the near-orthogonal bulk before any vector is
+    * joined; survivors are re-scored EXACTLY and filtered on the true
+    * threshold — so precision is exact and only recall is approximate.
+    *
+    * Recall is single-probe banding recall: strong for genuine near-dup
+    * grades (cos ≳ 0.9 with the defaults); for lower thresholds raise
+    * `bands` (narrower band keys → more candidates). Returns
+    * (id1, id2, score) with id1 < id2, unordered.
+    */
+  def sketchThresholdPairs(packed: DataFrame, dim: Int, threshold: Double,
+      sketchBits: Int = 256, bands: Int = 16, seed: Long = 42L,
+      hammingSlack: Double = 1.25): DataFrame = {
+    val sketches = signSketches(packed, dim, sketchBits, bands, seed)
+    val maxHam = math.min(sketchBits.toDouble, sketchBits *
+      math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi *
+        hammingSlack).toInt
+
+    val banded = sketches.select(col("id"), col("sk"),
+      posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id1"), col("sk").as("sk1"))
+    val c = banded.select(col("band"), col("bkey"),
+      col("id").as("id2"), col("sk").as("sk2"))
+    val cands = a.join(c, Seq("band", "bkey"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("aggregate(zip_with(sk1, sk2, (x, y) -> bit_count(x ^ y)), 0, (s, h) -> s + h)")
+          .as("hamming"))
+      .where(col("hamming") <= maxHam)
+      .select(col("id1"), col("id2")).distinct()
+
+    import graft.functions.FloatVecDot.floatVecDot
+    val v1 = packed.select(col("id").as("id1"), col("vec").as("v1"))
+    val v2 = packed.select(col("id").as("id2"), col("vec").as("v2"))
+    cands.join(v1, "id1").join(v2, "id2")
+      .select(col("id1"), col("id2"),
+        round(floatVecDot(col("v1"), col("v2")), 6).as("score"))
+      .where(col("score") >= threshold)
   }
 }

@@ -67,14 +67,21 @@ object SimilaritySearch {
     * @param centroids small DataFrame (cid LONG, cvec ARRAY<FLOAT>)
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("cscore"), col("cid"))
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        dot(asDouble(col("embedding")), asDouble(col("cvec"))).as("cscore"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    // The centroid set is tiny by definition, so collapse it to a single
+    // array-of-structs row and broadcast that: the per-vector argmax is
+    // then one narrow fold per row — zero shuffle, no n×k row expansion
+    // surviving the stage, and no Window sort (the old implementation
+    // shuffled the corpus k× through row_number). Ties go to the smaller
+    // centroid id via struct-ordered array_max on (score, -cid).
+    val centsRow = centroids
+      .agg(collect_list(struct(col("cid"), asDouble(col("cvec")).as("cv")))
+        .as("cents"))
+    val best = array_max(transform(col("cents"), c =>
+      struct(dot(asDouble(col("embedding")), c.getField("cv")).as("s"),
+        (-c.getField("cid")).as("ncid"))))
+    emb.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("embedding"),
+        (-best.getField("ncid")).as("cid"))
   }
 
   /** IVF query: probe the top `nProbe` centroids for the query vector,

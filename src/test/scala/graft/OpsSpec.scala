@@ -171,6 +171,38 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("embeddingNearDups scale path: exact precision, banding recall >= 0.9") {
+    val exact = Dedup.embeddingNearDups(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // force the >exactLimit branch on the same corpus; this corpus's
+    // pairs sit at cos ~0.4-0.5 (not near-dup grade), so crank bands to
+    // 64 (4-bit keys) — the documented recall knob for low thresholds
+    val sketch = Dedup.embeddingNearDups(emb, 0.4, exactLimit = 10L,
+      bands = 64).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sketch.subsetOf(exact),
+      "every sketch-path pair is re-verified exactly — zero false positives")
+    assert((exact & sketch).size >= math.ceil(exact.size * 0.9).toInt,
+      s"sketch-path recall = ${(exact & sketch).size}/${exact.size}")
+  }
+
+  test("ivfAssign plan has no Window or Sort (broadcast argmax, not row_number)") {
+    import spark.implicits._
+    val cents = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val assigned = SimilaritySearch.ivfAssign(emb, cents)
+    val plan = assigned.queryExecution.executedPlan
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      "assignment stage must not sort")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "assignment stage must not use a Window")
+    // semantics: vec 0 is itself centroid 0 → unit self-score wins
+    val c0 = assigned.filter($"vec_id" === 0L).select($"cid").head.getLong(0)
+    assert(c0 == 0L)
+  }
+
   test("csv ingestion: trim + distinct (S9 notebook pipeline)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.KbStore
+
+/** Scale-posture tests for the store's mutation and maintenance paths:
+  * edge-uniqueness must not materialize the edges table on the driver
+  * (reference M8/M9, `kb.py:634-679`), and vacuum must not delete the
+  * version an in-flight reader resolved (retention extension over
+  * `kb.py:831-834`).
+  */
+class StoreScaleSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-kb").resolve("kb").toString
+
+  test("addEdges checks (src,dst,rel) uniqueness against a 1M-row edge table without collecting it") {
+    import spark.implicits._
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    // Overwrite the v0 edges table with 1M synthetic edges — a table that
+    // at real scale must never be collect()ed into the driver. The
+    // uniqueness probe is a broadcast left-semi join of this table
+    // against the new-key set, so only the (≤1 row) clash ever leaves
+    // the executors.
+    spark.range(1L, 1000001L)
+      .select($"id", $"id".as("src"), ($"id" + 1L).as("dst"),
+        lit(1L).as("rel"), lit(null).cast("double").as("weight"),
+        lit(false).as("directed"))
+      .write.mode("overwrite").parquet(s"$path/edges/v0")
+
+    // a clash anywhere in the million rows is detected
+    intercept[IllegalStateException] { kb.addEdge(500000L, 500001L, 1L) }
+    // duplicate inside one batch is detected before touching the table
+    intercept[IllegalStateException] {
+      kb.addEdges(Seq(
+        (7L, 8L, 9L, None, false), (7L, 8L, 9L, Some(1.0), true)))
+    }
+    // a non-clashing key appends
+    kb.addEdge(42L, 43L, 2L)
+    assert(kb.edges.filter($"src" === 42L && $"rel" === 2L).count() == 1L)
+    kb.close()
+  }
+
+  test("vacuum retains the prior version so an in-flight reader survives a commit") {
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    kb.setKey("a", 1L) // keyval v1
+    // a reader resolves the v1 manifest now, lazily — its scan runs later
+    val reader = spark.read.parquet(s"$path/keyval/v1")
+    kb.setKey("b", 2L) // keyval v2 commits underneath the reader
+    kb.vacuum() // default retain=1: keep v2 (current) + v1 (prior)
+    assert(Files.isDirectory(Paths.get(s"$path/keyval/v1")))
+    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v0")))
+    assert(reader.count() == 1L) // the in-flight reader still completes
+    assert(kb.hasKey("a") && kb.hasKey("b"))
+    // retain=0 reclaims everything but the committed version
+    kb.vacuum(retain = 0)
+    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v1")))
+    assert(Files.isDirectory(Paths.get(s"$path/keyval/v2")))
+    assert(kb.hasKey("b"))
+    kb.close()
+  }
+}
