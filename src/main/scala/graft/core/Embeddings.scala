@@ -99,10 +99,10 @@ object Embeddings {
   // user, base_url / truncate / keep_alive — with params persisted into
   // the store meta and rehydrated by [[fromParams]] exactly like
   // `make_embeddings_func` (`embeddings/__init__.py:19-31`). The HTTP
-  // call itself goes through a pluggable [[HttpTransport]]: this
-  // environment has zero egress, so the default transport refuses with a
-  // clear error and tests inject an in-process fake — the config ADT,
-  // persistence, and batching are the real, tested surface.
+  // call goes through a pluggable [[HttpTransport]]; the default is the
+  // real [[JdkHttpTransport]], wire-tested against an in-process
+  // loopback server (ProviderSpec) since this build environment has no
+  // external egress.
   // ------------------------------------------------------------------
 
   /** POST seam: (url, headers, json body) → (status, response body). */
@@ -111,12 +111,39 @@ object Embeddings {
         jsonBody: String): (Int, String)
   }
 
-  /** Default transport for a no-egress environment. */
+  /** Transport that refuses every call — inject where requests must
+    * provably never leave the process.
+    */
   object NoEgressTransport extends HttpTransport {
     def post(url: String, headers: Map[String, String],
         jsonBody: String): (Int, String) =
       throw new UnsupportedOperationException(
-        s"no network egress available for $url — inject an HttpTransport")
+        s"network egress disabled for $url — inject an HttpTransport")
+  }
+
+  /** The real wire transport: JDK `java.net.http.HttpClient` (no extra
+    * dependency), one shared client per JVM so a partition's batched
+    * calls reuse connections — the same POST the reference performs with
+    * aiohttp (`embeddings/openai.py:85-92`, `ollama.py:70-93`).
+    * Status/body are returned raw; [[HttpEmbeddingProvider]] owns the
+    * non-200 error contract. Singleton object ⇒ serializes as a module
+    * reference, and each executor JVM lazily builds its own client.
+    */
+  object JdkHttpTransport extends HttpTransport {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    private lazy val client: HttpClient = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+    def post(url: String, headers: Map[String, String],
+        jsonBody: String): (Int, String) = {
+      val b = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMinutes(5))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(jsonBody,
+          java.nio.charset.StandardCharsets.UTF_8))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
   }
 
   sealed trait HttpProviderConfig extends Serializable {
@@ -218,7 +245,7 @@ object Embeddings {
     */
   final class HttpEmbeddingProvider(
       val config: HttpProviderConfig,
-      transport: HttpTransport = NoEgressTransport) extends EmbeddingProvider {
+      transport: HttpTransport = JdkHttpTransport) extends EmbeddingProvider {
     def name: String = config.providerName
     override def params: Map[String, String] = config.params
     def dim: Int = config.dimHint
@@ -236,7 +263,7 @@ object Embeddings {
     * rehydrate a provider from its persisted params.
     */
   def fromParams(params: Map[String, String],
-      transport: HttpTransport = NoEgressTransport): EmbeddingProvider =
+      transport: HttpTransport = JdkHttpTransport): EmbeddingProvider =
     params.getOrElse("provider",
       throw new IllegalArgumentException("params missing 'provider'")) match {
       case "mock" => MockProvider()

@@ -8,9 +8,9 @@ import java.util.zip.GZIPInputStream
 /** Source-fetch utilities (SURVEY §2.1 S2/S3): a sha256-keyed local
   * cache with atomic `.tmp`+rename population, and transparent `.gz`
   * decompression with mtime freshness — reproducing
-  * `/root/reference/src/svs/util.py:96-187`. This environment is
-  * zero-egress, so the fetcher handles `file://` URLs and local paths;
-  * an HTTP transport slots into [[fetch]] behind the same cache.
+  * `/root/reference/src/svs/util.py:96-187`. The default [[HttpFetcher]]
+  * performs real `http(s)` GETs via the JDK HttpClient (loopback-tested
+  * in ScaleAddSpec) and handles `file://` URLs and local paths too.
   */
 object SourceCache {
 
@@ -32,9 +32,33 @@ object SourceCache {
       val src = if (url.startsWith("file://")) Paths.get(new java.net.URI(url))
         else if (!url.contains("://")) Paths.get(url)
         else throw new IllegalArgumentException(
-          s"no network egress available for $url — inject a UrlFetcher")
+          s"network egress disabled for $url — inject a UrlFetcher")
       require(Files.exists(src), s"unsupported or missing source: $url")
       Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The real fetcher: `http(s)` URLs stream straight to the tmp file
+    * via the JDK HttpClient (the reference's aiohttp GET,
+    * `util.py:129-135` — non-200 raises and populates nothing);
+    * everything else delegates to [[LocalFetcher]], so this is a strict
+    * superset and the default for [[fetch]].
+    */
+  object HttpFetcher extends UrlFetcher {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    private lazy val client: HttpClient = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(HttpClient.Redirect.NORMAL).build()
+    def download(url: String, tmp: Path): Unit = {
+      if (!url.startsWith("http://") && !url.startsWith("https://"))
+        return LocalFetcher.download(url, tmp)
+      val req = HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+      if (resp.statusCode() != 200) {
+        Files.deleteIfExists(tmp)
+        throw new java.io.IOException(
+          s"GET $url failed with status ${resp.statusCode()}")
+      }
     }
   }
 
@@ -55,7 +79,7 @@ object SourceCache {
     * `util.py:96-136`.
     */
   def fetch(url: String, cacheDir: String = ".remote_cache",
-            fetcher: UrlFetcher = LocalFetcher): Path = {
+            fetcher: UrlFetcher = HttpFetcher): Path = {
     val dir = Paths.get(cacheDir)
     Files.createDirectories(dir)
     val target = dir.resolve(sha256Hex(url) + ext(url))
@@ -104,6 +128,6 @@ object SourceCache {
     * `kb.py:930`).
     */
   def resolve(url: String, cacheDir: String = ".remote_cache",
-              fetcher: UrlFetcher = LocalFetcher): Path =
+              fetcher: UrlFetcher = HttpFetcher): Path =
     resolveUncompressed(fetch(url, cacheDir, fetcher))
 }

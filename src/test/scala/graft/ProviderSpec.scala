@@ -86,9 +86,127 @@ class ProviderSpec extends SparkSpec {
     assert(e.getMessage.contains("status=500"))
   }
 
-  test("default transport refuses: zero-egress environment") {
-    val p = new HttpEmbeddingProvider(OpenAiConfig(apiKey = Some("k")))
+  test("NoEgressTransport refuses when egress is explicitly disabled") {
+    val p = new HttpEmbeddingProvider(
+      OpenAiConfig(apiKey = Some("k")), NoEgressTransport)
     intercept[UnsupportedOperationException] { p.embed(Seq("x")) }
+  }
+
+  // ---------------------------------------------------------------
+  // real-wire tests: JdkHttpTransport against an in-process loopback
+  // server — true HTTP parity with the reference's aiohttp POSTs
+  // (openai.py:85-92, ollama.py:70-93) without external egress
+  // ---------------------------------------------------------------
+
+  /** Loopback server speaking the ollama + openai response dialects. */
+  private final class LoopbackServer {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val requests = new scala.collection.mutable.ArrayBuffer[
+      (String, String, String)] // (path, auth header, body)
+    private def countInputs(body: String): Int =
+      body.split("\"input\":\\[")(1).takeWhile(_ != ']').count(_ == '"') / 2
+    private def reply(ex: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    private def record(ex: HttpExchange): String = {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      requests.synchronized {
+        requests += ((ex.getRequestURI.getPath,
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
+          body))
+      }
+      body
+    }
+    private val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/embed", (ex: HttpExchange) => {
+      val n = countInputs(record(ex))
+      reply(ex, 200, s"""{"embeddings":[${
+        Seq.fill(n)("[0.6,0.8,0.0]").mkString(",")}]}""")
+    })
+    server.createContext("/v1/embeddings", (ex: HttpExchange) => {
+      val n = countInputs(record(ex))
+      reply(ex, 200, s"""{"data":[${(0 until n).map(i =>
+        s"""{"index":$i,"embedding":[0.6,0.8,0.0]}""").mkString(",")}]}""")
+    })
+    server.createContext("/fail", (ex: HttpExchange) => {
+      record(ex)
+      reply(ex, 503, """{"error":{"message":"overloaded"}}""")
+    })
+    server.start()
+    def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("ollama over real HTTP: JdkHttpTransport + loopback server, end to end") {
+    val srv = new LoopbackServer
+    try {
+      val cfg = OllamaConfig(model = "nomic-embed-text", truncate = true,
+        keepAlive = "5m", baseUrl = Some(srv.base))
+      val p = new HttpEmbeddingProvider(cfg, JdkHttpTransport)
+      val out = p.embed(Seq("first", "second"))
+      assert(out.length == 2 && out.head.toSeq == Seq(0.6f, 0.8f, 0.0f))
+      val (path, _, body) = srv.requests.head
+      assert(path == "/api/embed")
+      assert(body.contains(""""model":"nomic-embed-text""""))
+      assert(body.contains(""""input":["first","second"]"""))
+      // and the magnitude gate accepts the unit vectors it returned
+      Embeddings.checkMagnitude(out)
+    } finally srv.stop()
+  }
+
+  test("openai wire shape over real HTTP: POST body, auth header, parse") {
+    val srv = new LoopbackServer
+    try {
+      val cfg = OpenAiConfig(model = "text-embedding-3-small",
+        apiKey = Some("sk-test"), dimensions = Some(3))
+      // the reference pins the public endpoint URL; aim the same POST at
+      // the loopback path to exercise the wire without egress
+      val (status, body) = JdkHttpTransport.post(
+        s"${srv.base}/v1/embeddings", cfg.headers(),
+        cfg.payload(Seq("hello")))
+      assert(status == 200)
+      val vecs = cfg.parse(body, 1)
+      assert(vecs.head.toSeq == Seq(0.6f, 0.8f, 0.0f))
+      val (path, auth, seen) = srv.requests.head
+      assert(path == "/v1/embeddings")
+      assert(auth == "Bearer sk-test")
+      assert(seen.contains(""""encoding_format":"float""""))
+      assert(seen.contains(""""dimensions":3"""))
+    } finally srv.stop()
+  }
+
+  test("non-200 over real HTTP raises with status and body") {
+    val srv = new LoopbackServer
+    try {
+      // transport surfaces the raw status/body...
+      val (status, body) = JdkHttpTransport.post(
+        s"${srv.base}/fail", Map.empty, """{"x":1}""")
+      assert(status == 503 && body.contains("overloaded"))
+      // ...and the provider turns any non-200 into the error contract
+      // (here a 404: the loopback server has no /missing/api/embed route)
+      val p = new HttpEmbeddingProvider(
+        OllamaConfig(model = "m", baseUrl = Some(s"${srv.base}/missing")),
+        JdkHttpTransport)
+      val e = intercept[RuntimeException] { p.embed(Seq("x")) }
+      assert(e.getMessage.contains("status=404"))
+    } finally srv.stop()
+  }
+
+  test("cached provider over real HTTP: identical batch hits the wire once") {
+    val srv = new LoopbackServer
+    try {
+      Embeddings.ProviderCache.clear()
+      val p = Embeddings.cached(new HttpEmbeddingProvider(
+        OllamaConfig(model = "m", baseUrl = Some(srv.base)), JdkHttpTransport))
+      p.embed(Seq("same text"))
+      p.embed(Seq("same text"))
+      assert(srv.requests.size == 1, "second call must be served from cache")
+    } finally srv.stop()
   }
 
   test("LRU cache: batch-keyed hits, eviction at maxSize (util.py:51-93)") {

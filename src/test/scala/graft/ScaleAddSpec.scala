@@ -71,12 +71,13 @@ class ScaleAddSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(out) == m1)
   }
 
-  test("source cache: injected transport, single-flight, no-egress default") {
+  test("source cache: injected transport, single-flight, local-only refusal") {
     val cache = Files.createTempDirectory("graft-cache2").toString
 
-    // the default fetcher refuses remote schemes in this environment
+    // the local-only fetcher refuses remote schemes when injected
     intercept[IllegalArgumentException] {
-      SourceCache.fetch("https://example.com/data.txt", cache)
+      SourceCache.fetch("https://127.0.0.1:1/data.txt", cache,
+        SourceCache.LocalFetcher)
     }
 
     // injected transport: downloads exactly once, cache hit after
@@ -102,5 +103,45 @@ class ScaleAddSpec extends SparkSpec {
     } finally pool.shutdown()
     assert(calls.get() == 1)
     assert(SourceCache.fetch(url, cache, fake) != null && calls.get() == 1)
+  }
+
+  test("HttpFetcher: real GET against a loopback server, gz resolve, 404 raises") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val os = new java.util.zip.GZIPOutputStream(bos)
+      os.write("wire payload".getBytes("UTF-8")); os.close()
+      bos.toByteArray
+    }
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/corpus.txt.gz", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      ex.sendResponseHeaders(200, gzBytes.length)
+      ex.getResponseBody.write(gzBytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val cache = Files.createTempDirectory("graft-cache3").toString
+
+      // fetch + inflate in one step — the reference's open-from-URL path
+      val out = SourceCache.resolve(s"$base/corpus.txt.gz", cache)
+      assert(out.getFileName.toString.endsWith(".txt"))
+      assert(Files.readString(out) == "wire payload")
+      assert(hits.get() == 1)
+      // cache hit: no second GET
+      assert(SourceCache.resolve(s"$base/corpus.txt.gz", cache) == out)
+      assert(hits.get() == 1)
+
+      // a 404 raises and leaves nothing in the cache
+      intercept[java.io.IOException] {
+        SourceCache.fetch(s"$base/nope.txt", cache)
+      }
+      assert(!Files.list(java.nio.file.Paths.get(cache)).anyMatch(
+        p => p.getFileName.toString.endsWith(".tmp")))
+    } finally server.stop(0)
   }
 }
