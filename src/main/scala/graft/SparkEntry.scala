@@ -172,6 +172,69 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q4 shape: date-ranged EXISTS — a left-semi join against the
+    // fact table (no subquery re-scan per row; one shuffle on orderkey,
+    // and the semi join short-circuits on the first matching lineitem).
+    "q4_priority_exists" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // TPC-H Q8 shape: share-of-group — one nation's slice of regional
+    // revenue per order year. All dims broadcast; the conditional sum
+    // rides the same aggregate as the total, so the "share" costs no
+    // second pass over the fact table.
+    "q8_market_share" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+      val cn = t(s, dir, "nation")
+        .select($"n_nationkey".as("cn_key"), $"n_regionkey")
+      val sn = t(s, dir, "nation")
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("s_nation"))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(sn), sup("s_nationkey") === col("sn_key"))
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(round(
+          sum(when($"s_nation" === "NATION_3", rev).otherwise(lit(0.0))) /
+            sum(rev), 6).as("mkt_share"))
+        .orderBy($"o_year")
+    }),
+
+    // TPC-H Q20 shape: nested semi — suppliers having shipped "enough"
+    // of a name-filtered part family. Inner aggregate over (part, supp),
+    // then a semi join; the part filter is broadcast into the fact scan.
+    "q20_supplier_semi" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part").filter($"p_name".contains("gizmo"))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val qual = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 100.0)
+        .select($"l_suppkey")
+      sup.join(qual, sup("s_suppkey") === qual("l_suppkey"), "left_semi")
+        .select($"s_name", $"s_nationkey")
+        .orderBy($"s_name")
+    }),
+
     // S9 distinct projection (the ingest notebook's unique()).
     "u3_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -793,6 +856,48 @@ object SparkEntry {
            AND l.l_quantity < (
              SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
              WHERE l2.l_partkey = l.l_partkey)""",
+
+    "q4_priority_exists" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
+
+    "q8_market_share" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+                round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN l.l_extendedprice * (1.0 - l.l_discount)
+                               ELSE 0.0 END) /
+                      sum(l.l_extendedprice * (1.0 - l.l_discount)), 6)
+                  AS mkt_share
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN region r ON cn.n_regionkey = r.r_regionkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY o_year
+         ORDER BY o_year""",
+
+    "q20_supplier_semi" ->
+      """SELECT s.s_name, s.s_nationkey
+         FROM supplier s
+         WHERE s.s_suppkey IN (
+           SELECT q.l_suppkey FROM (
+             SELECT l.l_suppkey, sum(l.l_quantity) AS total_qty
+             FROM lineitem l
+             JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE p.p_name LIKE '%gizmo%'
+             GROUP BY l.l_partkey, l.l_suppkey) q
+           WHERE q.total_qty > 100.0)
+         ORDER BY s.s_name""",
 
     "u3_distinct" ->
       """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque BINARY payloads with typed metadata, and run decode /
   * feature-extract as *batched per-partition* transforms.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): [[FakeDecoder]] derives deterministic pseudo-features
-  * from the payload bytes. Everything Spark-side — schema, binary
-  * column handling, partition-batched UDF shape, and the frame-sampling
-  * explode — is real and tested. Swapping in a real decoder is a
-  * one-function change inside `mapPartitions` (same batch shape a
-  * Pandas-UDF / Arrow batch would have).
+  * [[HeaderDecoder]] really parses the two containers that need no
+  * codec library (BMP headers, WAV RIFF chunks); every other format is
+  * STUBBED (no image/audio libraries in this environment) via
+  * [[FakeDecoder]]'s deterministic pseudo-features. Everything
+  * Spark-side — schema, binary column handling, partition-batched UDF
+  * shape, and the frame-sampling explode — is real and tested. Swapping
+  * in a full decoder is a one-function change inside `mapPartitions`
+  * (same batch shape a Pandas-UDF / Arrow batch would have).
   */
 object Multimodal {
 
@@ -40,6 +41,54 @@ object Multimodal {
     }
   }
 
+  /** Real container parsers for the two formats whose headers need no
+    * codec library — proof that the decode seam carries genuine binary
+    * containers, not just the stub:
+    *
+    *  - BMP (`BM` magic, BITMAPINFOHEADER): width/height are the
+    *    little-endian int32s at offsets 18/22 (height may be negative
+    *    for top-down rows); a still image is 1 frame.
+    *  - WAV (`RIFF…WAVE`): the `fmt ` chunk carries channels /
+    *    sample-rate / block-align; `data`'s size over block-align is the
+    *    sample-frame count. Mapped into [[MediaFeatures]] as
+    *    width = sample rate, height = channels (documented overload —
+    *    the schema stays one struct for all modalities).
+    *
+    * Anything else falls back to [[FakeDecoder]] (disclosed stub: real
+    * image/audio codecs are absent in this environment).
+    */
+  object HeaderDecoder {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def decode(r: MediaRow): MediaFeatures = {
+      val p = r.payload
+      if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+        MediaFeatures(r.media_id, "image", p.length,
+          width = le32(p, 18), height = math.abs(le32(p, 22)), n_frames = 1)
+      else if (p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
+        var (o, rate, channels, blockAlign, dataSize) = (12, 0, 0, 1, 0)
+        while (o + 8 <= p.length) {
+          val (id, sz) = (tag(p, o), le32(p, o + 4))
+          if (id == "fmt " && o + 24 <= p.length) {
+            channels = le16(p, o + 10)
+            rate = le32(p, o + 12)
+            blockAlign = math.max(1, le16(p, o + 20))
+          } else if (id == "data") dataSize = sz
+          o += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        MediaFeatures(r.media_id, "audio", p.length,
+          width = rate, height = channels,
+          n_frames = math.max(dataSize / blockAlign, 1))
+      } else FakeDecoder.decode(r)
+    }
+  }
+
   /** Wrap a documents table as a media table (text bytes standing in for
     * a real payload column).
     */
@@ -52,12 +101,14 @@ object Multimodal {
     * shape keeps decoder init cost amortized per partition, exactly like
     * an Arrow-batched UDF at scale).
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame,
+      decoder: MediaRow => MediaFeatures =
+        HeaderDecoder.decode): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       // decoder/session init would happen once per partition here
-      it.map(FakeDecoder.decode)
+      it.map(decoder)
     }
   }
 

@@ -82,6 +82,63 @@ object StreamingIngest {
       }
   }
 
+  /** Internal per-user state of [[sessionizeEventTime]]: parallel
+    * primitive arrays (tuple-list state trips codegen'd encoders; must
+    * be public for the generated encoder to reach it).
+    */
+  case class EventBuffer(ts: Array[Long], vals: Array[Double])
+
+  /** Event-time sessionization — the replayable variant of [[sessionize]]
+    * (which uses processing-time timeouts and so depends on wall-clock
+    * arrival). Events may arrive out of order up to the watermark: they
+    * land in a per-user buffer, and a session is emitted only once the
+    * watermark has passed `end + gap` — at that point no event that could
+    * still extend it can arrive, so replaying the log yields identical
+    * sessions (and identical results to the batch gap-split twin,
+    * SparkEntry `e2_sessionize`). Per-user state is bounded by the events
+    * inside the watermark horizon plus the open session's span.
+    */
+  def sessionizeEventTime(events: Dataset[UserEvent], gapMs: Long,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EventBuffer, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, it, state: GroupState[EventBuffer]) =>
+          val incoming = it.map(e => (e.ts.getTime, e.value)).toList
+          val held = state.getOption
+            .map(b => b.ts.zip(b.vals).toList).getOrElse(Nil)
+          val buf = (held ++ incoming).sortBy(_._1)
+          val wm = state.getCurrentWatermarkMs()
+          // gap-split the ordered buffer into sessions (newest first)
+          val sessions = buf.foldLeft(List.empty[List[(Long, Double)]]) {
+            // sessions and their events are built newest-first, so
+            // cur's head is the latest event seen
+            case ((cur @ (last :: _)) :: rest, e)
+                if e._1 - last._1 <= gapMs => (e :: cur) :: rest
+            case (acc, e) => List(e) :: acc
+          }.map(_.reverse).reverse
+          // a session is final once the watermark passed its end + gap:
+          // events ≤ wm are all here, events > wm start a new session
+          val (closed, open) = sessions.partition(s => s.last._1 + gapMs <= wm)
+          val out = closed.map { s =>
+            Session(userId, new java.sql.Timestamp(s.head._1),
+              new java.sql.Timestamp(s.last._1), s.size.toLong,
+              s.map(_._2).sum)
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            val flat = open.flatten
+            state.update(EventBuffer(
+              flat.map(_._1).toArray, flat.map(_._2).toArray))
+            state.setTimeoutTimestamp(
+              math.max(open.last.last._1 + gapMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming embed-and-pack stage: the `bulk_add_docs` backfill
     * (provider called in partition batches of 200) as a streaming-safe
     * transform. Output schema: (doc_id, text, vec BINARY packed f32).

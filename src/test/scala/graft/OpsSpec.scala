@@ -171,6 +171,46 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("media decode seam: real BMP and WAV headers parse through the pipeline") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+    // hand-built 640×480 BMP: "BM" + 12 header bytes + BITMAPINFOHEADER
+    // (width at offset 18, height at 22)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(640) ++ le32(480) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](24)(0)
+
+    // hand-built PCM WAV: RIFF/WAVE + fmt (stereo, 44100 Hz,
+    // block align 4) + data chunk of 40 bytes = 10 sample frames
+    val fmt = le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+      le16(4) ++ le16(16)
+    val data = Array.fill[Byte](40)(7)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", bmp),
+      Multimodal.MediaRow(2L, "audio", wav),
+      Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(media)
+      .collect().sortBy(_.media_id)
+
+    assert(feats(0) == Multimodal.MediaFeatures(1L, "image", bmp.length,
+      640, 480, 1))
+    // WAV: width = sample rate, height = channels, frames = data/blockAlign
+    assert(feats(1) == Multimodal.MediaFeatures(2L, "audio", wav.length,
+      44100, 2, 10))
+    // unknown container falls back to the disclosed stub
+    assert(feats(2) == Multimodal.FakeDecoder.decode(
+      Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8"))))
+  }
+
   test("embeddingNearDups scale path: exact precision, banding recall >= 0.9") {
     val exact = Dedup.embeddingNearDups(emb, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -57,6 +57,72 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 2L, 3.0)))
   }
 
+  test("event-time sessionize: out-of-order replay equals the batch gap-split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 600000L // 10 min, same as the e2 batch twin
+
+    val evs = Tables.t(spark, sf("0.001"), "events")
+      .filter($"user_id" < 5L)
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .as[UserEvent].collect().toSeq
+    assert(evs.nonEmpty)
+
+    // expected: per-user ascending-time gap split (e2_sessionize semantics)
+    val expected = evs.groupBy(_.user_id).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(_.ts.getTime)
+      val sessions = sorted.foldLeft(List.empty[List[UserEvent]]) {
+        case ((cur @ (last :: _)) :: rest, e)
+            if e.ts.getTime - last.ts.getTime <= gapMs => (e :: cur) :: rest
+        case (acc, e) => List(e) :: acc
+      }.map(_.reverse).reverse
+      sessions.map(s => (uid, s.head.ts.getTime, s.last.ts.getTime,
+        s.size.toLong, math.round(s.map(_.value).sum * 1e4) / 1e4))
+    }.toSet
+
+    // stream the SAME events out of order, but bounded by the 1h
+    // watermark: time-ordered slices, each shuffled internally
+    // (unbounded disorder within a micro-batch), and each slice's last
+    // 30 minutes deferred into the NEXT batch (cross-batch lateness
+    // inside the watermark). Then a far-future sentinel advances the
+    // watermark past every session so all of them close.
+    val rnd = new scala.util.Random(7)
+    val sorted = evs.sortBy(_.ts.getTime)
+    val slices0 = sorted.grouped(sorted.size / 4 + 1).toSeq
+    var carry = Seq.empty[UserEvent]
+    val slices = slices0.zipWithIndex.map { case (s, i) =>
+      val all = carry ++ s
+      if (i == slices0.size - 1) { carry = Nil; rnd.shuffle(all) }
+      else {
+        val cutoff = s.map(_.ts.getTime).max - 1800000L
+        val (stay, defer) = all.partition(_.ts.getTime < cutoff)
+        carry = defer
+        rnd.shuffle(stay)
+      }
+    }
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinel = UserEvent(999L,
+      new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000), "flush", 0.0)
+
+    val stream = MemoryStream[UserEvent]
+    val q = StreamingIngest.sessionizeEventTime(stream.toDS(), gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    slices.foreach { s => stream.addData(s); q.processAllAvailable() }
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    // one more batch so the advanced watermark fires the timeouts
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_out")
+      .filter($"user_id" < 5L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3),
+        math.round(r.getDouble(4) * 1e4) / 1e4)).toSet
+    assert(got == expected,
+      s"streamed ${got.size} sessions, expected ${expected.size}")
+  }
+
   test("streaming ingest: embed stage through a parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
