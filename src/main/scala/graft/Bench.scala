@@ -71,11 +71,18 @@ object Bench {
       }
     }
 
+    // median of SPARK_GRAFT_REPS runs (default 3): single runs vary
+    // 2-3× with VM/GC noise, and a median is what the baseline rows are
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
-      clearState()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearState()
+        dt
+      }
+      results(name) = times.sorted.apply(times.size / 2)
     }
 
     // ---- part 2: reference protocol (cold-then-warm retrieval) ----
@@ -99,19 +106,36 @@ object Bench {
           sketchBits = 320, bands = 16, rerank = 20000)
           .collect()
       }
+      // threshold near-dup mining at the same 1M × d1536 scale: the
+      // embeddingNearDups scale path (sketch banding + Hamming cutoff +
+      // exact verify). A random corpus has no cos ≥ 0.8 pairs, so this
+      // measures the candidate pipeline itself completing at 1M.
+      results("svs_neardup_1m") = timed {
+        graft.ops.PairwiseTopK.sketchThresholdPairs(
+          corpus1m, dim = Dim, threshold = 0.8).count()
+      }
       corpus1m.unpersist()
       KbStoreCleanup.delete(kept1m)
 
       // text-only bulk load — the phase the reference's 0.07s @ 10k and
-      // 8s @ 1M numbers measure (fn2 in BASELINE.md)
+      // 8s @ 1M numbers measure (fn2 in BASELINE.md). Writes are
+      // coalesced to ~1 task per 100k rows: a 32-task write of 10k rows
+      // times Spark's task-dispatch floor, not the load.
+      // untimed warmup: the very first string-column parquet write pays
+      // ~1.2s of one-time classload/JIT; the reference's 0.07s SQLite
+      // number is steady-state, so ours should be too
+      syntheticDocs(spark, 100).coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_bench_docs_warm")
+      KbStoreCleanup.delete("/tmp/graft_bench_docs_warm")
       Seq(10548L -> "10k", 1000000L -> "1m").foreach { case (n, tag) =>
         val docsPath = s"/tmp/graft_bench_docs_$tag"
         KbStoreCleanup.delete(docsPath)
         val docsDf = syntheticDocs(spark, n)
           .persist(StorageLevel.MEMORY_AND_DISK)
         docsDf.count() // generation excluded, like the reference's
+        val parts = math.max(1, (n / 100000L).toInt)
         results(s"svs_load_docs_$tag") = timed {
-          docsDf.write.mode("overwrite").parquet(docsPath)
+          docsDf.coalesce(parts).write.mode("overwrite").parquet(docsPath)
         }
         docsDf.unpersist()
         KbStoreCleanup.delete(docsPath)
@@ -124,9 +148,12 @@ object Bench {
     // workload annotations: which engine numbers pair with which
     // BASELINE.md rows (and which have no published counterpart)
     val notes = Seq(
+      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol, timed once",
       "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
       "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
-      "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart"
+      "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",
+      "svs_neardup_1m" -> "threshold near-dup candidates + exact verify over 1M x d1536 (embeddingNearDups scale path); random corpus has no qualifying pairs, so this measures the pipeline completing at 1M; no published counterpart",
+      "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":$notes}""")
