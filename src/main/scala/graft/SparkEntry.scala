@@ -172,6 +172,41 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // As-of join (scale extension; no reference counterpart): for each
+    // purchase the latest at-or-before view by the same user — a single
+    // key-shuffle Window carry-forward, not a per-row range probe.
+    "o1_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"us".as("p_us"))
+      val v = e.filter($"event_type" === "view")
+        .select($"user_id", $"us".as("v_us"), $"value".as("v_value"))
+      graft.ops.TimeJoins.asofJoin(p, v, "user_id", "p_us", "v_us")
+        .filter($"r_v_us".isNotNull)
+        .select($"user_id", $"p_id", $"p_us", $"r_v_us".as("v_us"),
+          round($"r_v_value", 4).as("v_value"))
+        .orderBy($"user_id", $"p_us", $"p_id")
+    }),
+
+    // Bucketed range join (scale extension): views within the hour
+    // before each purchase — time quantized into 1h buckets turns the
+    // theta join into an equi-join + residual filter.
+    "o2_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"us".as("p_us"))
+      val v = e.filter($"event_type" === "view")
+        .select($"user_id", $"us".as("v_us"), $"value".as("v_value"))
+      graft.ops.TimeJoins.rangeJoinBucketed(p, v, "user_id", "p_us", "v_us",
+          before = 3600000000L, after = 0L)
+        .groupBy($"user_id", $"p_id", $"p_us")
+        .agg(count(lit(1)).as("n_views"),
+          round(sum($"r_v_value"), 4).as("sum_value"))
+        .orderBy($"user_id", $"p_us", $"p_id")
+    }),
+
     // TPC-H Q4 shape: date-ranged EXISTS — a left-semi join against the
     // fact table (no subquery re-scan per row; one shuffle on orderkey,
     // and the semi join short-circuits on the first matching lineitem).
@@ -856,6 +891,34 @@ object SparkEntry {
            AND l.l_quantity < (
              SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
              WHERE l2.l_partkey = l.l_partkey)""",
+
+    "o1_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_ns(ts) // 1000 AS us FROM events),
+           p AS (SELECT user_id, event_id AS p_id, us AS p_us
+                 FROM e WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, us AS v_us, value AS v_value
+                 FROM e WHERE event_type = 'view')
+         SELECT p.user_id, p.p_id, p.p_us, v.v_us,
+                round(v.v_value, 4) AS v_value
+         FROM p ASOF JOIN v
+           ON p.user_id = v.user_id AND v.v_us <= p.p_us
+         ORDER BY p.user_id, p.p_us, p.p_id""",
+
+    "o2_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_ns(ts) // 1000 AS us FROM events),
+           p AS (SELECT user_id, event_id AS p_id, us AS p_us
+                 FROM e WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, us AS v_us, value AS v_value
+                 FROM e WHERE event_type = 'view')
+         SELECT p.user_id, p.p_id, p.p_us,
+                count(*) AS n_views, round(sum(v.v_value), 4) AS sum_value
+         FROM p JOIN v
+           ON p.user_id = v.user_id
+          AND v.v_us BETWEEN p.p_us - 3600000000 AND p.p_us
+         GROUP BY p.user_id, p.p_id, p.p_us
+         ORDER BY p.user_id, p.p_us, p.p_id""",
 
     "q4_priority_exists" ->
       """SELECT o.o_orderpriority, count(*) AS order_count

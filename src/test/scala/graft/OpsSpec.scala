@@ -171,6 +171,31 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("time joins: as-of carry-forward and bucketed range join") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "lt", "ltag")
+    val r = Seq((1L, 90L, "v1"), (1L, 100L, "v2"), (1L, 150L, "v3"),
+      (3L, 10L, "v4")).toDF("k", "rt", "rtag")
+
+    // as-of: latest right at-or-before (inclusive at equal ts); left
+    // rows with no predecessor keep nulls
+    val asof = TimeJoins.asofJoin(l, r, "k", "lt", "rt")
+      .select($"k", $"lt", $"r_rtag").collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getString(2)))).toSet
+    assert(asof == Set((1L, 100L, Some("v2")), (1L, 200L, Some("v3")),
+      (2L, 50L, None)))
+
+    // range join: inclusive bounds, and each qualifying pair produced
+    // exactly once even when the window spans a bucket boundary
+    val rj = TimeJoins.rangeJoinBucketed(l, r, "k", "lt", "rt",
+        before = 50L, after = 0L)
+      .select($"ltag", $"r_rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(rj.length == rj.distinct.length, "no duplicate pairs")
+    assert(rj.toSet == Set(("p1", "v1"), ("p1", "v2"), ("p2", "v3")))
+  }
+
   test("media decode seam: real BMP and WAV headers parse through the pipeline") {
     import spark.implicits._
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
