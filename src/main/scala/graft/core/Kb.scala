@@ -41,6 +41,10 @@ final class Kb private (
   /** `with kb.bulk_del_docs() as del_doc:` */
   def bulkDelDocs(ids: Seq[Long]): Unit = store.bulkDelDocs(ids)
 
+  /** Scale face of bulk delete: ids as a DataFrame, set semantics. */
+  def bulkDelDocsDistributed(ids: org.apache.spark.sql.DataFrame): Unit =
+    store.bulkDelDocsDistributed(ids)
+
   /** `with kb.bulk_query_docs() as q:` (`types.py:156-192`). */
   def bulkQueryDocs[A](body: Kb.DocQuerier => A): A =
     body(new Kb.DocQuerier(store))

@@ -327,6 +327,47 @@ final class KbStore private (
       identity)
   }
 
+  /** M3 at 100 TB: delete an arbitrary-size id set supplied as a
+    * DataFrame with one `id LONG` column. Set semantics — the whole set
+    * leaves atomically, so a parent may be deleted together with its
+    * children in one call (the driver-side [[bulkDelDocs]] instead
+    * honors in-batch order, a contract that cannot distribute). Deleting
+    * a parent whose child survives fails, as does a non-existent id.
+    * Every check is an equi semi/anti join; nothing is collected to the
+    * driver.
+    */
+  def bulkDelDocsDistributed(ids: DataFrame): Unit = {
+    val del = ids.select(col("id").cast("long").as("del_id"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!del.join(docs.toDF(), del("del_id") === col("id"), "left_anti")
+          .isEmpty)
+        throw new NoSuchElementException("some ids do not exist")
+      val survivors = docs.toDF()
+        .join(del, col("id") === del("del_id"), "left_anti")
+      if (!survivors.join(del,
+          survivors("parent_id") === del("del_id"), "left_semi").isEmpty)
+        throw new IllegalStateException(
+          "cannot delete docs that are parents of surviving docs")
+      val embIds = docs.toDF()
+        .join(del, col("id") === del("del_id"), "left_semi")
+        .filter(col("emb_id").isNotNull).select(col("emb_id"))
+      val newEmb = embeddings.toDF()
+        .join(embIds, col("id") === col("emb_id"), "left_anti")
+      // cascade: any edge touching a deleted id in any role goes, like
+      // the point path's disjunctive filter — three equi anti-joins
+      // instead of one non-equi condition (which would nested-loop)
+      var newEdges = edges.toDF()
+      Seq("src", "dst", "rel").foreach { c =>
+        newEdges = newEdges.join(del, newEdges(c) === del("del_id"), "left_anti")
+      }
+      commit(
+        Map("docs" -> survivors, "embeddings" -> newEmb,
+          "edges" -> newEdges),
+        identity)
+    } finally del.unpersist(blocking = false)
+  }
+
   /** M5 set_doc_embedding (`kb.py:526-571`): replace, set, or clear one
     * document's embedding. Without `skipCheckOld` the old embedding row is
     * deleted first (KeyError → NoSuchElementException if the doc is

@@ -45,6 +45,41 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("distributed bulk delete: set semantics, guards, full cascade") {
+    import spark.implicits._
+    import graft.core.Embeddings.MockProvider
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = MockProvider(4)
+    kb.bulkAddDocs(p) { a =>
+      a.add("root")                       // id 1
+      a.add("child", parentId = Some(1L)) // id 2
+      a.add("leaf", parentId = Some(2L))  // id 3
+      a.add("solo")                       // id 4
+      a.add("other")                      // id 5
+    }
+    kb.addEdge(1L, 4L, 5L)
+    kb.addEdge(4L, 5L, 3L)
+
+    // deleting a parent while its child survives fails
+    intercept[IllegalStateException] {
+      kb.bulkDelDocsDistributed(Seq(2L).toDF("id"))
+    }
+    // a non-existent id fails
+    intercept[NoSuchElementException] {
+      kb.bulkDelDocsDistributed(Seq(99L).toDF("id"))
+    }
+    assert(kb.len == 5)
+
+    // parent + child + leaf in ONE set is fine (set semantics), and the
+    // edge cascade removes every edge touching a deleted id in any role
+    kb.bulkDelDocsDistributed(Seq(1L, 2L, 3L).toDF("id"))
+    assert(kb.docs.collect().map(_.id).sorted.toSeq == Seq(4L, 5L))
+    assert(kb.embeddings.collect().map(_.id).sorted.toSeq == Seq(4L, 5L))
+    // edge (1,4,5) died with doc 1; edge (4,5,3) died via rel = 3
+    assert(kb.countEdges == 0)
+    kb.close()
+  }
+
   test("vacuum retains the prior version so an in-flight reader survives a commit") {
     val path = freshPath()
     val kb = KbStore.create(spark, path, Map())
