@@ -613,6 +613,40 @@ object SparkEntry {
         .orderBy($"user_id", $"rn")
     }),
 
+    // Per-group top-k (scale extension): top-3 events by value per
+    // user. Window rank with a total tie order; at small fixed k the
+    // partitioned sort is the right plan (Catalyst pushes the rank
+    // filter into the window's sort as a group limit).
+    "w2_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy(desc("value"), $"us", $"event_id")
+      t(s, dir, "events")
+        .filter($"user_id" < 25L)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"event_id", $"rn".cast("long").as("rn"),
+          round($"value", 4).as("value"))
+        .orderBy($"user_id", $"rn")
+    }),
+
+    // Exact interpolated percentiles per group (scale extension):
+    // Spark's percentile == DuckDB's quantile_cont (both h=(n-1)p
+    // linear interpolation), so the oracle can hash-match an exact
+    // quantile — no sketch needed at these group sizes.
+    "a8_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
     // --- §2.8 M6: KV upsert keep-last semantics as a batch operator
     // (INSERT ON CONFLICT DO UPDATE, kb.py:165-173): last event per user.
     "kv1_keep_last" -> ((s, dir) => {
@@ -891,6 +925,27 @@ object SparkEntry {
            AND l.l_quantity < (
              SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
              WHERE l2.l_partkey = l.l_partkey)""",
+
+    "w2_topk_per_group" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+                           epoch_ns(ts) // 1000 AS us
+                    FROM events WHERE user_id < 25)
+         SELECT user_id, event_id, rn, round(value, 4) AS value FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, us, event_id) AS rn
+           FROM e) ranked
+         WHERE rn <= 3
+         ORDER BY user_id, rn""",
+
+    "a8_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.9), 4) AS p90,
+                count(*) AS n
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "o1_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,

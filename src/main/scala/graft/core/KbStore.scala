@@ -632,11 +632,14 @@ final class KbStore private (
   /** S6 gzip sink analog (`kb.py:1456-1464`): rewrite the current
     * version with the given parquet codec (compaction + recompression —
     * Parquet compresses natively so "gzip the file" becomes a codec
-    * rewrite).
+    * rewrite). `numFiles = 1` mirrors the reference's single-file
+    * output; raise it when a table is large enough that one writer (and
+    * one downstream scan task) would serialize everything.
     */
-  def compact(codec: String = "gzip"): Unit =
+  def compact(codec: String = "gzip", numFiles: Int = 1): Unit =
     commit(
-      KbStore.TableNames.map(name => name -> read(name).coalesce(1)).toMap,
+      KbStore.TableNames.map(name =>
+        name -> read(name).coalesce(math.max(1, numFiles))).toMap,
       identity, codec)
 
   /** Drop old table versions (VACUUM, `kb.py:831-834`). By default the
