@@ -83,6 +83,24 @@ object SparkEntry {
       graft.ops.TextAnalysis.fingerprint(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // duplicate-n-gram boilerplate fraction (span-level dedup signal)
+    "x5_dup_ngram_fraction" -> ((s, dir) =>
+      graft.ops.Dedup.dupNgramFraction(t(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"))),
+
+    // corpus-relative quality gate: docs above the median quality score
+    // (the percentile is a broadcast scalar, not a driver round-trip)
+    "x6_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      val q = graft.ops.TextAnalysis.qualityScore(
+        t(s, dir, "documents"), Seq("the", "a"))
+      val med = q.agg(expr("percentile(quality, 0.5)").as("med"))
+      q.crossJoin(broadcast(med))
+        .filter($"quality" > $"med")
+        .select($"doc_id", $"quality")
+        .orderBy($"doc_id")
+    }),
+
     // --- dedup family (SURVEY §7.5) --------------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       graft.ops.Dedup.exactDupStats(t(s, dir, "documents"))),
@@ -826,6 +844,43 @@ object SparkEntry {
          SELECT doc_id,
                 sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "x5_dup_ngram_fraction" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(s) >= 3 THEN
+                    list_transform(range(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                  ELSE [] END) AS sg
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(sg) AS sh FROM sh),
+         df AS (SELECT sh, count(DISTINCT doc_id) AS ndocs
+                FROM posts GROUP BY sh)
+         SELECT p.doc_id, count(*) AS n_shingles,
+                sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                round(avg(CASE WHEN d.ndocs > 1 THEN 1.0 ELSE 0.0 END), 6)
+                  AS dup_frac
+         FROM posts p JOIN df d USING (sh)
+         GROUP BY p.doc_id
+         ORDER BY p.doc_id""",
+
+    "x6_quality_filter" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::DOUBLE AS nt,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE AS nu,
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a']))::DOUBLE AS ns
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+                  round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
+                        + (ns / nu) * 0.2, 6) AS quality
+           FROM u)
+         SELECT doc_id, quality FROM q
+         WHERE quality > (SELECT quantile_cont(quality, 0.5) FROM q)
+         ORDER BY doc_id""",
 
     "d4_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

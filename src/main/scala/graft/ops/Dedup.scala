@@ -192,6 +192,35 @@ object Dedup {
     jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
   }
 
+  /** Per-document duplicate-n-gram fraction — the span-level boilerplate
+    * / contamination signal of training-data pipelines (the shingle-set
+    * coarsening of suffix-based substring dedup, cf. Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22): the share of a document's distinct k-gram shingles that
+    * also appear in at least one other document. High fractions mark
+    * template/boilerplate docs that pairwise Jaccard misses when the
+    * duplication is spread across MANY partners.
+    *
+    * Scale shape: one shuffle for the shingle document frequencies, one
+    * equi-join back — identical to the posting-list half of
+    * [[jaccardSimilarityJoin]], with no pairwise stage at all.
+    *
+    * @return (doc_id, n_shingles, n_dup, dup_frac); docs shorter than k
+    *         tokens have no shingles and produce no row.
+    */
+  def dupNgramFraction(docs: DataFrame, k: Int = 3): DataFrame = {
+    val posts = shingles(docs, k)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val df = posts.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    posts.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"),
+        round(avg(when(col("ndocs") > 1, 1.0).otherwise(0.0)), 6)
+          .as("dup_frac"))
+  }
+
   /** Connected components over an undirected pair list (doc1, doc2) by
     * iterative min-label propagation to fixpoint.
     *
