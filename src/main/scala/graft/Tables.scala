@@ -22,8 +22,18 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `ts div 1000`: integer division — epoch-nanos (~1.7e18) would lose
     // precision through double division (floor(ts/1000) is wrong by ±1us).
-    if (name == "events")
+    val typed = if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+    // The corpus tables at test SFs are single-digit-MB parquet files
+    // that bin-pack into ONE scan task, serializing every downstream
+    // operator (the interpreted shingle/minhash pipelines most of all).
+    // A real deployment's scan has one task per split; spreading the
+    // small local file to the session's parallelism restores the
+    // execution shape the operators are designed for. (A ~3MB shuffle
+    // — negligible, and irrelevant at real scale where splits abound.)
+    if (name == "documents" || name == "embeddings")
+      typed.repartition(spark.sparkContext.defaultParallelism)
+    else typed
   }
 }

