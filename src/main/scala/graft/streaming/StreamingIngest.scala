@@ -139,6 +139,18 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose fingerprint was already
+    * seen within the watermark horizon — state is evictable because a
+    * row older than the watermark can never collide with a retained
+    * fingerprint. The streaming face of the batch
+    * `exactDupStats`/fingerprint family: the ingest-time guard a
+    * training-data pipeline runs before anything hits the store.
+    */
+  def streamingExactDedup(rows: DataFrame, fingerprintCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   /** Streaming embed-and-pack stage: the `bulk_add_docs` backfill
     * (provider called in partition batches of 200) as a streaming-safe
     * transform. Output schema: (doc_id, text, vec BINARY packed f32).

@@ -259,6 +259,30 @@ class ProviderSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("distributed bulk add drives real HTTP from the executors") {
+    import org.apache.spark.sql.functions._
+    val srv = new LoopbackServer
+    try {
+      val path = freshPath()
+      val cfg = OllamaConfig(model = "m", baseUrl = Some(srv.base))
+      val p = Embeddings.withMagnitudeCheck(
+        new HttpEmbeddingProvider(cfg, JdkHttpTransport))
+      val kb = KbStore.create(spark, path, cfg.params)
+      import spark.implicits._
+      val docs = spark.range(0, 500)
+        .select(concat(lit("doc "), col("id")).as("text"))
+      // the provider (and its JdkHttpTransport singleton) serializes to
+      // the executor threads; each partition batches its texts into one
+      // POST (batch size 200 > rows per partition here)
+      assert(kb.bulkAddDocsDistributed(docs, p) == 500L)
+      assert(kb.embeddings.count() == 500L)
+      val batches = srv.requests.map(_._3)
+      assert(batches.nonEmpty && batches.size <= 32,
+        s"expected <=1 request per partition, saw ${batches.size}")
+      kb.close()
+    } finally srv.stop()
+  }
+
   test("rehydrate-and-warn on reopen (kb.py:896-922)") {
     val path = freshPath()
     val t = new FakeTransport("ollama")

@@ -97,6 +97,13 @@ class StoreScaleSpec extends SparkSpec {
     assert(!Files.isDirectory(Paths.get(s"$path/keyval/v1")))
     assert(Files.isDirectory(Paths.get(s"$path/keyval/v2")))
     assert(kb.hasKey("b"))
+
+    // a staged-but-never-published version (crashed commit) is NEWER
+    // than the manifest; vacuum always reclaims it
+    Files.createDirectories(Paths.get(s"$path/keyval/v9"))
+    kb.vacuum()
+    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v9")))
+    assert(kb.hasKey("b"))
     kb.close()
   }
 }

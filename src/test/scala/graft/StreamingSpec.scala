@@ -123,6 +123,24 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${got.size} sessions, expected ${expected.size}")
   }
 
+  test("streaming exact dedup: repeated fingerprints within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val out = StreamingIngest.streamingExactDedup(
+      stream.toDF().toDF("fp", "ts"), "fp", "ts", watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    stream.addData(Seq(("a", ts(0)), ("b", ts(1)), ("a", ts(2))))
+    q.processAllAvailable()
+    stream.addData(Seq(("a", ts(3)), ("c", ts(4)))) // 'a' still in state
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("a", "b", "c"))
+  }
+
   test("streaming ingest: embed stage through a parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
