@@ -123,15 +123,24 @@ object Dedup {
   }
 
   /** Exact Jaccard over shingle sets for a pair list (the verification
-    * stage after LSH candidate generation).
+    * stage after LSH candidate generation). Each side's shingle array is
+    * sorted ONCE per document below the join, then every candidate pair
+    * costs one allocation-free merge count
+    * ([[graft.functions.SortedOverlapCount]]) — `array_intersect` +
+    * `array_union` would build a hash set and materialize two arrays per
+    * PAIR. |A ∪ B| = |A| + |B| − |A ∩ B| since shingle sets are distinct.
     */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val s1 = sh.select(col("doc_id").as("doc1"), col("shingles").as("sh1"))
-    val s2 = sh.select(col("doc_id").as("doc2"), col("shingles").as("sh2"))
+    import graft.functions.SortedOverlapCount.sortedOverlapCount
+    val s1 = sh.select(col("doc_id").as("doc1"),
+      array_sort(col("shingles")).as("sh1"))
+    val s2 = sh.select(col("doc_id").as("doc2"),
+      array_sort(col("shingles")).as("sh2"))
+    val inter = sortedOverlapCount(col("sh1"), col("sh2")).cast("double")
     pairs.join(s1, "doc1").join(s2, "doc2")
       .select(col("doc1"), col("doc2"),
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 6).as("jaccard"))
+        round(inter / (size(col("sh1")) + size(col("sh2")) - inter), 6)
+          .as("jaccard"))
   }
 
   /** MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →

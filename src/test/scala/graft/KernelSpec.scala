@@ -91,4 +91,21 @@ class KernelSpec extends SparkSpec {
     assert(math.abs(FloatVecDot.dot(FloatVecDot.pack(a), FloatVecDot.pack(b))
       - expected) < 1e-9)
   }
+
+  test("SortedOverlapCount: merge count equals array_intersect size") {
+    import spark.implicits._
+    import graft.functions.SortedOverlapCount.sortedOverlapCount
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", "", "zz"))
+    checkProp(forAll(gen, gen) { (x: List[String], y: List[String]) =>
+      val row = Seq((x.distinct.sorted.toArray, y.distinct.sorted.toArray))
+        .toDF("a", "b")
+        .select(
+          sortedOverlapCount(col("a"), col("b")).as("m"),
+          size(array_intersect(col("a"), col("b"))).as("ref"))
+        .head()
+      row.getInt(0) == row.getInt(1)
+    }, minSuccessful = 30)
+  }
 }
