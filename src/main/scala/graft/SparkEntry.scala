@@ -114,6 +114,14 @@ object SparkEntry {
       graft.ops.Dedup.simhash(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // banded (pigeonhole-exact) simhash pair mining — the scale path;
+    // the oracle computes the same pairs with a plain all-pairs join
+    "d3b_simhash_banded" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairsBanded(
+          graft.ops.Dedup.simhash(t(s, dir, "documents")), maxHamming = 3)
+        .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc1"), col("doc2"))),
+
     "d4_ngram_jaccard" -> ((s, dir) =>
       // exact n-gram Jaccard similarity join via posting lists (no
       // cross join — see Dedup.jaccardSimilarityJoin scale notes)
@@ -844,6 +852,26 @@ object SparkEntry {
          SELECT doc_id,
                 sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d3b_simhash_banded" ->
+      """WITH ex AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM ex),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+           GROUP BY doc_id, b),
+         sims AS (
+           SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc1, doc2""",
 
     "x5_dup_ngram_fraction" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

@@ -185,6 +185,43 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs at corpus scale — EXACTLY equivalent to
+    * [[simhashPairs]], with no all-pairs stage: split the b-bit
+    * signature into `maxHamming + 1` disjoint bands; two signatures
+    * within `maxHamming` differ in at most that many bands, so by
+    * pigeonhole they agree EXACTLY on at least one band. Candidates are
+    * per-band equi-joins (one shuffle on (band, key)); the exact
+    * Hamming filter then makes precision 1 and the pigeonhole bound
+    * makes recall 1 — this is the classic mod-p partitioning trick of
+    * Manku et al., "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07.
+    */
+  def simhashPairsBanded(sims: DataFrame, maxHamming: Int,
+      bits: Int = 16): DataFrame = {
+    val nb = maxHamming + 1
+    require(nb <= bits, s"need at least $nb bits for hamming $maxHamming")
+    val widths = Array.fill(nb)(bits / nb)
+    (0 until bits % nb).foreach(i => widths(i) += 1)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nb).map { t =>
+        struct(lit(t).as("band"),
+          shiftright(col("simhash"), offsets(t))
+            .bitwiseAND(lit((1L << widths(t)) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc1"), col("simhash").as("sh1"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc2"), col("simhash").as("sh2"))
+    a.join(b, Seq("band", "key")).where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity join via prefix-filtered posting
     * lists (the AllPairs/PPJoin prefix filter, Bayardo et al. WWW'07;
     * also Apache Flink's SSJ examples use the same bound).

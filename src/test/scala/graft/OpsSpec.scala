@@ -172,6 +172,18 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("banded simhash pairs equal the all-pairs formulation exactly") {
+    val sims = Dedup.simhash(docs).cache()
+    val allPairs = Dedup.simhashPairs(sims, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashPairsBanded(sims, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(allPairs.nonEmpty)
+    assert(banded == allPairs,
+      s"pigeonhole banding must be exact: ${banded.size} vs ${allPairs.size}")
+    sims.unpersist()
+  }
+
   test("time joins: as-of carry-forward and bucketed range join") {
     import spark.implicits._
     val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
