@@ -245,7 +245,10 @@ final class KbStore private (
       if (withMeta.columns.contains("parent_id")) withMeta
       else withMeta.withColumn("parent_id", lit(null).cast("long"))
 
-    // dense id assignment from the high-water mark
+    // dense id assignment from the high-water mark. Persisted: the
+    // id-bearing frame feeds the parent check, both table writes, and
+    // the added-count — without a persist each of those re-runs
+    // zipWithIndex over the (arbitrarily large) input
     val indexed = withParent
       .select(col("text"), col("parent_id").cast("long"), col("meta"))
       .rdd.zipWithIndex()
@@ -255,6 +258,7 @@ final class KbStore private (
       }
     import spark.implicits._
     val ids = indexed.toDF("id", "parent_id", "text", "meta")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // level derivation: one broadcast-or-shuffle join against existing
     // docs; missing parents fail the job before anything is committed
@@ -281,12 +285,16 @@ final class KbStore private (
 
     val docRows = levelled.select($"id", $"parent_id",
       $"level".cast("int").as("level"), $"text", $"id".as("emb_id"), $"meta")
-    val added = newDocs.count()
-    commit(
-      Map(
-        "docs" -> docs.toDF().union(docRows),
-        "embeddings" -> embeddings.toDF().union(embRows.toDF())),
-      m => m.copy(max_doc_id = n0 + added))
+    // count the persisted id frame, not the source (which would
+    // re-evaluate the caller's input a fourth time)
+    val added = ids.count()
+    try {
+      commit(
+        Map(
+          "docs" -> docs.toDF().union(docRows),
+          "embeddings" -> embeddings.toDF().union(embRows.toDF())),
+        m => m.copy(max_doc_id = n0 + added))
+    } finally ids.unpersist(blocking = false)
     added
   }
 

@@ -345,5 +345,13 @@ class OpsSpec extends SparkSpec {
     val got = Seq((a, b)).toDF("a", "b").createOrReplaceTempView("vv")
     assert(spark.sql("SELECT float_vec_dot(a, b) FROM vv")
       .head().getDouble(0) == 11.0)
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_overlap_count",
+      exprs => graft.functions.SortedOverlapCount(exprs.head, exprs(1)),
+      "built-in")
+    assert(spark.sql(
+      "SELECT sorted_overlap_count(array('a','b','c'), array('b','c','d'))")
+      .head().getInt(0) == 2)
   }
 }
