@@ -112,7 +112,13 @@ final class KbStore private (
         df.write.mode(SaveMode.Overwrite)
           .option("compression", codec).parquet(tableDir(name, next))
       }
-      val pointers = cur.table_versions ++ updated.keys.map(_ -> next)
+      var pointers = cur.table_versions ++ updated.keys.map(_ -> next)
+      // a new embeddings version makes a batch-built ANN index stale:
+      // drop its pointers unless this very commit rebuilt it (the dirs
+      // are reclaimed by the next vacuum)
+      if (updated.contains("embeddings") &&
+          !updated.contains(KbStore.IvfAssignTable))
+        pointers = pointers -- KbStore.IndexTables
       val m = newMeta(cur).copy(version = next, table_versions = pointers)
       KbStore.writeMetaAtomic(path, m)
       metaCache = m
@@ -596,6 +602,72 @@ final class KbStore private (
     rows.toSeq.map { case (i1, i2, s) => (s, docByEmb(i1), docByEmb(i2)) }
   }
 
+  // ------------------------------------------------------------------
+  // persistent batch-built ANN index (SURVEY §7.5 — "Spark builds the
+  // vector index in batch"; no reference counterpart, its only index is
+  // the in-RAM matrix)
+  // ------------------------------------------------------------------
+  /** Whether a current ANN index exists (false after any embeddings
+    * mutation — commits drop the index pointers so a stale index can
+    * never serve a query).
+    */
+  def hasAnnIndex: Boolean =
+    metaCache.table_versions.contains(KbStore.IvfAssignTable)
+
+  /** Build (or rebuild) the persistent IVF index as store tables:
+    * centroids seeded deterministically (smallest md5-of-id corpus
+    * vectors), refined with spherical k-means, every embedding assigned
+    * to its inverted list by the zero-shuffle broadcast argmax. The two
+    * tables commit atomically like any other table and version with the
+    * manifest; a later embeddings commit invalidates them.
+    */
+  def buildAnnIndex(nlist: Int = 64, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val emb = embeddings.toDF()
+      .select($"id".as("vec_id"), $"vec".as("embedding"))
+    val k = math.max(1, math.min(nlist.toLong, emb.count()).toInt)
+    val seeds = emb
+      .select($"vec_id", $"embedding",
+        md5(concat(lit("ivf:"), $"vec_id")).as("h"))
+      .orderBy($"h").limit(k).collect()
+    val cents0 = seeds.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Float](1).map(_.toDouble))
+    }.toSeq.toDF("cid", "cvec")
+    val cents = graft.ops.SimilaritySearch.kmeansCentroids(emb, cents0, iters)
+    val assign = graft.ops.SimilaritySearch.ivfAssign(emb, cents)
+      .select($"vec_id", $"cid")
+    commit(
+      Map(KbStore.IvfCentroidsTable -> cents,
+        KbStore.IvfAssignTable -> assign),
+      identity)
+  }
+
+  /** ANN retrieval through the persistent index: embed the query, probe
+    * the `nProbe` closest inverted lists, score only their members, join
+    * docs back. `nProbe = nlist` degenerates to exact retrieval.
+    * Refuses when no current index exists (build or rebuild first) —
+    * silently-stale answers are worse than an error.
+    */
+  def annRetrieve(query: String, n: Int, provider: EmbeddingProvider,
+      nProbe: Int = 8): Seq[Retrieval] = {
+    require(hasAnnIndex,
+      "no current ANN index: call buildAnnIndex() (a mutation invalidates it)")
+    if (n <= 0) return Seq.empty
+    import spark.implicits._
+    val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
+    val qdf = Seq(Tuple1(qv.map(_.toDouble))).toDF("qv")
+    val emb = embeddings.toDF()
+      .select($"id".as("vec_id"), $"vec".as("embedding"))
+    val assigned = read(KbStore.IvfAssignTable).join(emb, "vec_id")
+    val hits = graft.ops.SimilaritySearch.ivfTopK(
+        assigned, read(KbStore.IvfCentroidsTable), qdf, n, nProbe)
+      .select($"vec_id", $"score").as[(Long, Double)].collect()
+    if (hits.isEmpty) return Seq.empty
+    val docByEmb = docs.filter($"emb_id".isin(hits.map(_._1): _*))
+      .collect().map(d => d.emb_id.get -> d).toMap
+    hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
+  }
+
   /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized
     * id-paths (lexicographic path order == DFS pre-order).
     */
@@ -646,7 +718,7 @@ final class KbStore private (
     */
   def compact(codec: String = "gzip", numFiles: Int = 1): Unit =
     commit(
-      KbStore.TableNames.map(name =>
+      metaCache.table_versions.keys.map(name =>
         name -> read(name).coalesce(math.max(1, numFiles))).toMap,
       identity, codec)
 
@@ -661,7 +733,17 @@ final class KbStore private (
     * never-published commit) are always reclaimed.
     */
   def vacuum(retain: Int = 1): Unit = {
-    KbStore.TableNames.foreach { name =>
+    // orphaned table directories (e.g. an ANN index invalidated by an
+    // embeddings commit) have no manifest pointer at all — reclaim them
+    val known = metaCache.table_versions.keySet
+    val rootListing = Files.list(Paths.get(path))
+    try {
+      rootListing.forEach { p =>
+        if (Files.isDirectory(p) && !known.contains(p.getFileName.toString))
+          KbStore.deleteRecursively(p)
+      }
+    } finally rootListing.close()
+    known.foreach { name =>
       val cur = metaCache.table_versions(name)
       val dir = Paths.get(s"$path/$name")
       if (Files.isDirectory(dir)) {
@@ -693,6 +775,13 @@ final class KbStore private (
 object KbStore {
   val TableNames: Seq[String] = Seq("docs", "embeddings", "edges", "keyval")
   val SchemaVersion = 1
+
+  /** Optional batch-built ANN index tables (manifest-managed like the
+    * base tables, but droppable: an embeddings commit invalidates them).
+    */
+  val IvfCentroidsTable = "ivf_centroids"
+  val IvfAssignTable = "ivf_assign"
+  val IndexTables: Seq[String] = Seq(IvfCentroidsTable, IvfAssignTable)
 
   /** Above this many vectors `topPairwiseScores` switches from the exact
     * blocked grid (flops grow as n²) to sketch candidates + exact re-rank.

@@ -80,6 +80,55 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("persistent ANN index: build, exact at full probe, invalidation, vacuum reclaim") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    // deterministic per-text unit vectors (d=8) — a corpus with real
+    // geometric structure, unlike the constant MockProvider
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      (0 until 120).foreach(i => a.add(s"document number $i"))
+    }
+    assert(!kb.hasAnnIndex)
+    intercept[IllegalArgumentException] { kb.annRetrieve("q", 3, p) }
+
+    kb.buildAnnIndex(nlist = 8, iters = 2)
+    assert(kb.hasAnnIndex)
+    // probing every list degenerates to exact retrieval
+    val exact = kb.retrieve("query text", 5, p).map(_.doc.id).toSet
+    val annAll = kb.annRetrieve("query text", 5, p, nProbe = 8)
+    assert(annAll.size == 5 && annAll.map(_.doc.id).toSet == exact)
+    // partial probe still returns ranked, well-formed results
+    val ann3 = kb.annRetrieve("query text", 3, p, nProbe = 3)
+    assert(ann3.size == 3 &&
+      ann3.map(_.score) == ann3.map(_.score).sorted.reverse)
+
+    // any embeddings mutation drops the index pointers atomically
+    kb.bulkAddDocs(p)(_.add("another doc"))
+    assert(!kb.hasAnnIndex)
+    intercept[IllegalArgumentException] { kb.annRetrieve("q", 3, p) }
+    // the orphaned index dirs are reclaimed by vacuum
+    assert(Files.isDirectory(Paths.get(s"$path/ivf_assign")))
+    kb.vacuum()
+    assert(!Files.isDirectory(Paths.get(s"$path/ivf_assign")))
+    assert(!Files.isDirectory(Paths.get(s"$path/ivf_centroids")))
+
+    // rebuild covers the new doc
+    kb.buildAnnIndex(nlist = 8)
+    assert(kb.annRetrieve("another doc", 1, p, nProbe = 8)
+      .head.doc.text == "another doc")
+    kb.close()
+  }
+
   test("vacuum retains the prior version so an in-flight reader survives a commit") {
     val path = freshPath()
     val kb = KbStore.create(spark, path, Map())
