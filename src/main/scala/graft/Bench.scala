@@ -114,6 +114,40 @@ object Bench {
         graft.ops.PairwiseTopK.sketchThresholdPairs(
           corpus1m, dim = Dim, threshold = 0.8).count()
       }
+      // batch IVF index build over the same 1M corpus: per-row argmax
+      // against 256 broadcast centroids via the packed-f32 kernel, and
+      // the inverted-list table written out — the "Spark builds the
+      // vector index in batch" flagship at scale
+      val ivfPath = "/tmp/graft_bench_ivf"
+      KbStoreCleanup.delete(ivfPath)
+      val cents = corpus1m.where(col("id") < 256)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      results("svs_ivf_build_1m") = timed {
+        graft.ops.SimilaritySearch.ivfAssignPacked(corpus1m, cents)
+          .write.mode("overwrite").option("compression", "none")
+          .parquet(ivfPath)
+      }
+      // probe: 8 of 256 lists → ~1/32 of the corpus scored. The probed
+      // member ids broadcast back against the corpus — the DataFrame
+      // form of partition pruning on the list id.
+      val assigned1m = spark.read.parquet(ivfPath)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      assigned1m.count()
+      results("svs_ivf_probe_1m") = timed {
+        val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
+        val probes = cents
+          .select(col("cid"), FloatVecDot.floatVecDot(col("cvec"), qv).as("ps"))
+          .orderBy(desc("ps")).limit(8).select(col("cid"))
+        val candIds = assigned1m.join(broadcast(probes), "cid")
+          .select(col("vec_id"))
+        corpus1m.join(broadcast(candIds), corpus1m("id") === col("vec_id"))
+          .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv).as("score"))
+          .orderBy(desc("score"), desc("id")).limit(100)
+          .collect()
+      }
+      assigned1m.unpersist()
+      KbStoreCleanup.delete(ivfPath)
+
       corpus1m.unpersist()
       KbStoreCleanup.delete(kept1m)
 
@@ -153,6 +187,8 @@ object Bench {
       "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
       "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",
       "svs_neardup_1m" -> "threshold near-dup candidates + exact verify over 1M x d1536 (embeddingNearDups scale path); random corpus has no qualifying pairs, so this measures the pipeline completing at 1M; no published counterpart",
+      "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
+      "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
       "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

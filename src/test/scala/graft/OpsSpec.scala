@@ -249,6 +249,25 @@ class OpsSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8"))))
   }
 
+  test("packed IVF assignment agrees with the array formulation") {
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val plain = SimilaritySearch.ivfAssign(emb, cents)
+      .select($"vec_id", $"cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packedEmb = emb.select($"vec_id".as("id"),
+      floatVecPack($"embedding").as("vec"))
+    val packedCents = cents.select($"cid",
+      floatVecPack($"cvec").as("cvec"))
+    val packed = SimilaritySearch.ivfAssignPacked(packedEmb, packedCents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = plain.keys.count(k => plain(k) == packed(k))
+    assert(agree == plain.size,
+      s"packed assignment diverged on ${plain.size - agree} vectors")
+  }
+
   test("embeddingNearDups scale path: exact precision, banding recall >= 0.9") {
     val exact = Dedup.embeddingNearDups(emb, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
