@@ -621,25 +621,62 @@ final class KbStore private (
     * tables commit atomically like any other table and version with the
     * manifest; a later embeddings commit invalidates them.
     */
-  def buildAnnIndex(nlist: Int = 64, iters: Int = 2): Unit = {
+  def buildAnnIndex(nlist: Int = 64, iters: Int = 2,
+      packedPathAbove: Long = 100000L): Unit = {
     import spark.implicits._
     val emb = embeddings.toDF()
       .select($"id".as("vec_id"), $"vec".as("embedding"))
-    val k = math.max(1, math.min(nlist.toLong, emb.count()).toInt)
-    val seeds = emb
-      .select($"vec_id", $"embedding",
-        md5(concat(lit("ivf:"), $"vec_id")).as("h"))
-      .orderBy($"h").limit(k).collect()
-    val cents0 = seeds.zipWithIndex.map { case (r, i) =>
-      (i.toLong, r.getSeq[Float](1).map(_.toDouble))
-    }.toSeq.toDF("cid", "cvec")
-    val cents = graft.ops.SimilaritySearch.kmeansCentroids(emb, cents0, iters)
-    val assign = graft.ops.SimilaritySearch.ivfAssign(emb, cents)
-      .select($"vec_id", $"cid")
-    commit(
-      Map(KbStore.IvfCentroidsTable -> cents,
-        KbStore.IvfAssignTable -> assign),
-      identity)
+    val total = emb.count()
+    val k = math.max(1, math.min(nlist.toLong, total).toInt)
+    var cleanup: () => Unit = () => ()
+    val (centsDf, assign) =
+      if (total <= packedPathAbove) {
+        // declarative array path: fine while every k-means pass is cheap
+        val seeds = emb
+          .select($"vec_id", $"embedding",
+            md5(concat(lit("ivf:"), $"vec_id")).as("h"))
+          .orderBy($"h").limit(k).collect()
+        val cents0 = seeds.zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Float](1).map(_.toDouble))
+        }.toSeq.toDF("cid", "cvec")
+        val cents = graft.ops.SimilaritySearch
+          .kmeansCentroids(emb, cents0, iters)
+        (cents,
+          graft.ops.SimilaritySearch.ivfAssign(emb, cents)
+            .select($"vec_id", $"cid"))
+      } else {
+        // packed path: the per-partition primitive kernels that hold at
+        // 1M × d1536 (see SimilaritySearch ivfAssignPacked /
+        // kmeansCentroidsPacked)
+        import graft.functions.FloatVecDot
+        import graft.functions.FloatVecPack.floatVecPack
+        val packed = emb
+          .select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cleanup = () => { packed.unpersist(blocking = false); () }
+        val seeds = packed
+          .select($"id", $"vec", md5(concat(lit("ivf:"), $"id")).as("h"))
+          .orderBy($"h").limit(k).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i.toLong, FloatVecDot.unpack(r.getAs[Array[Byte]](1)))
+          }
+        val cents = graft.ops.SimilaritySearch
+          .kmeansCentroidsPacked(packed, seeds, iters)
+        val centsPackedDf = cents.toSeq
+          .map { case (cid, v) => (cid, FloatVecDot.pack(v)) }
+          .toDF("cid", "cvec")
+        val centsStored = cents.toSeq
+          .map { case (cid, v) => (cid, v.map(_.toDouble).toSeq) }
+          .toDF("cid", "cvec")
+        (centsStored,
+          graft.ops.SimilaritySearch.ivfAssignPacked(packed, centsPackedDf))
+      }
+    try {
+      commit(
+        Map(KbStore.IvfCentroidsTable -> centsDf,
+          KbStore.IvfAssignTable -> assign),
+        identity)
+    } finally cleanup()
   }
 
   /** ANN retrieval through the persistent index: embed the query, probe

@@ -185,6 +185,78 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Spherical k-means over packed-f32 vectors — the 1M × d1536 face of
+    * [[kmeansCentroids]]. Each iteration is one pass: per partition,
+    * rows are assigned to their argmax centroid with the same primitive
+    * loop as [[ivfAssignPacked]] and accumulated into local per-centroid
+    * sum/count buffers; the buffers reduce to the driver (k × d doubles
+    * — tiny) where the means renormalize onto the unit sphere. Empty
+    * clusters keep their previous centroid. This is exactly where
+    * Spark's own MLlib keeps its k-means state.
+    *
+    * @param initial (cid, unpacked centroid) seeds, ascending cid
+    * @return refined centroids in the same (cid, Array[Float]) form
+    */
+  def kmeansCentroidsPacked(emb: DataFrame,
+      initial: Array[(Long, Array[Float])],
+      iters: Int): Array[(Long, Array[Float])] = {
+    import graft.functions.FloatVecDot
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col("id"), col("vec")).as[(Long, Array[Byte])].rdd
+    var cents = initial.sortBy(_._1)
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val (sums, counts) = rows.mapPartitions { it =>
+        val cs = bc.value
+        val k = cs.length
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Long](k)
+        it.foreach { case (_, vb) =>
+          val v = FloatVecDot.unpack(vb)
+          var best = 0
+          var bestS = Double.NegativeInfinity
+          var ci = 0
+          while (ci < k) {
+            val cv = cs(ci)._2
+            var s = 0.0
+            var i = 0
+            val n = math.min(v.length, cv.length)
+            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            if (s > bestS) { bestS = s; best = ci }
+            ci += 1
+          }
+          val acc = sums(best)
+          var i = 0
+          while (i < math.min(v.length, dim)) { acc(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        Iterator.single((sums, counts))
+      }.reduce { case ((s1, c1), (s2, c2)) =>
+        var ci = 0
+        while (ci < s1.length) {
+          var i = 0
+          while (i < dim) { s1(ci)(i) += s2(ci)(i); i += 1 }
+          c1(ci) += c2(ci)
+          ci += 1
+        }
+        (s1, c1)
+      }
+      bc.destroy()
+      cents = cents.zipWithIndex.map { case ((cid, old), ci) =>
+        if (counts(ci) == 0L) (cid, old)
+        else {
+          val m = sums(ci)
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0.0) (cid, old)
+          else (cid, m.map(x => (x / norm).toFloat))
+        }
+      }
+    }
+    cents
+  }
+
   /** Lloyd (spherical) k-means refinement of IVF centroids over the
     * existing assignment join: assign → per-dimension mean → renormalize
     * to the unit sphere, `iters` times. Each round is one broadcast

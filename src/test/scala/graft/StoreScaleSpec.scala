@@ -126,6 +126,15 @@ class StoreScaleSpec extends SparkSpec {
     kb.buildAnnIndex(nlist = 8)
     assert(kb.annRetrieve("another doc", 1, p, nProbe = 8)
       .head.doc.text == "another doc")
+
+    // the packed (1M-scale) build path produces an equivalent index:
+    // force it with packedPathAbove = 1 and re-check exactness at full
+    // probe against the exact retrieve
+    kb.buildAnnIndex(nlist = 8, iters = 2, packedPathAbove = 1L)
+    assert(kb.hasAnnIndex)
+    val exact2 = kb.retrieve("query text", 5, p).map(_.doc.id).toSet
+    val annPacked = kb.annRetrieve("query text", 5, p, nProbe = 8)
+    assert(annPacked.size == 5 && annPacked.map(_.doc.id).toSet == exact2)
     kb.close()
   }
 
