@@ -700,6 +700,19 @@ object SparkEntry {
         .orderBy($"rf", $"ls")
     }),
 
+    // full CUBE over the same keys: every grouping-set combination.
+    "r2_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"sum_qty", $"n")
+        .orderBy($"rf", $"ls")
+    }),
+
     // --- time-bucketed aggregation (batch twin of the streaming windowed
     // agg, SURVEY §7.6): hourly per-type event rollup.
     "e1_time_bucket" -> ((s, dir) => {
@@ -1302,6 +1315,15 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "r2_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                round(sum(l_quantity), 4) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
 
     "e1_time_bucket" ->
