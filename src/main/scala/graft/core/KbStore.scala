@@ -104,7 +104,8 @@ final class KbStore private (
     * a 5-row keyval).
     */
   private def commit(updated: Map[String, DataFrame],
-      newMeta: KbMeta => KbMeta, codec: String = "snappy"): Unit = {
+      newMeta: KbMeta => KbMeta, codec: String = "snappy",
+      preserveIndex: Boolean = false): Unit = {
     val cur = metaCache
     val next = cur.version + 1
     try {
@@ -113,11 +114,14 @@ final class KbStore private (
           .option("compression", codec).parquet(tableDir(name, next))
       }
       var pointers = cur.table_versions ++ updated.keys.map(_ -> next)
-      // a new embeddings version makes a batch-built ANN index stale:
-      // drop its pointers unless this very commit rebuilt it (the dirs
-      // are reclaimed by the next vacuum)
+      // a new embeddings version invalidates a batch-built ANN index:
+      // REPLACED vectors drop its pointers entirely (the dirs are
+      // reclaimed by the next vacuum); add/delete-only mutations pass
+      // `preserveIndex` and merely leave it STALE (older version than
+      // embeddings) — existing assignments stay valid and
+      // refreshAnnIndex() catches the index up incrementally
       if (updated.contains("embeddings") &&
-          !updated.contains(KbStore.IvfAssignTable))
+          !updated.contains(KbStore.IvfAssignTable) && !preserveIndex)
         pointers = pointers -- KbStore.IndexTables
       val m = newMeta(cur).copy(version = next, table_versions = pointers)
       KbStore.writeMetaAtomic(path, m)
@@ -226,7 +230,8 @@ final class KbStore private (
         "docs" -> docs.toDF().union(spark.createDataset(docRows).toDF()),
         "embeddings" -> embeddings.toDF()
           .union(spark.createDataset(embRows).toDF())),
-      m => m.copy(max_doc_id = math.max(nextDocId, nextEmbId)))
+      m => m.copy(max_doc_id = math.max(nextDocId, nextEmbId)),
+      preserveIndex = true)
     staged.map(_._1)
   }
 
@@ -299,7 +304,8 @@ final class KbStore private (
         Map(
           "docs" -> docs.toDF().union(docRows),
           "embeddings" -> embeddings.toDF().union(embRows.toDF())),
-        m => m.copy(max_doc_id = n0 + added))
+        m => m.copy(max_doc_id = n0 + added),
+        preserveIndex = true)
     } finally ids.unpersist(blocking = false)
     added
   }
@@ -338,7 +344,7 @@ final class KbStore private (
         "edges" -> edges.filter(
           !($"src".isin(ids: _*) || $"dst".isin(ids: _*) ||
             $"rel".isin(ids: _*))).toDF()),
-      identity)
+      identity, preserveIndex = true)
   }
 
   /** M3 at 100 TB: delete an arbitrary-size id set supplied as a
@@ -378,7 +384,7 @@ final class KbStore private (
       commit(
         Map("docs" -> survivors, "embeddings" -> newEmb,
           "edges" -> newEdges),
-        identity)
+        identity, preserveIndex = true)
     } finally del.unpersist(blocking = false)
   }
 
@@ -607,12 +613,56 @@ final class KbStore private (
   // vector index in batch"; no reference counterpart, its only index is
   // the in-RAM matrix)
   // ------------------------------------------------------------------
-  /** Whether a current ANN index exists (false after any embeddings
-    * mutation — commits drop the index pointers so a stale index can
-    * never serve a query).
+  /** Index lifecycle: `None` — never built or invalidated by vector
+    * replacement (rebuild required); `Stale` — docs were added/deleted
+    * since the build, existing assignments still valid
+    * ([[refreshAnnIndex]] catches up incrementally); `Current` —
+    * serves queries. Freshness is pure manifest arithmetic: the index
+    * is current iff its table version is at least the embeddings
+    * table's version.
     */
-  def hasAnnIndex: Boolean =
-    metaCache.table_versions.contains(KbStore.IvfAssignTable)
+  def annIndexState: KbStore.AnnState = {
+    val tv = metaCache.table_versions
+    if (!tv.contains(KbStore.IvfAssignTable)) KbStore.AnnNone
+    else if (tv(KbStore.IvfAssignTable) >= tv("embeddings")) KbStore.AnnCurrent
+    else KbStore.AnnStale
+  }
+
+  /** Whether a CURRENT ANN index exists (a stale one never serves). */
+  def hasAnnIndex: Boolean = annIndexState == KbStore.AnnCurrent
+
+  /** Catch a stale index up with the batch it missed: assignments of
+    * deleted ids drop (semi join against the live embeddings), new ids
+    * are assigned to the STORED centroids with the packed kernel, and
+    * the merged inverted-list table commits — O(changed docs) work plus
+    * one pass over the old assignment, no re-clustering. The "update
+    * the index in batch" half of the index story; no-op when current,
+    * error when no index survives (vector replacement requires
+    * [[buildAnnIndex]]).
+    */
+  def refreshAnnIndex(): Unit = annIndexState match {
+    case KbStore.AnnCurrent => ()
+    case KbStore.AnnNone => throw new IllegalStateException(
+      "no ANN index to refresh — call buildAnnIndex()")
+    case KbStore.AnnStale =>
+      import spark.implicits._
+      import graft.functions.FloatVecDot
+      import graft.functions.FloatVecPack.floatVecPack
+      val emb = embeddings.toDF()
+        .select($"id".as("vec_id"), $"vec".as("embedding"))
+      val old = read(KbStore.IvfAssignTable)
+      val kept = old.join(emb.select($"vec_id"), Seq("vec_id"), "left_semi")
+      val newEmb = emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
+      val packedCents = read(KbStore.IvfCentroidsTable).collect()
+        .map { r =>
+          (r.getLong(0),
+            FloatVecDot.pack(r.getSeq[Double](1).map(_.toFloat).toArray))
+        }.toSeq.toDF("cid", "cvec")
+      val added = graft.ops.SimilaritySearch.ivfAssignPacked(
+        newEmb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec")),
+        packedCents)
+      commit(Map(KbStore.IvfAssignTable -> kept.union(added)), identity)
+  }
 
   /** Build (or rebuild) the persistent IVF index as store tables:
     * centroids seeded deterministically (smallest md5-of-id corpus
@@ -687,8 +737,11 @@ final class KbStore private (
     */
   def annRetrieve(query: String, n: Int, provider: EmbeddingProvider,
       nProbe: Int = 8): Seq[Retrieval] = {
-    require(hasAnnIndex,
-      "no current ANN index: call buildAnnIndex() (a mutation invalidates it)")
+    require(hasAnnIndex, annIndexState match {
+      case KbStore.AnnStale =>
+        "ANN index is stale: call refreshAnnIndex() to catch it up"
+      case _ => "no ANN index: call buildAnnIndex()"
+    })
     if (n <= 0) return Seq.empty
     import spark.implicits._
     val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
@@ -814,11 +867,17 @@ object KbStore {
   val SchemaVersion = 1
 
   /** Optional batch-built ANN index tables (manifest-managed like the
-    * base tables, but droppable: an embeddings commit invalidates them).
+    * base tables, but droppable: a vector-replacing commit invalidates
+    * them; add/delete-only commits just leave them stale).
     */
   val IvfCentroidsTable = "ivf_centroids"
   val IvfAssignTable = "ivf_assign"
   val IndexTables: Seq[String] = Seq(IvfCentroidsTable, IvfAssignTable)
+
+  sealed trait AnnState
+  case object AnnNone extends AnnState
+  case object AnnStale extends AnnState
+  case object AnnCurrent extends AnnState
 
   /** Above this many vectors `topPairwiseScores` switches from the exact
     * blocked grid (flops grow as n²) to sketch candidates + exact re-rank.

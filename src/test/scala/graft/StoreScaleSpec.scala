@@ -112,20 +112,32 @@ class StoreScaleSpec extends SparkSpec {
     assert(ann3.size == 3 &&
       ann3.map(_.score) == ann3.map(_.score).sorted.reverse)
 
-    // any embeddings mutation drops the index pointers atomically
+    // adding docs leaves the index STALE (assignments still valid) —
+    // it refuses to serve until the incremental refresh catches it up
     kb.bulkAddDocs(p)(_.add("another doc"))
-    assert(!kb.hasAnnIndex)
+    assert(kb.annIndexState == KbStore.AnnStale && !kb.hasAnnIndex)
     intercept[IllegalArgumentException] { kb.annRetrieve("q", 3, p) }
-    // the orphaned index dirs are reclaimed by vacuum
+    kb.refreshAnnIndex()
+    assert(kb.annIndexState == KbStore.AnnCurrent)
+    assert(kb.annRetrieve("another doc", 1, p, nProbe = 8)
+      .head.doc.text == "another doc")
+
+    // deleting docs also only stales it; refresh drops the assignment
+    kb.bulkDelDocs(Seq(121L)) // "another doc"
+    assert(kb.annIndexState == KbStore.AnnStale)
+    kb.refreshAnnIndex()
+    val all = kb.annRetrieve("query text", 200, p, nProbe = 8)
+    assert(all.size == 120 && !all.exists(_.doc.text == "another doc"))
+
+    // REPLACING a vector invalidates outright: stale assignments would
+    // lie, so only a rebuild recovers, and vacuum reclaims the orphans
+    kb.setDocEmbedding(1L, Some(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    assert(kb.annIndexState == KbStore.AnnNone)
+    intercept[IllegalStateException] { kb.refreshAnnIndex() }
     assert(Files.isDirectory(Paths.get(s"$path/ivf_assign")))
     kb.vacuum()
     assert(!Files.isDirectory(Paths.get(s"$path/ivf_assign")))
     assert(!Files.isDirectory(Paths.get(s"$path/ivf_centroids")))
-
-    // rebuild covers the new doc
-    kb.buildAnnIndex(nlist = 8)
-    assert(kb.annRetrieve("another doc", 1, p, nProbe = 8)
-      .head.doc.text == "another doc")
 
     // the packed (1M-scale) build path produces an equivalent index:
     // force it with packedPathAbove = 1 and re-check exactness at full
