@@ -45,6 +45,14 @@ final class Kb private (
   def bulkDelDocsDistributed(ids: org.apache.spark.sql.DataFrame): Unit =
     store.bulkDelDocsDistributed(ids)
 
+  // ---- persistent ANN index (scale extension; no reference analog) ----
+  def buildAnnIndex(nlist: Int = 64, iters: Int = 2): Unit =
+    store.buildAnnIndex(nlist, iters)
+  def refreshAnnIndex(): Unit = store.refreshAnnIndex()
+  def annIndexState: KbStore.AnnState = store.annIndexState
+  def annRetrieve(query: String, n: Int, nProbe: Int = 8): Seq[Retrieval] =
+    store.annRetrieve(query, n, checked, nProbe)
+
   /** `with kb.bulk_query_docs() as q:` (`types.py:156-192`). */
   def bulkQueryDocs[A](body: Kb.DocQuerier => A): A =
     body(new Kb.DocQuerier(store))
