@@ -146,6 +146,40 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** k-NN join for LARGE query sides — [[knnJoin]] broadcasts the query
+    * set, which caps it at driver memory. Here both sides shuffle on
+    * the centroid id instead: every candidate carries its centroid
+    * ([[ivfAssign]]), every query explodes to its `nProbe` closest
+    * centroids, and the join is a plain equi-join on `cid` followed by
+    * a per-query window top-k. `nProbe = #centroids` degenerates to the
+    * exact join. Output matches [[knnJoin]]: (qid, cid→candidate id,
+    * score, rk).
+    */
+  def knnJoinIvf(queries: DataFrame, candidates: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(candidates, centroids)
+      .select(col("cid").as("ccid"), col("vec_id").as("cand_id"),
+        asDouble(col("embedding")).as("cv"))
+    // per-query probe list: rank centroids by dot, keep nProbe
+    val qw = Window.partitionBy(col("qid")).orderBy(desc("pscore"), col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cid"),
+        dot(col("qv"), asDouble(col("cvec"))).as("pscore"))
+      .withColumn("pr", row_number().over(qw))
+      .where(col("pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid2"))
+    probes.join(assigned, probes("cid") === assigned("ccid"))
+      .select(col("qid"), col("cand_id").as("cid2"),
+        round(dot(col("cv"), col("qv")), 6).as("score"))
+      .dropDuplicates("qid", "cid2")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("cid2").as("cid"), col("score"), col("rk"))
+  }
+
   /** Bucketed ANN top-k: only candidates in the query's bucket are
     * scored. Trades recall for a ~2^bits candidate reduction; exactness
     * is restored by multi-probe ([[annTopKMultiProbe]]) or a brute-force

@@ -249,6 +249,23 @@ class OpsSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8"))))
   }
 
+  test("driver entry: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("IVF knn join at full probe equals the broadcast knn join") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 5)
+    val cents = emb.filter($"vec_id" >= 5 && $"vec_id" < 13)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val exact = SimilaritySearch.knnJoin(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.knnJoinIvf(queries, emb, cents,
+        k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == exact, "probing every centroid must be exact")
+  }
+
   test("packed IVF assignment agrees with the array formulation") {
     import spark.implicits._
     import graft.functions.FloatVecPack.floatVecPack
