@@ -168,6 +168,31 @@ object StreamingIngest {
     }.toDF("doc_id", "text", "vec")
   }
 
+  /** Stream documents straight into a [[graft.core.KbStore]], one
+    * atomic commit per micro-batch, optionally keeping the persistent
+    * ANN index live: adds leave the index merely stale, so the
+    * incremental `refreshAnnIndex` (assign only the batch's vectors to
+    * the stored centroids) runs after each commit — a continuously
+    * ingesting corpus whose index never needs a full rebuild. Source
+    * must provide a `text` column.
+    */
+  def startStoreIngest(source: DataFrame, kb: graft.core.KbStore,
+      provider: EmbeddingProvider, checkpoint: String,
+      maintainIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          kb.bulkAddDocsDistributed(batch, provider)
+          if (maintainIndex &&
+              kb.annIndexState == graft.core.KbStore.AnnStale)
+            kb.refreshAnnIndex()
+        }
+        ()
+      }
+      .start()
+
   /** Wire a streaming source of (doc_id, text) through the embed stage
     * into an append-mode parquet sink — the Structured Streaming face of
     * the reference's bulk ingest. Returns the started query.

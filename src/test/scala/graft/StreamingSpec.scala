@@ -161,6 +161,38 @@ class StreamingSpec extends SparkSpec {
     assert(FloatVecDot.unpack(vec).toSeq == Seq(1.0f, 0.0f, 0.0f, 0.0f))
   }
 
+  test("streaming ingest keeps the persistent ANN index live across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-skb2")
+    val kb = graft.core.KbStore.create(spark,
+      dir.resolve("kb").toString, Map("provider" -> "mock"))
+    val p = MockProvider(4)
+    kb.bulkAddDocs(p) { a => (0 until 20).foreach(i => a.add(s"seed $i")) }
+    kb.buildAnnIndex(nlist = 4)
+    assert(kb.annIndexState == graft.core.KbStore.AnnCurrent)
+
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.startStoreIngest(
+      stream.toDF().toDF("text"), kb, p,
+      dir.resolve("ckpt").toString, maintainIndex = true)
+    stream.addData(Seq("streamed alpha", "streamed beta"))
+    q.processAllAvailable()
+    stream.addData(Seq("streamed gamma"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(kb.len == 23)
+    // index followed every batch without a rebuild, and serves the
+    // streamed docs (MockProvider's constant vectors make every doc an
+    // equally-scored hit, so presence in the candidate set is the test)
+    assert(kb.annIndexState == graft.core.KbStore.AnnCurrent)
+    val hits = kb.annRetrieve("anything", 23, p, nProbe = 4)
+    assert(hits.size == 23 &&
+      hits.exists(_.doc.text == "streamed gamma"))
+    kb.close()
+  }
+
   test("streaming ingest into the KbStore via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
