@@ -677,6 +677,7 @@ final class KbStore private (
     val emb = embeddings.toDF()
       .select($"id".as("vec_id"), $"vec".as("embedding"))
     val total = emb.count()
+    require(total > 0, "cannot build an ANN index over an empty store")
     val k = math.max(1, math.min(nlist.toLong, total).toInt)
     var cleanup: () => Unit = () => ()
     val (centsDf, assign) =
