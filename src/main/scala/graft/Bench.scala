@@ -82,7 +82,10 @@ object Bench {
         clearState()
         dt
       }
-      results(name) = times.sorted.apply(times.size / 2)
+      val sorted = times.sorted
+      results(name) =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
     }
 
     // ---- part 2: reference protocol (cold-then-warm retrieval) ----

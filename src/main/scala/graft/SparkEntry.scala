@@ -206,8 +206,12 @@ object SparkEntry {
       val e = t(s, dir, "events").withColumn("us", unix_micros($"ts"))
       val p = e.filter($"event_type" === "purchase")
         .select($"user_id", $"event_id".as("p_id"), $"us".as("p_us"))
+      // one view row per (user, µs): asofJoin's winner among identical
+      // timestamps is unspecified and DuckDB's ASOF picks its own, so
+      // collapse ties identically in both engines before joining
       val v = e.filter($"event_type" === "view")
-        .select($"user_id", $"us".as("v_us"), $"value".as("v_value"))
+        .groupBy($"user_id", $"us".as("v_us"))
+        .agg(round(max($"value"), 4).as("v_value"))
       graft.ops.TimeJoins.asofJoin(p, v, "user_id", "p_us", "v_us")
         .filter($"r_v_us".isNotNull)
         .select($"user_id", $"p_id", $"p_us", $"r_v_us".as("v_us"),
@@ -1048,8 +1052,8 @@ object SparkEntry {
                            epoch_ns(ts) // 1000 AS us FROM events),
            p AS (SELECT user_id, event_id AS p_id, us AS p_us
                  FROM e WHERE event_type = 'purchase'),
-           v AS (SELECT user_id, us AS v_us, value AS v_value
-                 FROM e WHERE event_type = 'view')
+           v AS (SELECT user_id, us AS v_us, round(max(value), 4) AS v_value
+                 FROM e WHERE event_type = 'view' GROUP BY user_id, us)
          SELECT p.user_id, p.p_id, p.p_us, v.v_us,
                 round(v.v_value, 4) AS v_value
          FROM p ASOF JOIN v

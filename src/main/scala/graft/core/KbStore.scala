@@ -246,8 +246,15 @@ final class KbStore private (
     * batches of 200 (connection reuse per partition); one atomic commit
     * appends both tables.
     */
+  /** Optional `ingestMarker` = (key, value): persist this keyval row in
+    * the SAME atomic commit as the added docs — the idempotence token a
+    * replayed streaming micro-batch checks before re-applying (a marker
+    * written in a separate commit could be lost between the add and the
+    * marker, which is exactly the window replays hit).
+    */
   def bulkAddDocsDistributed(newDocs: DataFrame,
-      provider: EmbeddingProvider): Long = {
+      provider: EmbeddingProvider,
+      ingestMarker: Option[(String, Long)] = None): Long = {
     val n0 = metaCache.max_doc_id
     val withMeta =
       if (newDocs.columns.contains("meta")) newDocs
@@ -299,12 +306,15 @@ final class KbStore private (
     // count the persisted id frame, not the source (which would
     // re-evaluate the caller's input a fourth time)
     val added = ids.count()
+    val tables = Map(
+      "docs" -> docs.toDF().union(docRows),
+      "embeddings" -> embeddings.toDF().union(embRows.toDF())) ++
+      ingestMarker.map { case (mk, mv) =>
+        "keyval" -> keyval.filter($"key" =!= mk).toDF()
+          .union(spark.createDataset(Seq(KV.of(mk, mv))).toDF())
+      }
     try {
-      commit(
-        Map(
-          "docs" -> docs.toDF().union(docRows),
-          "embeddings" -> embeddings.toDF().union(embRows.toDF())),
-        m => m.copy(max_doc_id = n0 + added),
+      commit(tables, m => m.copy(max_doc_id = n0 + added),
         preserveIndex = true)
     } finally ids.unpersist(blocking = false)
     added
@@ -807,11 +817,21 @@ final class KbStore private (
     * output; raise it when a table is large enough that one writer (and
     * one downstream scan task) would serialize everything.
     */
-  def compact(codec: String = "gzip", numFiles: Int = 1): Unit =
+  def compact(codec: String = "gzip", numFiles: Int = 1): Unit = {
+    // a STALE ANN index must not ride along: rewriting it at the new
+    // version would equalize its version with embeddings' and silently
+    // promote it to Current while its assignments still miss the docs
+    // added since the build. Leave its old pointers (still stale after
+    // the bump); refreshAnnIndex() then compacts it naturally.
+    val names =
+      if (annIndexState == KbStore.AnnStale)
+        metaCache.table_versions.keys.filterNot(KbStore.IndexTables.contains)
+      else metaCache.table_versions.keys
     commit(
-      metaCache.table_versions.keys.map(name =>
+      names.map(name =>
         name -> read(name).coalesce(math.max(1, numFiles))).toMap,
       identity, codec)
+  }
 
   /** Drop old table versions (VACUUM, `kb.py:831-834`). By default the
     * most recent `retain` prior versions of each table survive, so a

@@ -53,7 +53,12 @@ object SourceCache {
       if (!url.startsWith("http://") && !url.startsWith("https://"))
         return LocalFetcher.download(url, tmp)
       val req = HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+      // TRUNCATE_EXISTING: a stale tmp left by a killed JVM must not
+      // keep its tail beyond a shorter fresh response
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE))
       if (resp.statusCode() != 200) {
         Files.deleteIfExists(tmp)
         throw new java.io.IOException(

@@ -476,7 +476,11 @@ object Dedup {
     import graft.functions.FloatVecDot.floatVecDot
     import graft.functions.FloatVecPack.floatVecPack
     val packed = emb.select(col("vec_id"), floatVecPack(col("embedding")).as("v"))
-    if (emb.count() <= exactLimit) {
+    // bound the path-decision job at exactLimit+1 rows instead of a
+    // full count of the (possibly 100 TB) lineage
+    val boundedCount = emb
+      .limit(math.min(exactLimit + 1, Int.MaxValue.toLong).toInt).count()
+    if (boundedCount <= exactLimit) {
       val a = packed.select(col("vec_id").as("id1"), col("v").as("v1"))
       val b = packed.select(col("vec_id").as("id2"), col("v").as("v2"))
       a.join(b, col("id1") < col("id2"))

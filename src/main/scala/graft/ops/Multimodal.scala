@@ -73,14 +73,22 @@ object Multimodal {
           width = le32(p, 18), height = math.abs(le32(p, 22)), n_frames = 1)
       else if (p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
         var (o, rate, channels, blockAlign, dataSize) = (12, 0, 0, 1, 0)
-        while (o + 8 <= p.length) {
+        var malformed = false
+        while (!malformed && o + 8 <= p.length) {
           val (id, sz) = (tag(p, o), le32(p, o + 4))
-          if (id == "fmt " && o + 24 <= p.length) {
-            channels = le16(p, o + 10)
-            rate = le32(p, o + 12)
-            blockAlign = math.max(1, le16(p, o + 20))
-          } else if (id == "data") dataSize = sz
-          o += 8 + sz + (sz & 1) // chunks are word-aligned
+          // le32 is signed and attacker-controlled: a negative or
+          // overflowing size must stop the walk, not spin it (sz = -8
+          // would advance by zero) or read out of bounds
+          if (sz < 0) malformed = true
+          else {
+            if (id == "fmt " && o + 24 <= p.length) {
+              channels = le16(p, o + 10)
+              rate = le32(p, o + 12)
+              blockAlign = math.max(1, le16(p, o + 20))
+            } else if (id == "data") dataSize = sz
+            val step = 8L + sz.toLong + (sz & 1) // chunks word-aligned
+            o = math.min(o.toLong + step, p.length.toLong).toInt
+          }
         }
         MediaFeatures(r.media_id, "audio", p.length,
           width = rate, height = channels,

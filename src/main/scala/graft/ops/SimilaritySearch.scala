@@ -67,6 +67,11 @@ object SimilaritySearch {
     * @param centroids small DataFrame (cid LONG, cvec ARRAY<FLOAT>)
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    // no centroids → no assignments (the agg-to-one-row formulation
+    // below would otherwise emit every vector with a null cid)
+    if (centroids.isEmpty)
+      return emb.select(col("vec_id"), col("embedding"),
+        lit(0L).as("cid")).limit(0)
     // The centroid set is tiny by definition, so collapse it to a single
     // array-of-structs row and broadcast that: the per-vector argmax is
     // then one narrow fold per row — zero shuffle, no n×k row expansion
@@ -103,6 +108,9 @@ object SimilaritySearch {
     val cents = centroids.select(col("cid"), col("cvec")).collect()
       .map(r => (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
       .sortBy(_._1)
+    // no centroids → no assignments (never leak the -1 sentinel)
+    if (cents.isEmpty)
+      return emb.select(col("id").as("vec_id"), lit(0L).as("cid")).limit(0)
     val bc = spark.sparkContext.broadcast(cents)
     emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
       .mapPartitions { it =>

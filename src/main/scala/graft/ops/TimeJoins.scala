@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -90,7 +90,4 @@ object TimeJoins {
         col("__rt") <= col("__lt") + after)
       .drop("__k", "__lt", "__b", "__rk", "__rt", "__rb")
   }
-
-  /** Convenience: epoch-micros column from a timestamp column. */
-  def micros(ts: Column): Column = unix_micros(ts)
 }

@@ -168,30 +168,50 @@ object StreamingIngest {
     }.toDF("doc_id", "text", "vec")
   }
 
+  /** Apply one ingest micro-batch exactly once: the store carries the
+    * last applied batch id under `markerKey`, written in the SAME
+    * atomic commit as the docs, so an at-least-once foreachBatch replay
+    * (crash between the store commit and the streaming checkpoint)
+    * finds the marker and skips. Returns whether the batch was applied.
+    */
+  def applyIngestBatch(kb: graft.core.KbStore, batch: DataFrame,
+      provider: EmbeddingProvider, markerKey: String, batchId: Long,
+      maintainIndex: Boolean): Boolean = {
+    val last = kb.getKeyOr(markerKey, -1L).asInstanceOf[Long]
+    if (batchId <= last || batch.isEmpty) false
+    else {
+      kb.bulkAddDocsDistributed(batch, provider,
+        ingestMarker = Some(markerKey -> batchId))
+      if (maintainIndex &&
+          kb.annIndexState == graft.core.KbStore.AnnStale)
+        kb.refreshAnnIndex()
+      true
+    }
+  }
+
   /** Stream documents straight into a [[graft.core.KbStore]], one
-    * atomic commit per micro-batch, optionally keeping the persistent
-    * ANN index live: adds leave the index merely stale, so the
-    * incremental `refreshAnnIndex` (assign only the batch's vectors to
-    * the stored centroids) runs after each commit — a continuously
+    * atomic commit per micro-batch (idempotent under replay via
+    * [[applyIngestBatch]]'s in-commit marker), optionally keeping the
+    * persistent ANN index live: adds leave the index merely stale, so
+    * the incremental `refreshAnnIndex` (assign only the batch's vectors
+    * to the stored centroids) runs after each commit — a continuously
     * ingesting corpus whose index never needs a full rebuild. Source
     * must provide a `text` column.
     */
   def startStoreIngest(source: DataFrame, kb: graft.core.KbStore,
       provider: EmbeddingProvider, checkpoint: String,
-      maintainIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      maintainIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val markerKey = s"__graft_ingest::$checkpoint"
     source.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          kb.bulkAddDocsDistributed(batch, provider)
-          if (maintainIndex &&
-              kb.annIndexState == graft.core.KbStore.AnnStale)
-            kb.refreshAnnIndex()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(kb, batch, provider, markerKey, batchId,
+          maintainIndex)
         ()
       }
       .start()
+  }
 
   /** Wire a streaming source of (doc_id, text) through the embed stage
     * into an append-mode parquet sink — the Structured Streaming face of

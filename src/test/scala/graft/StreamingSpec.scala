@@ -190,6 +190,20 @@ class StreamingSpec extends SparkSpec {
     val hits = kb.annRetrieve("anything", 23, p, nProbe = 4)
     assert(hits.size == 23 &&
       hits.exists(_.doc.text == "streamed gamma"))
+
+    // replay safety: re-applying an already-committed batch id is a
+    // no-op (the marker rides in the same commit as the docs), while
+    // the next id applies
+    val markerKey = s"__graft_ingest::${dir.resolve("ckpt")}"
+    val replay = Seq("streamed gamma").toDF("text")
+    assert(!StreamingIngest.applyIngestBatch(
+      kb, replay, p, markerKey, batchId = 1L, maintainIndex = true))
+    assert(kb.len == 23)
+    assert(StreamingIngest.applyIngestBatch(
+      kb, Seq("late delta").toDF("text"), p, markerKey, batchId = 2L,
+      maintainIndex = true))
+    assert(kb.len == 24 &&
+      kb.annIndexState == graft.core.KbStore.AnnCurrent)
     kb.close()
   }
 
