@@ -195,7 +195,10 @@ object Bench {
       "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":$notes}""")
+    // `queries` is emitted LAST: the driver archives only the final 2000
+    // chars of output, so the per-query numbers must sit at the tail of
+    // the line (r3's longer notes pushed half of them out of the window)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","notes":$notes,"queries":$qs}""")
     spark.stop()
   }
 

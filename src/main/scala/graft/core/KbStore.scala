@@ -827,10 +827,14 @@ final class KbStore private (
       if (annIndexState == KbStore.AnnStale)
         metaCache.table_versions.keys.filterNot(KbStore.IndexTables.contains)
       else metaCache.table_versions.keys
+    // preserveIndex: this rewrite includes `embeddings` but replaces no
+    // vectors, so commit's invalidation clause must not strip the stale
+    // index's pointers (that would flip AnnStale -> AnnNone and let the
+    // next vacuum delete the index dirs instead of refreshing them)
     commit(
       names.map(name =>
         name -> read(name).coalesce(math.max(1, numFiles))).toMap,
-      identity, codec)
+      identity, codec, preserveIndex = true)
   }
 
   /** Drop old table versions (VACUUM, `kb.py:831-834`). By default the
@@ -845,12 +849,18 @@ final class KbStore private (
     */
   def vacuum(retain: Int = 1): Unit = {
     // orphaned table directories (e.g. an ANN index invalidated by an
-    // embeddings commit) have no manifest pointer at all — reclaim them
+    // embeddings commit) have no manifest pointer at all — reclaim them.
+    // Only dirs this store demonstrably owns are touched: known index
+    // table names, or dirs laid out exclusively as v<N> version subdirs.
+    // Anything else under the root (a streaming checkpoint, a user's
+    // backup/scratch dir) is not ours to delete.
     val known = metaCache.table_versions.keySet
     val rootListing = Files.list(Paths.get(path))
     try {
       rootListing.forEach { p =>
-        if (Files.isDirectory(p) && !known.contains(p.getFileName.toString))
+        val name = p.getFileName.toString
+        if (Files.isDirectory(p) && !known.contains(name) &&
+            (KbStore.IndexTables.contains(name) || KbStore.isVersionedTableDir(p)))
           KbStore.deleteRecursively(p)
       }
     } finally rootListing.close()
@@ -1048,6 +1058,27 @@ object KbStore {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   // ---------------- fs helpers ----------------
+  /** A non-empty directory whose immediate children are all `v<N>`
+    * version subdirectories — the layout this store (and only this
+    * store) writes for a table. Vacuum's orphan sweep uses it to avoid
+    * deleting foreign dirs placed under the store root.
+    */
+  private[core] def isVersionedTableDir(dir: Path): Boolean = {
+    val listing = Files.list(dir)
+    try {
+      var any = false
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        val n = c.getFileName.toString
+        if (!Files.isDirectory(c) || !n.startsWith("v") ||
+            n.drop(1).toLongOption.isEmpty) return false
+        any = true
+      }
+      any
+    } finally listing.close()
+  }
+
   private[core] def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

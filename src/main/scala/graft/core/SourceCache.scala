@@ -49,10 +49,21 @@ object SourceCache {
     private lazy val client: HttpClient = HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(30))
       .followRedirects(HttpClient.Redirect.NORMAL).build()
-    def download(url: String, tmp: Path): Unit = {
+    def download(url: String, tmp: Path): Unit =
+      download(url, tmp, java.time.Duration.ofMinutes(5))
+
+    /** Visible timeout for tests; production path uses the 5-minute
+      * default above (matching JdkHttpTransport's request timeout).
+      */
+    private[graft] def download(url: String, tmp: Path,
+        requestTimeout: java.time.Duration): Unit = {
       if (!url.startsWith("http://") && !url.startsWith("https://"))
         return LocalFetcher.download(url, tmp)
-      val req = HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+      // request timeout (not just connect): a server that accepts the
+      // connection but never responds must not hold the per-URL
+      // single-flight lock forever
+      val req = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(requestTimeout).GET().build()
       // TRUNCATE_EXISTING: a stale tmp left by a killed JVM must not
       // keep its tail beyond a shorter fresh response
       val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp,

@@ -106,11 +106,18 @@ object StreamingIngest {
       .flatMapGroupsWithState[EventBuffer, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, it, state: GroupState[EventBuffer]) =>
-          val incoming = it.map(e => (e.ts.getTime, e.value)).toList
+          val wm = state.getCurrentWatermarkMs()
+          // flatMapGroupsWithState does NOT auto-drop late rows: an event
+          // at or behind the watermark could re-open a session already
+          // emitted (its close condition end + gap <= wm has fired), so
+          // admitting it would emit a duplicate/overlapping session in
+          // append mode. The documented contract bounds disorder by the
+          // watermark — enforce it here.
+          val incoming = it.map(e => (e.ts.getTime, e.value))
+            .filter(_._1 > wm).toList
           val held = state.getOption
             .map(b => b.ts.zip(b.vals).toList).getOrElse(Nil)
           val buf = (held ++ incoming).sortBy(_._1)
-          val wm = state.getCurrentWatermarkMs()
           // gap-split the ordered buffer into sessions (newest first)
           val sessions = buf.foldLeft(List.empty[List[(Long, Double)]]) {
             // sessions and their events are built newest-first, so

@@ -144,4 +144,27 @@ class ScaleAddSpec extends SparkSpec {
         p => p.getFileName.toString.endsWith(".tmp")))
     } finally server.stop(0)
   }
+
+  test("HttpFetcher: a server that accepts but never responds hits the request timeout") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    server.createContext("/stall.txt", (ex: HttpExchange) => {
+      gate.await() // connection accepted, response never sent
+      ex.close()
+    })
+    server.start()
+    try {
+      val url =
+        s"http://127.0.0.1:${server.getAddress.getPort}/stall.txt"
+      val tmp = Files.createTempFile("graft-stall", ".tmp")
+      // without a REQUEST timeout this blocks forever (and with it held,
+      // the per-URL single-flight lock would wedge every other fetcher)
+      intercept[java.net.http.HttpTimeoutException] {
+        SourceCache.HttpFetcher.download(url, tmp,
+          java.time.Duration.ofMillis(300))
+      }
+    } finally { gate.countDown(); server.stop(0) }
+  }
 }

@@ -150,6 +150,61 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("compact with a STALE ANN index keeps its pointers; refresh then recovers it") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      (0 until 60).foreach(i => a.add(s"doc $i"))
+    }
+    kb.buildAnnIndex(nlist = 4, iters = 2)
+    kb.bulkAddDocs(p)(_.add("late arrival")) // index goes stale
+    assert(kb.annIndexState == KbStore.AnnStale)
+    // compact must NOT invalidate: the rewrite touches `embeddings` but
+    // replaces no vectors, so the stale index's pointers survive and the
+    // incremental refresh (not a full rebuild) recovers it
+    kb.compact()
+    assert(kb.annIndexState == KbStore.AnnStale)
+    kb.refreshAnnIndex()
+    assert(kb.annIndexState == KbStore.AnnCurrent)
+    assert(kb.annRetrieve("late arrival", 1, p, nProbe = 4)
+      .head.doc.text == "late arrival")
+    // and a compact while CURRENT keeps it current (index rides along)
+    kb.compact()
+    assert(kb.annIndexState == KbStore.AnnCurrent)
+    kb.close()
+  }
+
+  test("vacuum's orphan sweep spares foreign dirs under the store root") {
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    kb.setKey("a", 1L)
+    // a streaming checkpoint (nested non-v<N> layout) and a scratch dir
+    // with a plain file — neither laid out as store tables, neither ours
+    Files.createDirectories(Paths.get(s"$path/_checkpoint/offsets"))
+    Files.write(Paths.get(s"$path/_checkpoint/offsets/0"),
+      "meta".getBytes)
+    Files.createDirectories(Paths.get(s"$path/backup"))
+    Files.write(Paths.get(s"$path/backup/dump.txt"), "x".getBytes)
+    // a true orphan: versioned-table layout with no manifest pointer
+    Files.createDirectories(Paths.get(s"$path/old_table/v3"))
+    kb.vacuum()
+    assert(Files.exists(Paths.get(s"$path/_checkpoint/offsets/0")))
+    assert(Files.exists(Paths.get(s"$path/backup/dump.txt")))
+    assert(!Files.isDirectory(Paths.get(s"$path/old_table")))
+    assert(kb.hasKey("a"))
+    kb.close()
+  }
+
   test("vacuum retains the prior version so an in-flight reader survives a commit") {
     val path = freshPath()
     val kb = KbStore.create(spark, path, Map())

@@ -123,6 +123,40 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${got.size} sessions, expected ${expected.size}")
   }
 
+  test("event-time sessionize drops beyond-watermark events instead of re-emitting sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 600000L
+    // offset from epoch: an event at exactly t=0 would equal the INITIAL
+    // watermark (0) and be treated as late before any data arrived
+    def ev(uid: Long, sec: Long) =
+      UserEvent(uid, new java.sql.Timestamp((1000 + sec) * 1000), "e", 1.0)
+
+    val stream = MemoryStream[UserEvent]
+    val q = StreamingIngest.sessionizeEventTime(stream.toDS(), gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    // one session for user 1, then sentinels advance the watermark far
+    // past its close so it is emitted exactly once
+    stream.addData(Seq(ev(1L, 0), ev(1L, 60))); q.processAllAvailable()
+    val sentinel = ev(999L, 30L * 24 * 3600)
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    assert(spark.table("late_out").filter($"user_id" === 1L).count() == 1L)
+
+    // an event far behind the watermark for the SAME user:
+    // flatMapGroupsWithState does not auto-drop it, so without the guard
+    // it would surface as a duplicate/overlapping session in append mode
+    stream.addData(Seq(ev(1L, 120))); q.processAllAvailable()
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_out").filter($"user_id" === 1L)
+      .collect().map(r => (r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    assert(got.toSeq == Seq((1000000L, 1060000L, 2L)),
+      s"late event must be dropped, got ${got.mkString(",")}")
+  }
+
   test("streaming exact dedup: repeated fingerprints within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
