@@ -136,7 +136,7 @@ object Bench {
       val assigned1m = spark.read.parquet(ivfPath)
         .persist(StorageLevel.MEMORY_AND_DISK)
       assigned1m.count()
-      results("svs_ivf_probe_1m") = timed {
+      results("svs_ivf_probe_1m") = timedMedian3 {
         val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
         val probes = cents
           .select(col("cid"), FloatVecDot.floatVecDot(col("cvec"), qv).as("ps"))
@@ -185,7 +185,7 @@ object Bench {
     // workload annotations: which engine numbers pair with which
     // BASELINE.md rows (and which have no published counterpart)
     val notes = Seq(
-      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol, timed once",
+      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol — heavy one-pass points (build/cold/load) timed once, sub-second points (warm/probe) medians of 3",
       "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
       "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
       "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",
@@ -255,6 +255,17 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Median of three timings — the sub-second part-2 points (warm
+    * retrieve, IVF probe) swing 2-4× run-to-run with VM/GC noise, same
+    * as part 1; the heavy single-pass points (build, cold) stay
+    * single-shot because re-running them re-measures the OS page cache,
+    * not the operator.
+    */
+  private def timedMedian3[A](body: => A): Double = {
+    val ts = (1 to 3).map(_ => timed(body)).sorted
+    ts(1)
+  }
+
   /** retrieve(query_vec, n=100) as a DataFrame job: the query vector is
     * a literal (the reference embeds the query text outside the store,
     * `kb.py:1616-1620`), so the whole retrieval is ONE stage —
@@ -308,7 +319,7 @@ object Bench {
       .fromPacked(spark.read.parquet(path), Dim, blocks).materialize()
     idx.topK(syntheticVec(1L), 100) // warm-up passes (JIT)
     idx.topK(syntheticVec(3L), 100)
-    results(s"svs_warm_$tag") = timed { idx.topK(syntheticVec(2L), 100) }
+    results(s"svs_warm_$tag") = timedMedian3 { idx.topK(syntheticVec(2L), 100) }
     idx.unpersist()
     if (!keep) KbStoreCleanup.delete(path)
     path

@@ -742,6 +742,158 @@ object SparkEntry {
         .select($"id".as("doc_id"), $"depth".cast("long").as("depth"),
           $"preorder", concat_ws("/", $"path").as("path_str"))
         .orderBy($"preorder")
+    }),
+
+    // TPC-H Q6 shape: tight range+band filter over the fact table, one
+    // global aggregate — everything pushes to the parquet scan, the agg
+    // is a single partial+final pass with no wide shuffle.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24.0)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q7 shape: bidirectional nation-pair volume by ship year.
+    // Both nation filters apply BEFORE the fact joins (the broadcast
+    // dims carry the predicate), so only qualifying rows shuffle.
+    "q7_nation_volume" -> ((s, dir) => {
+      import s.implicits._
+      val n1 = t(s, dir, "nation")
+        .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+        .filter($"cust_nation".isin("NATION_1", "NATION_2"))
+      val n2 = t(s, dir, "nation")
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+        .filter($"supp_nation".isin("NATION_1", "NATION_2"))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n2), sup("s_nationkey") === col("sn_key"))
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue, top-20 customers. The
+    // group-by keys ride the broadcast customer row, so the only wide
+    // exchange is the final aggregation on c_custkey.
+    "q10_returned_items" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"))
+        .orderBy(desc("revenue"), $"c_custkey")
+        .limit(20)
+    }),
+
+    // TPC-H Q13 shape: orders-per-customer histogram — outer join so
+    // zero-order customers survive, then a second (tiny) aggregation
+    // over the counts.
+    "q13_order_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share in one month — conditional
+    // and total sums ride the same single aggregate pass.
+    "q14_promo_share" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(round(
+          sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))) * 100.0 /
+            sum(rev), 6).as("promo_share"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue — the max is
+    // a one-row broadcast joined back, not a rescan of the fact table.
+    "q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier")
+      val rev = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("total_rev"))
+      val mx = rev.agg(max($"total_rev").as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter($"total_rev" === $"max_rev")
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .select($"s_suppkey", $"s_name", $"total_rev")
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the HAVING filter runs on
+    // the grouped fact table first, so only qualifying orderkeys (a tiny
+    // set) reach the customer/orders joins.
+    "q18_large_volume" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy($"l_orderkey")
+        .agg(round(sum($"l_quantity"), 4).as("sum_qty"))
+        .filter($"sum_qty" > 300.0)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          round($"o_totalprice", 4).as("o_totalprice"), $"sum_qty")
+        .orderBy(desc("o_totalprice"), $"o_orderkey")
+    }),
+
+    // TPC-H Q22 shape: above-average balances with no pending orders —
+    // scalar-aggregate broadcast + anti join against the filtered fact.
+    "q22_idle_balance" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val pending = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+        .select($"o_custkey")
+      // rounded in BOTH engines before comparing: double summation order
+      // differs per engine, and a boundary row must not flip on a ULP
+      val avgBal = c.filter($"c_acctbal" > 0.0)
+        .agg(round(avg($"c_acctbal"), 4).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(pending, c("c_custkey") === pending("o_custkey"), "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum($"c_acctbal"), 4).as("totacctbal"))
+        .orderBy($"c_nationkey")
     })
   )
 
@@ -1248,6 +1400,101 @@ object SparkEntry {
   )
 
   private def relationalOracle: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24.0""",
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                year(l.l_shipdate) AS l_year,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+         ORDER BY revenue DESC, c.c_custkey
+         LIMIT 20""",
+
+    "q13_order_histogram" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    "q14_promo_share" ->
+      """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1.0 - l.l_discount)
+                       ELSE 0.0 END) /
+                sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS promo_share,
+                count(*) AS n
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l.l_shipdate < TIMESTAMP '1996-04-01'""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, rev.total_rev
+         FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+         WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s.s_suppkey""",
+
+    "q18_large_volume" ->
+      """WITH big AS (
+           SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING round(sum(l_quantity), 4) > 300.0)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                round(o.o_totalprice, 4) AS o_totalprice, big.sum_qty
+         FROM big
+         JOIN orders o ON big.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o.o_orderkey""",
+
+    "q22_idle_balance" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+                round(sum(c_acctbal), 4) AS totacctbal
+         FROM customer c
+         WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
+                              WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'P')
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
+
     "j3_pairwise_topk" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
          round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
