@@ -103,7 +103,7 @@ object Bench {
       val corpus1m = spark.read.parquet(kept1m)
         .persist(StorageLevel.MEMORY_AND_DISK)
       corpus1m.count() // warm the cache: time the operator, not the disk
-      results("svs_pairs_1m") = timed {
+      results("svs_pairs_1m") = timedMedian3 {
         graft.ops.PairwiseTopK.sketchTopKPairs(
           corpus1m, dim = Dim, k = 25,
           sketchBits = 320, bands = 16, rerank = 20000)
@@ -113,7 +113,7 @@ object Bench {
       // embeddingNearDups scale path (sketch banding + Hamming cutoff +
       // exact verify). A random corpus has no cos ≥ 0.8 pairs, so this
       // measures the candidate pipeline itself completing at 1M.
-      results("svs_neardup_1m") = timed {
+      results("svs_neardup_1m") = timedMedian3 {
         graft.ops.PairwiseTopK.sketchThresholdPairs(
           corpus1m, dim = Dim, threshold = 0.8).count()
       }
@@ -125,7 +125,7 @@ object Bench {
       KbStoreCleanup.delete(ivfPath)
       val cents = corpus1m.where(col("id") < 256)
         .select(col("id").as("cid"), col("vec").as("cvec"))
-      results("svs_ivf_build_1m") = timed {
+      results("svs_ivf_build_1m") = timedMedian3 {
         graft.ops.SimilaritySearch.ivfAssignPacked(corpus1m, cents)
           .write.mode("overwrite").option("compression", "none")
           .parquet(ivfPath)
@@ -150,6 +150,21 @@ object Bench {
       }
       assigned1m.unpersist()
       KbStoreCleanup.delete(ivfPath)
+
+      // large-query-side k-NN join: 10k queries × 1M candidates, both
+      // shuffled on the centroid id (knnJoinIvfPacked) — the path whose
+      // raison d'être is inputs too big to broadcast. Packed kernels
+      // end-to-end: argmax assign + probe ranking decode each blob once,
+      // the post-join scoring is the codegen'd FloatVecDot.
+      val queries10k = syntheticEmbeddings(spark, 10000)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      queries10k.count()
+      results("svs_knn_join_1m") = timed {
+        graft.ops.SimilaritySearch.knnJoinIvfPacked(
+          queries10k, corpus1m, cents, k = 10, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      queries10k.unpersist()
 
       corpus1m.unpersist()
       KbStoreCleanup.delete(kept1m)
@@ -185,13 +200,14 @@ object Bench {
     // workload annotations: which engine numbers pair with which
     // BASELINE.md rows (and which have no published counterpart)
     val notes = Seq(
-      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol — heavy one-pass points (build/cold/load) timed once, sub-second points (warm/probe) medians of 3",
+      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol — build/pairs/neardup/ivf_build run on persisted state, so reruns are real compute: medians of 3; only cold/load stay single-shot (rerunning those would measure the page cache)",
       "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
       "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
       "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",
       "svs_neardup_1m" -> "threshold near-dup candidates + exact verify over 1M x d1536 (embeddingNearDups scale path); random corpus has no qualifying pairs, so this measures the pipeline completing at 1M; no published counterpart",
       "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
       "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
+      "svs_knn_join_1m" -> "IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256): both sides shuffle on centroid id, packed kernels end-to-end; no published counterpart (the reference retrieves one query at a time)",
       "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -255,11 +271,12 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Median of three timings — the sub-second part-2 points (warm
-    * retrieve, IVF probe) swing 2-4× run-to-run with VM/GC noise, same
-    * as part 1; the heavy single-pass points (build, cold) stay
-    * single-shot because re-running them re-measures the OS page cache,
-    * not the operator.
+  /** Median of three timings. Applied to every part-2 point whose input
+    * is persisted state (warm retrieve, IVF probe, build, pairs,
+    * neardup, ivf_build) — for those a rerun is real compute, and
+    * single-shot numbers swung up to 4× with VM state in r4. Only
+    * cold-read and load points stay single-shot: re-running those would
+    * measure the OS page cache, not the operator.
     */
   private def timedMedian3[A](body: => A): Double = {
     val ts = (1 to 3).map(_ => timed(body)).sorted
@@ -299,7 +316,10 @@ object Bench {
     // 'load into store', 8s @ 1M). Uncompressed parquet: random f32
     // vectors are incompressible, so snappy only burns CPU (the columns
     // a real store would compress — ids, text — still would be).
-    results(s"svs_build_$tag") = timed {
+    // median-of-3: each rep re-reads staging and rewrites the full store
+    // — real compute + IO, not a page-cache echo (r4: single-shot heavy
+    // points swung up to 4× with VM state)
+    results(s"svs_build_$tag") = timedMedian3 {
       spark.read.parquet(staging).write.mode("overwrite")
         .option("compression", "none")
         .option("parquet.enable.dictionary", "false")

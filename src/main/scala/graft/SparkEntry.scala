@@ -115,10 +115,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // banded (pigeonhole-exact) simhash pair mining — the scale path;
-    // the oracle computes the same pairs with a plain all-pairs join
+    // the oracle computes the same pairs with a plain all-pairs join.
+    // 60-bit signatures so the 4 pigeonhole bands carry 15 bits (32k
+    // keys) each — at 16 bits the band keys were 4-bit and candidate
+    // volume degenerated to ~n²/16 (see Dedup.simhashPairsBanded).
     "d3b_simhash_banded" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairsBanded(
-          graft.ops.Dedup.simhash(t(s, dir, "documents")), maxHamming = 3)
+          graft.ops.Dedup.simhash(t(s, dir, "documents"), bits = 60),
+          maxHamming = 3, bits = 60)
         .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc1"), col("doc2"))),
 
@@ -1030,7 +1034,7 @@ object SparkEntry {
          bits AS (
            SELECT doc_id, b,
                   sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+           FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
            GROUP BY doc_id, b),
          sims AS (
            SELECT doc_id,

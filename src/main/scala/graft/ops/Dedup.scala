@@ -155,8 +155,13 @@ object Dedup {
     jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash over distinct unigram tokens: bit b is the sign of
+  /** SimHash over distinct unigram tokens: bit b is the sign of
     * sum over tokens of (+1 if bit b of hash60(token) else -1).
+    *
+    * `bits = 16` is the compact demo width; pair mining at corpus scale
+    * should use `bits = 60` (the full [[TextAnalysis.hash60]] width) so
+    * that [[simhashPairsBanded]]'s pigeonhole bands carry ~15 bits each —
+    * see the band-key-space note there.
     */
   def simhash(docs: DataFrame, bits: Int = 16, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
@@ -195,9 +200,17 @@ object Dedup {
     * makes recall 1 — this is the classic mod-p partitioning trick of
     * Manku et al., "Detecting Near-Duplicates for Web Crawling",
     * WWW'07.
+    *
+    * Band-key space is the scale knob: candidate volume per band is
+    * Σ_k n_k² over the n_k docs sharing band key k, so with random
+    * signatures it grows like n²/2^width. At `bits = 60, maxHamming = 3`
+    * the four bands carry 15 bits (32k keys) — at 16 bits they would
+    * carry 4 bits (16 keys), which degenerates to ~n²/16 candidates
+    * regardless of corpus. Always mine pairs on 60-bit signatures;
+    * narrower widths are for compact signature storage only.
     */
   def simhashPairsBanded(sims: DataFrame, maxHamming: Int,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 60): DataFrame = {
     val nb = maxHamming + 1
     require(nb <= bits, s"need at least $nb bits for hamming $maxHamming")
     val widths = Array.fill(nb)(bits / nb)

@@ -157,32 +157,124 @@ object SimilaritySearch {
   /** k-NN join for LARGE query sides — [[knnJoin]] broadcasts the query
     * set, which caps it at driver memory. Here both sides shuffle on
     * the centroid id instead: every candidate carries its centroid
-    * ([[ivfAssign]]), every query explodes to its `nProbe` closest
-    * centroids, and the join is a plain equi-join on `cid` followed by
-    * a per-query window top-k. `nProbe = #centroids` degenerates to the
-    * exact join. Output matches [[knnJoin]]: (qid, cid→candidate id,
-    * score, rk).
+    * (the packed argmax kernel of [[ivfAssignPacked]]), every query
+    * explodes to its `nProbe` closest centroids, and the join is a
+    * plain equi-join on `cid` followed by a per-query window top-k.
+    * `nProbe = #centroids` degenerates to the exact join. Output
+    * matches [[knnJoin]]: (qid, cid→candidate id, score, rk).
+    *
+    * Kernels: both the assignment and the probe ranking decode each
+    * vector's byte blob ONCE per row in a `mapPartitions` primitive
+    * loop against broadcast-decoded centroids (an expression
+    * formulation re-decodes the blob per centroid, and the
+    * `transform`/`zip_with` array form is interpreted — never
+    * codegen'd); the post-join scoring is the codegen'd [[FloatVecDot]]
+    * over the packed vectors carried through the shuffle. Math is
+    * bit-identical to [[knnJoin]]'s: f32 inputs, sequential double
+    * accumulate. Centroids are cast to f32 (they are by construction
+    * means of f32 vectors).
     */
   def knnJoinIvf(queries: DataFrame, candidates: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val assigned = ivfAssign(candidates, centroids)
-      .select(col("cid").as("ccid"), col("vec_id").as("cand_id"),
-        asDouble(col("embedding")).as("cv"))
-    // per-query probe list: rank centroids by dot, keep nProbe
-    val qw = Window.partitionBy(col("qid")).orderBy(desc("pscore"), col("cid"))
+    import graft.functions.FloatVecPack.floatVecPack
+    knnJoinIvfPacked(
+      queries.select(col("vec_id").as("id"),
+        floatVecPack(col("embedding")).as("vec")),
+      candidates.select(col("vec_id").as("id"),
+        floatVecPack(col("embedding")).as("vec")),
+      centroids.select(col("cid"),
+        floatVecPack(col("cvec").cast("array<float>")).as("cvec")),
+      k, nProbe)
+  }
+
+  /** [[knnJoinIvf]] over already-packed `(id, vec BINARY)` inputs and
+    * `(cid, cvec BINARY)` centroids — the form a packed vector store
+    * (or [[graft.Bench]]'s 1M corpus) calls without an unpack/repack
+    * round trip.
+    */
+  def knnJoinIvfPacked(queries: DataFrame, candidates: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.FloatVecDot
+    import graft.functions.FloatVecDot.floatVecDot
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // the centroid set is tiny by definition: collect decoded, broadcast
+    val cents = centroids
+      .select(col("cid"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
+      .sortBy(_._1)
+    if (cents.isEmpty)
+      return queries.select(col("id").as("qid"), lit(0L).as("cid"),
+        lit(0.0).as("score"), lit(0).as("rk")).limit(0)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    // candidates: packed argmax assignment (ties to the smaller cid via
+    // ascending order + strict >), packed vector carried through
+    val assigned = candidates
+      .select(col("id"), col("vec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vb) =>
+          val v = FloatVecDot.unpack(vb)
+          var best = -1L
+          var bestS = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)._2
+            var s = 0.0
+            var i = 0
+            val n = math.min(v.length, cv.length)
+            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            if (s > bestS) { bestS = s; best = cs(ci)._1 }
+            ci += 1
+          }
+          (best, id, vb)
+        }
+      }.toDF("ccid", "cand_id", "cv")
+
+    // queries: decode once, rank all centroids, keep the top nProbe by
+    // (pscore desc, cid asc) — insertion selection; strict > keeps the
+    // smaller cid ahead on ties (centroids iterate in ascending order)
     val probes = queries
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("cid"),
-        dot(col("qv"), asDouble(col("cvec"))).as("pscore"))
-      .withColumn("pr", row_number().over(qw))
-      .where(col("pr") <= nProbe)
-      .select(col("qid"), col("qv"), col("cid"))
+      .select(col("id"), col("vec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val np = math.min(nProbe, cs.length)
+        it.flatMap { case (qid, qb) =>
+          val v = FloatVecDot.unpack(qb)
+          val topC = new Array[Long](np)
+          val topS = new Array[Double](np)
+          java.util.Arrays.fill(topS, Double.NegativeInfinity)
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)._2
+            var s = 0.0
+            var i = 0
+            val n = math.min(v.length, cv.length)
+            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            if (s > topS(np - 1)) {
+              var j = np - 1
+              while (j > 0 && s > topS(j - 1)) {
+                topS(j) = topS(j - 1); topC(j) = topC(j - 1); j -= 1
+              }
+              topS(j) = s; topC(j) = cs(ci)._1
+            }
+            ci += 1
+          }
+          (0 until np).iterator.map(j => (qid, qb, topC(j)))
+        }
+      }.toDF("qid", "qv", "cid")
+
+    // no dedup needed: each candidate belongs to exactly one centroid
+    // and each query probes distinct centroids, so (qid, cand) is unique
     val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid2"))
     probes.join(assigned, probes("cid") === assigned("ccid"))
       .select(col("qid"), col("cand_id").as("cid2"),
-        round(dot(col("cv"), col("qv")), 6).as("score"))
-      .dropDuplicates("qid", "cid2")
+        round(floatVecDot(col("cv"), col("qv")), 6).as("score"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("qid"), col("cid2").as("cid"), col("score"), col("rk"))

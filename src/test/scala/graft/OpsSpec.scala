@@ -173,15 +173,26 @@ class OpsSpec extends SparkSpec {
   }
 
   test("banded simhash pairs equal the all-pairs formulation exactly") {
-    val sims = Dedup.simhash(docs).cache()
+    // the scale configuration: 60-bit signatures, 15-bit pigeonhole bands
+    val sims = Dedup.simhash(docs, bits = 60).cache()
     val allPairs = Dedup.simhashPairs(sims, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val banded = Dedup.simhashPairsBanded(sims, maxHamming = 3).collect()
+    val banded = Dedup.simhashPairsBanded(sims, maxHamming = 3, bits = 60)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(allPairs.nonEmpty)
     assert(banded == allPairs,
       s"pigeonhole banding must be exact: ${banded.size} vs ${allPairs.size}")
     sims.unpersist()
+
+    // pigeonhole exactness is width-independent — spot-check 16-bit too
+    val sims16 = Dedup.simhash(docs, bits = 16).cache()
+    val all16 = Dedup.simhashPairs(sims16, maxHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val band16 = Dedup.simhashPairsBanded(sims16, maxHamming = 2, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(band16 == all16)
+    sims16.unpersist()
   }
 
   test("time joins: as-of carry-forward and bucketed range join") {
