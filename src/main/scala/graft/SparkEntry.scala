@@ -872,7 +872,8 @@ object SparkEntry {
       val big = l.groupBy($"l_orderkey")
         .agg(round(sum($"l_quantity"), 4).as("sum_qty"))
         .filter($"sum_qty" > 300.0)
-      big.join(o, big("l_orderkey") === o("o_orderkey"))
+      // the HAVING output is tiny — broadcast it so orders never shuffles
+      broadcast(big).join(o, big("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select($"c_name", $"c_custkey", $"o_orderkey",
           date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
@@ -898,6 +899,162 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           round(sum($"c_acctbal"), 4).as("totacctbal"))
         .orderBy($"c_nationkey")
+    }),
+
+    // TPC-H Q21 shape: suppliers who were the ONLY late shipper of a
+    // finished multi-supplier order — the exists / not-exists chain
+    // self-joining the fact table. `late` is derived once; exists is a
+    // left-semi against all lines of the order, not-exists a left-anti
+    // against the other late lines. All three joins shuffle on
+    // l_orderkey only; supplier rides a broadcast. ("late" here =
+    // shipped >730 days after the order date — this schema has no
+    // commit/receipt dates.)
+    "q21_waiting_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+      val l = t(s, dir, "lineitem")
+      val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter($"l_shipdate" > expr("o_orderdate + INTERVAL 730 DAYS"))
+        .select($"l_orderkey".as("lo"), $"l_suppkey".as("ls"))
+      val others = l.select($"l_orderkey".as("lo2"), $"l_suppkey".as("ls2"))
+      late
+        .join(others, $"lo" === $"lo2" && $"ls" =!= $"ls2", "left_semi")
+        .join(late.select($"lo".as("lo3"), $"ls".as("ls3")),
+          $"lo" === $"lo3" && $"ls" =!= $"ls3", "left_anti")
+        .join(broadcast(sup), $"ls" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), $"s_name")
+    }),
+
+    // TPC-H Q12 shape: OR-band predicate on the fact scan (pushes to
+    // parquet as one disjunctive filter) + conditional aggregation on
+    // the joined order priority — both CASE sums ride one agg pass.
+    "q12_priority_lines" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(($"l_discount" >= 0.09 || $"l_tax" >= 0.07) &&
+          $"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter($"l_shipdate" >= $"o_orderdate")
+        .groupBy($"l_linestatus")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy($"l_linestatus")
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-band predicate spanning both
+    // join sides — each band constrains part (brand, size) AND lineitem
+    // (quantity); the part-only conjuncts push below the broadcast join.
+    "q19_disjunctive_bands" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      val bands =
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1.0, 11.0)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10.0, 20.0)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20.0, 30.0))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(bands)
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q9 shape: multi-way join with a LIKE-filtered part side —
+    // profit by supplier nation and order year. part/supplier/nation
+    // broadcast (the LIKE filter shrinks part before the join); orders
+    // is the only shuffled join, on l_orderkey.
+    "q9_product_profit" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part").filter($"p_name".like("%gear%"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy($"n_name".as("supp_nation"),
+          year($"o_orderdate").cast("long").as("o_year"))
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("profit"))
+        .orderBy($"supp_nation", desc("o_year"))
+    }),
+
+    // TPC-H Q11 shape: per-key value vs a scalar share of the total —
+    // the one-row total broadcasts back against the grouped values, so
+    // the fact table aggregates exactly once. Both sides of the HAVING
+    // comparison round to 4dp (per-engine summation order must not flip
+    // a boundary part).
+    "q11_part_value" -> ((s, dir) => {
+      import s.implicits._
+      val v = t(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("pval"))
+      val tot = v.agg(sum($"pval").as("total"))
+      v.crossJoin(broadcast(tot))
+        .filter(round($"pval", 4) > round($"total" * 0.0007, 4))
+        .select($"l_partkey", round($"pval", 4).as("value"))
+        .orderBy(desc("value"), $"l_partkey")
+    }),
+
+    // TPC-H Q16 shape: distinct-count aggregation + NOT IN exclusion —
+    // the excluded supplier set is an anti join (s_suppkey is non-null,
+    // so NOT IN ≡ anti), the distinct count expands (brand, type, size,
+    // suppkey) once before counting.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part")
+        .filter($"p_brand" =!= "Brand#5" &&
+          !$"p_type".isin("PROMO", "ECONOMY") &&
+          $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+      val bad = t(s, dir, "supplier").filter($"s_acctbal" < 0.0)
+        .select($"s_suppkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(bad), col("l_suppkey") === bad("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), $"p_brand", $"p_type", $"p_size")
+    }),
+
+    // TPC-H Q2 shape: correlated min subquery — the cheapest supplier
+    // per part within a region. Decorrelated the way Catalyst would:
+    // per-(part, supplier) unit cost (rounded 4dp in both engines BEFORE
+    // the min, so FP noise can't split a tie), region-filtered, min per
+    // part joined back on equality. Dim joins broadcast; the only wide
+    // shuffles are the two part-keyed aggs.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val cost = t(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(round($"l_extendedprice" / $"l_quantity", 4)).as("unit_cost"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter($"r_name" === "EUROPE")
+      val rc = cost
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select($"l_partkey", $"unit_cost", $"s_acctbal", $"s_name", $"n_name")
+      val mn = rc.groupBy($"l_partkey".as("mpk"))
+        .agg(min($"unit_cost").as("min_cost"))
+      val p = t(s, dir, "part")
+        .filter($"p_size".between(10, 15) && $"p_type" === "LARGE")
+      rc.join(mn, $"l_partkey" === $"mpk" && $"unit_cost" === $"min_cost")
+        .join(broadcast(p), $"l_partkey" === p("p_partkey"))
+        .select(round($"s_acctbal", 4).as("s_acctbal"), $"s_name", $"n_name",
+          $"p_partkey", $"unit_cost")
+        .orderBy(desc("s_acctbal"), $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
     })
   )
 
@@ -1498,6 +1655,101 @@ object SparkEntry {
                              AND o.o_orderstatus = 'P')
          GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+           SELECT l.l_orderkey AS lo, l.l_suppkey AS ls
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'F'
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 730 DAY)
+         SELECT s.s_name, count(*) AS numwait
+         FROM late l1 JOIN supplier s ON l1.ls = s.s_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.lo AND l2.l_suppkey <> l1.ls)
+           AND NOT EXISTS (SELECT 1 FROM late l3
+                           WHERE l3.lo = l1.lo AND l3.ls <> l1.ls)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s.s_name""",
+
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE (l_discount >= 0.09 OR l_tax >= 0.07)
+           AND l_shipdate >= o_orderdate
+           AND l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
+
+    "q19_disjunctive_bands" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY n_name, year(o_orderdate)
+         ORDER BY supp_nation, o_year DESC""",
+
+    "q11_part_value" ->
+      """WITH v AS (
+           SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS pval
+           FROM lineitem GROUP BY l_partkey),
+         tot AS (SELECT sum(pval) AS total FROM v)
+         SELECT l_partkey, round(pval, 4) AS value FROM v, tot
+         WHERE round(pval, 4) > round(total * 0.0007, 4)
+         ORDER BY value DESC, l_partkey""",
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5'
+           AND p_type NOT IN ('PROMO', 'ECONOMY')
+           AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+           SELECT l_partkey, l_suppkey,
+                  min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+         rc AS (
+           SELECT cost.*, s_acctbal, s_name, n_name
+           FROM cost JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         mn AS (SELECT l_partkey, min(unit_cost) AS min_cost
+                FROM rc GROUP BY l_partkey)
+         SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name,
+                p_partkey, unit_cost
+         FROM rc JOIN mn USING (l_partkey)
+         JOIN part ON rc.l_partkey = p_partkey
+         WHERE unit_cost = min_cost
+           AND p_size BETWEEN 10 AND 15 AND p_type = 'LARGE'
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
 
     "j3_pairwise_topk" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
