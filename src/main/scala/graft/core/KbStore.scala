@@ -108,6 +108,22 @@ final class KbStore private (
       preserveIndex: Boolean = false): Unit = {
     val cur = metaCache
     val next = cur.version + 1
+    // manifest CAS — the single-writer contract, enforced: if another
+    // writer published since this store snapshotted the manifest, the
+    // on-disk version moved past our snapshot. Check BEFORE staging:
+    // version N+1 staging dirs are deterministic, so a stale writer
+    // that proceeded would overwrite the other writer's just-published
+    // v<N+1> tables — failing here costs nothing and turns every
+    // stale-snapshot commit (the realistic double-writer mistake) into
+    // an error instead of silent last-writer-wins. The check-then-write
+    // window during staging is documented best-effort, not a true
+    // filesystem CAS.
+    val onDisk = KbStore.readMeta(path)
+    if (onDisk.version != cur.version)
+      throw new java.util.ConcurrentModificationException(
+        s"store $path: manifest version moved ${cur.version} -> " +
+          s"${onDisk.version} since this writer's snapshot; concurrent " +
+          "writer detected (this store is single-writer)")
     try {
       updated.foreach { case (name, df) =>
         df.write.mode(SaveMode.Overwrite)
@@ -859,9 +875,17 @@ final class KbStore private (
     try {
       rootListing.forEach { p =>
         val name = p.getFileName.toString
-        if (Files.isDirectory(p) && !known.contains(name) &&
-            (KbStore.IndexTables.contains(name) || KbStore.isVersionedTableDir(p)))
-          KbStore.deleteRecursively(p)
+        // filesystem races (a dir vanishing between list and probe, an
+        // unreadable dir) skip that entry, never abort the whole sweep
+        val ours = Files.isDirectory(p) && !known.contains(name) &&
+          (KbStore.IndexTables.contains(name) ||
+            (try KbStore.isVersionedTableDir(p)
+             catch { case _: java.io.IOException |
+                          _: java.io.UncheckedIOException => false }))
+        if (ours)
+          try KbStore.deleteRecursively(p)
+          catch { case _: java.io.IOException |
+                       _: java.io.UncheckedIOException => () }
       }
     } finally rootListing.close()
     known.foreach { name =>
@@ -1058,24 +1082,25 @@ object KbStore {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   // ---------------- fs helpers ----------------
-  /** A non-empty directory whose immediate children are all `v<N>`
-    * version subdirectories — the layout this store (and only this
-    * store) writes for a table. Vacuum's orphan sweep uses it to avoid
-    * deleting foreign dirs placed under the store root.
+  /** A directory whose immediate children are all `v<N>` (digits-only —
+    * `v+3`/`v-1` are NOT store layout) version subdirectories — the
+    * layout this store (and only this store) writes for a table.
+    * Vacuum's orphan sweep uses it to avoid deleting foreign dirs
+    * placed under the store root. An EMPTY directory counts as
+    * reclaimable: an interrupted commit's mkdir leaves exactly that,
+    * and deleting an empty dir can lose nothing.
     */
   private[core] def isVersionedTableDir(dir: Path): Boolean = {
     val listing = Files.list(dir)
     try {
-      var any = false
       val it = listing.iterator()
       while (it.hasNext) {
         val c = it.next()
         val n = c.getFileName.toString
         if (!Files.isDirectory(c) || !n.startsWith("v") ||
-            n.drop(1).toLongOption.isEmpty) return false
-        any = true
+            n.length < 2 || !n.drop(1).forall(_.isDigit)) return false
       }
-      any
+      true
     } finally listing.close()
   }
 

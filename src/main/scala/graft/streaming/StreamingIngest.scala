@@ -112,7 +112,10 @@ object StreamingIngest {
           // emitted (its close condition end + gap <= wm has fired), so
           // admitting it would emit a duplicate/overlapping session in
           // append mode. The documented contract bounds disorder by the
-          // watermark — enforce it here.
+          // watermark — enforce it here. ts == wm is dropped
+          // conservatively (only end == wm - gap strictly requires it):
+          // the strict > keeps admission consistent with the <= close
+          // condition, at the cost of one boundary event.
           val incoming = it.map(e => (e.ts.getTime, e.value))
             .filter(_._1 > wm).toList
           val held = state.getOption

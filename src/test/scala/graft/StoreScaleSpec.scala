@@ -231,4 +231,39 @@ class StoreScaleSpec extends SparkSpec {
     assert(kb.hasKey("b"))
     kb.close()
   }
+
+  test("vacuum sweep: signed-version foreign dirs spared, empty orphans reclaimed") {
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    kb.setKey("a", 1L)
+    // "v+3" parses as 3 via toLongOption, but it is NOT store layout —
+    // the digits-only ownership check must spare the foreign dir
+    Files.createDirectories(Paths.get(s"$path/foreign/v+3"))
+    // an empty dir is what an interrupted commit's mkdir leaves; it can
+    // hold no data, so the sweep reclaims it
+    Files.createDirectories(Paths.get(s"$path/stale_empty"))
+    kb.vacuum()
+    assert(Files.isDirectory(Paths.get(s"$path/foreign/v+3")))
+    assert(!Files.isDirectory(Paths.get(s"$path/stale_empty")))
+    assert(kb.hasKey("a"))
+    kb.close()
+  }
+
+  test("manifest CAS: a stale second writer's commit errors instead of last-writer-wins") {
+    val path = freshPath()
+    val a = KbStore.create(spark, path, Map())
+    a.setKey("base", 0L)
+    val b = KbStore.open(spark, path) // snapshots the same manifest
+    a.setKey("from_a", 1L) // A publishes; on-disk version moves
+    val e = intercept[java.util.ConcurrentModificationException] {
+      b.setKey("from_b", 2L) // B's snapshot is stale — must fail loudly
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // A's commit survives untouched; B's staged dirs were rolled back
+    val fresh = KbStore.open(spark, path)
+    assert(fresh.hasKey("from_a"))
+    assert(!fresh.hasKey("from_b"))
+    assert(fresh.meta.version == a.meta.version)
+    fresh.close(); b.close(); a.close()
+  }
 }
