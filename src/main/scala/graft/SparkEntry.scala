@@ -54,6 +54,21 @@ object SparkEntry {
         "n_tokens", "n_uniq", "n_bpe_pieces", "n_chars")
         .orderBy(col("doc_id"))),
 
+    // unicode/regex tokenization over a punctuated+case-mangled variant
+    // of the corpus (the synthetic text itself is clean, so the
+    // punctuation is injected identically in both engines) — the
+    // tokenizer real corpora need, where `split(' ')` glues "word." and
+    // "Word" into distinct spurious tokens
+    "x7_unicode_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        concat($"text", lit("!! "), upper(substring($"text", 1, 12)), lit("."))
+          .as("txt"))
+      val stats = graft.ops.TextAnalysis.tokenStats(aug, "txt", unicode = true)
+      longs(stats.drop("n_bpe_pieces", "n_chars"), "n_tokens", "n_uniq")
+        .orderBy($"doc_id")
+    }),
+
     // deterministic hash sampling (training-data subsetting without RNG
     // state: a narrow map, reproducible across engines and runs)
     "d7_hash_sample" -> ((s, dir) =>
@@ -1072,6 +1087,18 @@ object SparkEntry {
                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_pieces,
                 length(text) AS n_chars
          FROM documents ORDER BY doc_id""",
+
+    "x7_unicode_tokens" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || '!! ' || upper(substr(text, 1, 12)) || '.' AS txt
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(lower(txt), '[\p{L}\p{N}]+'))
+                  AS n_tokens,
+                len(list_distinct(regexp_extract_all(lower(txt), '[\p{L}\p{N}]+')))
+                  AS n_uniq
+         FROM aug ORDER BY doc_id""",
 
     "d7_hash_sample" ->
       """SELECT doc_id, lang FROM documents

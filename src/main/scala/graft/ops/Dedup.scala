@@ -34,12 +34,20 @@ object Dedup {
     * Shingle i = tokens[i..i+k-1] joined by space, i in 0..n-k; docs
     * shorter than k tokens produce no rows (sequence() would otherwise
     * count backwards for a negative stop).
+    *
+    * `unicode = true` tokenizes with [[TextAnalysis.tokensUnicode]]
+    * (lower-cased letter/digit runs) instead of the single-space corpus
+    * contract — the switch for corpora where punctuation would
+    * otherwise glue tokens into spurious shingles.
     */
   def shinglePosts(docs: DataFrame, k: Int = 3,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
     val toks = col("__toks")
+    val tokenize =
+      if (unicode) TextAnalysis.tokensUnicode(col(textCol))
+      else split(col(textCol), " ")
     docs
-      .select(col("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), tokenize.as("__toks"))
       .select(col("doc_id"), toks,
         explode(when(size(toks) >= k, sequence(lit(0), size(toks) - k))
           .otherwise(array().cast("array<int>"))).as("__i"))
@@ -55,8 +63,9 @@ object Dedup {
     * generation more than pays back; operators that want the posting
     * stream should use [[shinglePosts]] directly and skip the arrays.
     */
-  def shingles(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
-    val grouped = shinglePosts(docs, k, textCol)
+  def shingles(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      unicode: Boolean = false): DataFrame = {
+    val grouped = shinglePosts(docs, k, textCol, unicode)
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shingles"))
     docs.select(col("doc_id")).join(grouped, Seq("doc_id"), "left")
       .select(col("doc_id"),

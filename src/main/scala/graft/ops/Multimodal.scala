@@ -48,6 +48,9 @@ object Multimodal {
     *  - BMP (`BM` magic, BITMAPINFOHEADER): width/height are the
     *    little-endian int32s at offsets 18/22 (height may be negative
     *    for top-down rows); a still image is 1 frame.
+    *  - PNG (8-byte signature): the IHDR chunk is REQUIRED to be first,
+    *    so width/height are the big-endian int32s at offsets 16/20; a
+    *    still image is 1 frame.
     *  - WAV (`RIFF…WAVE`): the `fmt ` chunk carries channels /
     *    sample-rate / block-align; `data`'s size over block-align is the
     *    sample-frame count. Mapped into [[MediaFeatures]] as
@@ -63,14 +66,24 @@ object Multimodal {
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
     private def le16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, "US-ASCII")
+
+    private val PngSig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
     def decode(r: MediaRow): MediaFeatures = {
       val p = r.payload
       if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
         MediaFeatures(r.media_id, "image", p.length,
           width = le32(p, 18), height = math.abs(le32(p, 22)), n_frames = 1)
+      else if (p.length >= 24 &&
+          PngSig.indices.forall(i => (p(i) & 0xff) == PngSig(i)) &&
+          tag(p, 12) == "IHDR")
+        MediaFeatures(r.media_id, "image", p.length,
+          width = be32(p, 16), height = be32(p, 20), n_frames = 1)
       else if (p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
         var (o, rate, channels, blockAlign, dataSize) = (12, 0, 0, 1, 0)
         var malformed = false

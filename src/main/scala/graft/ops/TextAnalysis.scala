@@ -22,6 +22,18 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode-aware tokenization for real corpora: lower-case, then every
+    * maximal run of letters/digits (`[\p{L}\p{N}]+`) is a token — so
+    * punctuation no longer glues tokens together (which distorts
+    * shingles, minhash, and token stats under [[tokens]]). Extraction
+    * (not split) sidesteps empty-string edge tokens, stays in codegen
+    * (RegExpExtractAll — no higher-order filter), and is engine-portable:
+    * DuckDB's `regexp_extract_all` with the same pattern produces the
+    * identical list.
+    */
+  def tokensUnicode(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
+
   /** A 60-bit positive integer hash derived from md5 — chosen because it
     * is reproducible in any engine that has md5 (the DuckDB oracle
     * included), unlike engine-private hash functions.
@@ -32,9 +44,11 @@ object TextAnalysis {
   /** Per-document token statistics: whitespace tokens plus a BPE-ish
     * subword count (alpha runs / digit runs / other symbols — the
     * pre-tokenization split a byte-pair encoder starts from).
+    * `unicode = true` switches to [[tokensUnicode]].
     */
-  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+  def tokenStats(docs: DataFrame, textCol: String = "text",
+      unicode: Boolean = false): DataFrame = {
+    val toks = if (unicode) tokensUnicode(col(textCol)) else tokens(col(textCol))
     docs.select(
       col("doc_id"),
       size(toks).as("n_tokens"),

@@ -172,6 +172,22 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("unicode tokenizer: punctuation and case do not distort tokens or shingles") {
+    import spark.implicits._
+    val clean = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val messy = Seq((1L, "The quick, brown FOX — jumps!")).toDF("doc_id", "text")
+    val tu = messy.select(TextAnalysis.tokensUnicode($"text").as("t"))
+      .head.getSeq[String](0)
+    assert(tu == Seq("the", "quick", "brown", "fox", "jumps"))
+    // the space tokenizer would glue "quick," and "FOX" into distinct
+    // tokens; unicode shingles of the messy text equal the clean ones
+    val shClean = Dedup.shingles(clean, k = 3).head.getSeq[String](1).toSet
+    val shMessy = Dedup.shingles(messy, k = 3, unicode = true)
+      .head.getSeq[String](1).toSet
+    assert(shClean.nonEmpty)
+    assert(shMessy == shClean)
+  }
+
   test("banded simhash pairs equal the all-pairs formulation exactly") {
     // the scale configuration: 60-bit signatures, 15-bit pigeonhole bands
     val sims = Dedup.simhash(docs, bits = 60).cache()
@@ -242,10 +258,19 @@ class OpsSpec extends SparkSpec {
       "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmt ++
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
 
+    // hand-built PNG: 8-byte signature + IHDR length/tag + big-endian
+    // 1920x1080 dims + the remaining 5 IHDR fields + CRC
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(1920) ++ be32(1080) ++ Array.fill[Byte](5)(0) ++ be32(0)
+
     val media = Seq(
       Multimodal.MediaRow(1L, "image", bmp),
       Multimodal.MediaRow(2L, "audio", wav),
-      Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8")))
+      Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8")),
+      Multimodal.MediaRow(4L, "image", png))
       .toDF("media_id", "kind", "payload")
     val feats = Multimodal.extractFeatures(media)
       .collect().sortBy(_.media_id)
@@ -258,6 +283,9 @@ class OpsSpec extends SparkSpec {
     // unknown container falls back to the disclosed stub
     assert(feats(2) == Multimodal.FakeDecoder.decode(
       Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8"))))
+    // PNG: big-endian IHDR width/height
+    assert(feats(3) == Multimodal.MediaFeatures(4L, "image", png.length,
+      1920, 1080, 1))
   }
 
   test("driver entry: flagship query returns rows") {
