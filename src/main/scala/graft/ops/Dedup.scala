@@ -113,22 +113,75 @@ object Dedup {
       .where(col("hi") < numHashes)
   }
 
-  /** LSH banding over the signatures: band key = md5 of the concatenated
-    * band rows; docs sharing any (band, key) are candidates. Returns
-    * distinct candidate pairs (doc1 < doc2).
+  /** Per-document LSH band keys over the signatures: key = md5 of the
+    * band's signature rows joined in `hi` order. Shared by
+    * [[lshCandidates]] (batch pair mining) and, via its local twin
+    * [[minhashBandKeysLocal]], the streaming dedup path.
     */
-  def lshCandidates(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
-    val bands = sigs
+  def bandKeys(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
       .withColumn("band", floor(col("hi") / rowsPerBand))
       .groupBy(col("doc_id"), col("band"))
       // array_agg ordered by hi: sort_array of (hi, sig) structs
       .agg(md5(concat_ws("|",
         array_sort(collect_list(struct(col("hi"), col("sig"))))
           .getField("sig"))).as("key"))
+
+  /** LSH banding over the signatures: docs sharing any (band, key) are
+    * candidates. Returns distinct candidate pairs (doc1 < doc2).
+    */
+  def lshCandidates(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = bandKeys(sigs, rowsPerBand)
     val a = bands.select(col("band"), col("key"), col("doc_id").as("doc1"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("doc2"))
     a.join(b, Seq("band", "key")).where(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2")).distinct()
+  }
+
+  /** ONE document's MinHash band keys computed locally on the JVM — no
+    * DataFrame machinery, bit-identical to [[minhashSignatures]] →
+    * [[bandKeys]] (same md5-slice hash family, same lexicographic mins,
+    * same md5-of-joined-band key; OpsSpec asserts the parity). This is
+    * what lets the streaming dedup band an arriving document inside a
+    * narrow map: the only shuffle left is the keyed state lookup.
+    * Docs shorter than k tokens have no shingles, hence no signature
+    * rows, hence no bands — same as the batch pipeline.
+    */
+  def minhashBandKeysLocal(text: String, k: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2): Seq[(Int, String)] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < k) return Seq.empty
+    val shingleSet = (0 to toks.length - k)
+      .map(i => toks.slice(i, i + k).mkString(" ")).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+    val nGrps = (numHashes - 1) / 4 + 1
+    val sigs = new Array[String](numHashes)
+    for (grp <- 0 until nGrps) {
+      val mins = new Array[String](4)
+      shingleSet.foreach { sh =>
+        val h = md5hex(s"$grp:$sh")
+        var sl = 0
+        while (sl < 4) {
+          val sub = h.substring(sl * 8, sl * 8 + 8)
+          if (mins(sl) == null || sub < mins(sl)) mins(sl) = sub
+          sl += 1
+        }
+      }
+      for (sl <- 0 until 4; hi = grp * 4 + sl if hi < numHashes)
+        sigs(hi) = mins(sl)
+    }
+    sigs.zipWithIndex.groupBy(_._2 / rowsPerBand).toSeq
+      .map { case (band, rows) =>
+        (band, md5hex(rows.sortBy(_._2).map(_._1).mkString("|")))
+      }
+      .sortBy(_._1)
   }
 
   /** Exact Jaccard over shingle sets for a pair list (the verification

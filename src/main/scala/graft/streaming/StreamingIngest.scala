@@ -161,6 +161,91 @@ object StreamingIngest {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** One banded observation of an arriving document (streaming minhash
+    * dedup).
+    */
+  case class BandObs(band: Int, key: String, doc_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** Per-band-key state: parallel PRIMITIVE arrays, public — tuple-list
+    * or private case-class state breaks Janino encoder codegen (same
+    * constraint as EventBuffer).
+    */
+  case class BandSeen(docIds: Array[Long], tsMs: Array[Long])
+
+  /** A near-dup candidate flag: `doc_id` arrived after `dup_of` and
+    * collided with it on minhash `band`.
+    */
+  case class DupFlag(doc_id: Long, dup_of: Long, band: Int)
+
+  /** Streaming APPROXIMATE dedup — the minhash-band twin of
+    * [[streamingExactDedup]], catching near-duplicates (not just
+    * byte-identical ones) before they hit the store. Each arriving doc
+    * computes its LSH band keys locally
+    * ([[graft.ops.Dedup.minhashBandKeysLocal]] — bit-identical to the
+    * batch `d2` banding, a narrow map), then a `flatMapGroupsWithState`
+    * keyed by (band, key) flags any doc that lands on a band an earlier
+    * doc already occupies. Flags are CANDIDATE-level (the batch
+    * pipeline's exact-Jaccard verify is a join, which a per-key state
+    * op cannot do) — precision is the banding's, recall within the
+    * watermark horizon is the banding's recall, and one doc pair may be
+    * flagged on several bands (downstream consumers treat flags as
+    * idempotent). State eviction mirrors
+    * `dropDuplicatesWithinWatermark`: a band whose newest observation
+    * falls behind the watermark is dropped, so near-dups separated by
+    * more than the watermark are not flagged — the documented horizon.
+    *
+    * Input columns: doc_id LONG, text STRING, ts TIMESTAMP.
+    */
+  def streamingMinhashDedup(docs: DataFrame, k: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      watermark: String = "1 hour"): Dataset[DupFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val obs = docs.select(col("doc_id"), col("text"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        graft.ops.Dedup.minhashBandKeysLocal(text, k, numHashes, rowsPerBand)
+          .map { case (b, key) => BandObs(b, key, id, ts) }
+      }
+    obs.withWatermark("ts", watermark)
+      .groupByKey(o => o.key + "#" + o.band)
+      .flatMapGroupsWithState[BandSeen, DupFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state: GroupState[BandSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // beyond-watermark arrivals are dropped (same contract as
+            // the event-time sessionize late-event guard)
+            val arrivals = it.filter(_.ts.getTime > wm).toList
+              .sortBy(o => (o.ts.getTime, o.doc_id))
+            val held = state.getOption.getOrElse(
+              BandSeen(Array.empty, Array.empty))
+            val seen = scala.collection.mutable.LinkedHashMap[Long, Long](
+              held.docIds.zip(held.tsMs).toSeq: _*)
+            val flags = List.newBuilder[DupFlag]
+            arrivals.foreach { o =>
+              if (!seen.contains(o.doc_id)) {
+                if (seen.nonEmpty)
+                  flags += DupFlag(o.doc_id, seen.keys.min, o.band)
+                seen(o.doc_id) = o.ts.getTime
+              }
+            }
+            // evict entries the watermark has passed; key the state's
+            // own eviction to its newest observation
+            val kept = seen.toSeq.filter(_._2 > wm)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(BandSeen(kept.map(_._1).toArray,
+                kept.map(_._2).toArray))
+              state.setTimeoutTimestamp(math.max(kept.map(_._2).max, wm + 1L))
+            }
+            flags.result().iterator
+          }
+      }
+  }
+
   /** Streaming embed-and-pack stage: the `bulk_add_docs` backfill
     * (provider called in partition batches of 200) as a streaming-safe
     * transform. Output schema: (doc_id, text, vec BINARY packed f32).

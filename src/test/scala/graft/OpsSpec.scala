@@ -172,6 +172,24 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("local minhash band keys are bit-identical to the batch banding") {
+    import spark.implicits._
+    val sample = docs.limit(20).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = sample.toSeq.toDF("doc_id", "text")
+    val batch = Dedup.bandKeys(
+        Dedup.minhashSignatures(Dedup.shingles(df), numHashes = 8),
+        rowsPerBand = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getString(2))).toSet
+    val local = sample.flatMap { case (id, text) =>
+      Dedup.minhashBandKeysLocal(text, k = 3, numHashes = 8, rowsPerBand = 2)
+        .map { case (b, key) => (id, b, key) }
+    }.toSet
+    assert(batch.nonEmpty)
+    assert(local == batch)
+  }
+
   test("unicode tokenizer: punctuation and case do not distort tokens or shingles") {
     import spark.implicits._
     val clean = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Embeddings.MockProvider
 import graft.functions.FloatVecDot
+import graft.ops.Dedup
 import graft.streaming.StreamingIngest
 import graft.streaming.StreamingIngest.UserEvent
 
@@ -173,6 +174,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val got = spark.table("dedup_out").collect().map(_.getString(0)).sorted
     assert(got.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("streaming minhash dedup: near-dup within the watermark is flagged; parity with batch banding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "entirely different content with no shared phrases at all whatsoever"
+    // offset from epoch 0: the initial watermark is 0, and the
+    // late-event guard (ts > wm) would drop an epoch-0 event
+    def ts(s: Int) = new java.sql.Timestamp((86400 + s) * 1000L)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val flags = StreamingIngest.streamingMinhashDedup(
+      stream.toDF().toDF("doc_id", "text", "ts"), watermark = "10 minutes")
+    val q = flags.writeStream.outputMode("append")
+      .format("memory").queryName("dupflags").start()
+    stream.addData(Seq((1L, base, ts(0)), (2L, other, ts(5))))
+    q.processAllAvailable()
+    stream.addData(Seq((3L, base, ts(20)))) // identical text, later arrival
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dupflags").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the later doc is flagged against the earlier one; the unrelated
+    // doc collides with nothing
+    assert(out.contains((3L, 1L)))
+    assert(!out.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(out.forall(p => p._1 > p._2), "flags point later -> earlier")
+    // batch parity: the flagged pairs are exactly d2's banding-stage
+    // candidates over the same corpus
+    val corpus = Seq((1L, base), (2L, other), (3L, base)).toDF("doc_id", "text")
+    val batchPairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingles(corpus), numHashes = 8), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamPairs = out.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(streamPairs == batchPairs)
   }
 
   test("streaming ingest: embed stage through a parquet sink") {
