@@ -543,11 +543,15 @@ object Dedup {
     * exact precision, banding-bounded recall, and the join shuffles
     * 32-byte sketches instead of the corpus.
     *
-    * `bands` is the scale path's recall knob (raise it for thresholds
-    * below ~0.9); it does not affect the exact path.
+    * `bands` is the scale path's recall knob — a count of 16-bit band
+    * keys (sketch width scales with it; see
+    * [[PairwiseTopK.sketchConfigFor]] for why the key width stays
+    * fixed). The default 0 auto-sizes the band count to predicted
+    * recall ≥ 0.9 for pairs at the threshold. Does not affect the
+    * exact path.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
-      exactLimit: Long = 200000L, bands: Int = 16): DataFrame = {
+      exactLimit: Long = 200000L, bands: Int = 0): DataFrame = {
     import graft.functions.FloatVecDot.floatVecDot
     import graft.functions.FloatVecPack.floatVecPack
     val packed = emb.select(col("vec_id"), floatVecPack(col("embedding")).as("v"))
@@ -565,9 +569,12 @@ object Dedup {
     } else {
       val dim = emb.select(size(col("embedding"))).limit(1)
         .collect().head.getInt(0)
+      val (bits, nb) =
+        if (bands > 0) (bands * 16, bands)
+        else PairwiseTopK.sketchConfigFor(threshold)
       PairwiseTopK.sketchThresholdPairs(
           packed.select(col("vec_id").as("id"), col("v").as("vec")),
-          dim, threshold, bands = bands)
+          dim, threshold, sketchBits = bits, bands = nb)
         .select(col("id1"), col("id2"), col("score").as("cos"))
     }
   }

