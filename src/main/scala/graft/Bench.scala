@@ -159,7 +159,7 @@ object Bench {
       val queries10k = syntheticEmbeddings(spark, 10000)
         .persist(StorageLevel.MEMORY_AND_DISK)
       queries10k.count()
-      results("svs_knn_join_1m") = timed {
+      results("svs_knn_join_1m") = timedMedian3 {
         graft.ops.SimilaritySearch.knnJoinIvfPacked(
           queries10k, corpus1m, cents, k = 10, nProbe = 4)
           .write.format("noop").mode("overwrite").save()
@@ -200,7 +200,7 @@ object Bench {
     // workload annotations: which engine numbers pair with which
     // BASELINE.md rows (and which have no published counterpart)
     val notes = Seq(
-      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol — build/pairs/neardup/ivf_build run on persisted state, so reruns are real compute: medians of 3; only cold/load stay single-shot (rerunning those would measure the page cache)",
+      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol — build/pairs/neardup/ivf_build/knn_join run on persisted state, so reruns are real compute: medians of 3; only cold/load stay single-shot (rerunning those would measure the page cache)",
       "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
       "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
       "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",

@@ -1082,25 +1082,29 @@ object KbStore {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   // ---------------- fs helpers ----------------
-  /** A directory whose immediate children are all `v<N>` (digits-only —
-    * `v+3`/`v-1` are NOT store layout) version subdirectories — the
-    * layout this store (and only this store) writes for a table.
-    * Vacuum's orphan sweep uses it to avoid deleting foreign dirs
-    * placed under the store root. An EMPTY directory counts as
-    * reclaimable: an interrupted commit's mkdir leaves exactly that,
-    * and deleting an empty dir can lose nothing.
+  /** A NON-EMPTY directory whose immediate children are all `v<N>`
+    * (digits-only — `v+3`/`v-1` are NOT store layout) version
+    * subdirectories — the layout this store (and only this store)
+    * writes for a table. Vacuum's orphan sweep uses it to avoid
+    * deleting foreign dirs placed under the store root. An EMPTY
+    * directory is deliberately NOT claimed: it might be a foreign
+    * tool's freshly-mkdir'd dir about to be populated (reclaiming it
+    * would race that writer), so the rare empty dir an interrupted
+    * commit mkdir leaves behind is an accepted, bounded leak.
     */
   private[core] def isVersionedTableDir(dir: Path): Boolean = {
     val listing = Files.list(dir)
     try {
+      var any = false
       val it = listing.iterator()
       while (it.hasNext) {
         val c = it.next()
         val n = c.getFileName.toString
         if (!Files.isDirectory(c) || !n.startsWith("v") ||
             n.length < 2 || !n.drop(1).forall(_.isDigit)) return false
+        any = true
       }
-      true
+      any
     } finally listing.close()
   }
 

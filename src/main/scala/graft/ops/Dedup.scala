@@ -154,12 +154,20 @@ object Dedup {
     val shingleSet = (0 to toks.length - k)
       .map(i => toks.slice(i, i + k).mkString(" ")).toSet
     val md = java.security.MessageDigest.getInstance("MD5")
+    val hexChars = "0123456789abcdef".toCharArray
+    // per-doc hot path (streaming calls this per arriving document):
+    // table-lookup hex, no per-byte Formatter allocation
     def md5hex(s: String): String = {
       md.reset()
       val d = md.digest(s.getBytes("UTF-8"))
-      val sb = new java.lang.StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-      sb.toString
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+        out(i * 2 + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
     }
     val nGrps = (numHashes - 1) / 4 + 1
     val sigs = new Array[String](numHashes)
@@ -569,8 +577,11 @@ object Dedup {
     } else {
       val dim = emb.select(size(col("embedding"))).limit(1)
         .collect().head.getInt(0)
+      // explicit band counts round up to a multiple of 4 so the sketch
+      // width (16 bits per band) stays a multiple of 64, which
+      // signSketches requires
       val (bits, nb) =
-        if (bands > 0) (bands * 16, bands)
+        if (bands > 0) { val b4 = ((bands + 3) / 4) * 4; (b4 * 16, b4) }
         else PairwiseTopK.sketchConfigFor(threshold)
       PairwiseTopK.sketchThresholdPairs(
           packed.select(col("vec_id").as("id"), col("v").as("vec")),

@@ -194,9 +194,12 @@ object PairwiseTopK {
 
   /** b-bit hyperplane sign sketch per vector + its band keys, as
     * (id LONG, sk ARRAY<LONG>, bkeys ARRAY<LONG>). The hyperplane matrix
-    * is regenerated per partition from the seed (deterministic, a few
-    * MB) — never broadcast, never shuffled. Shared candidate machinery
-    * for [[sketchTopKPairs]] and [[sketchThresholdPairs]].
+    * is regenerated from the seed (deterministic) — never broadcast,
+    * never shuffled — and processed in ≤1024-bit CHUNKS against groups
+    * of 256 rows, so per-partition memory stays ~chunk × dim (≈12 MB at
+    * d1536) no matter how many bands [[sketchConfigFor]] demands; chunk
+    * generation amortizes to a few gaussians per row. Shared candidate
+    * machinery for [[sketchTopKPairs]] and [[sketchThresholdPairs]].
     */
   def signSketches(packed: DataFrame, dim: Int, sketchBits: Int,
       bands: Int, seed: Long): DataFrame = {
@@ -206,38 +209,60 @@ object PairwiseTopK {
     import spark.implicits._
     val words = sketchBits / 64
     val bandBits = sketchBits / bands
+    val chunkBits = math.min(1024, sketchBits)
+    val groupRows = 256
     packed.select(col("id"), col("vec")).rdd
       .mapPartitions { it =>
-        val rnd = new java.util.Random(seed)
-        val hp = Array.fill(sketchBits * dim)(rnd.nextGaussian())
-        it.map { r =>
-          val id = r.getLong(0)
-          val v = decode(r.getAs[Array[Byte]](1), dim)
-          val sk = new Array[Long](words)
-          var bit = 0
-          while (bit < sketchBits) {
-            var acc = 0.0
-            val base = bit * dim
-            var i = 0
-            while (i < dim) { acc += hp(base + i) * v(i); i += 1 }
-            if (acc >= 0) sk(bit / 64) |= (1L << (bit % 64))
-            bit += 1
-          }
-          val bkeys = new Array[Long](bands)
-          var t = 0
-          while (t < bands) {
-            var key = 0L
-            var j = 0
-            while (j < bandBits) {
-              val p = t * bandBits + j
-              key = (key << 1) | ((sk(p / 64) >>> (p % 64)) & 1L)
-              j += 1
+        it.map(r => (r.getLong(0), decode(r.getAs[Array[Byte]](1), dim)))
+          .grouped(groupRows)
+          .flatMap { group =>
+            val n = group.length
+            val sks = Array.ofDim[Long](n, words)
+            var cb = 0
+            while (cb < sketchBits) {
+              val bitsHere = math.min(chunkBits, sketchBits - cb)
+              // chunk-indexed seed: the same hyperplanes on every
+              // partition and every row group
+              val rnd = new java.util.Random(seed + cb)
+              val hp = Array.fill(bitsHere * dim)(rnd.nextGaussian())
+              var ri = 0
+              while (ri < n) {
+                val v = group(ri)._2
+                val sk = sks(ri)
+                var j = 0
+                while (j < bitsHere) {
+                  var acc = 0.0
+                  val base = j * dim
+                  var i = 0
+                  while (i < dim) { acc += hp(base + i) * v(i); i += 1 }
+                  if (acc >= 0) {
+                    val p = cb + j
+                    sk(p / 64) |= (1L << (p % 64))
+                  }
+                  j += 1
+                }
+                ri += 1
+              }
+              cb += bitsHere
             }
-            bkeys(t) = key
-            t += 1
+            group.iterator.zipWithIndex.map { case ((id, _), ri) =>
+              val sk = sks(ri)
+              val bkeys = new Array[Long](bands)
+              var t = 0
+              while (t < bands) {
+                var key = 0L
+                var j = 0
+                while (j < bandBits) {
+                  val p = t * bandBits + j
+                  key = (key << 1) | ((sk(p / 64) >>> (p % 64)) & 1L)
+                  j += 1
+                }
+                bkeys(t) = key
+                t += 1
+              }
+              (id, sk, bkeys)
+            }
           }
-          (id, sk, bkeys)
-        }
       }
       .toDF("id", "sk", "bkeys")
   }
@@ -304,15 +329,17 @@ object PairwiseTopK {
     * per-bit agreement p = 1 − acos(c)/π, band hit p¹⁶, and
     * recall = 1 − (1 − p¹⁶)^bands, giving (target 0.9):
     *
-    *   threshold ≥0.9 → 16 bands (the operator defaults),
-    *   0.8 → 92 bands, 0.7 → 248, 0.6 → 624.
+    *   threshold 0.9 → 28 bands, 0.8 → 92, 0.7 → 248, 0.6 → 624
     *
-    * Sketch generation is `sketchBits × dim` flops/row, so cost grows
-    * linearly with bands — the honest price of recall at moderate
-    * thresholds; below ~0.5 the config explodes and a different
-    * algorithm (ANN join / clustering) is the right tool. OpsSpec gates
-    * measured recall ≥ 0.9 on planted pairs at 0.6–0.8 with this
-    * config.
+    * (the operator's fixed 16-band default corresponds to predicted
+    * recall ≈0.75 at 0.9 — adequate only for pairs well above the
+    * threshold). Sketch generation is `sketchBits × dim` flops/row, so
+    * cost grows linearly with bands — the honest price of recall at
+    * moderate thresholds; below ~0.5 the config runs into the
+    * thousands of bands (memory stays bounded — [[signSketches]] chunks
+    * the hyperplanes — but compute explodes) and a different algorithm
+    * (ANN join / clustering) is the right tool. OpsSpec gates measured
+    * recall ≥ 0.9 on planted pairs at 0.6–0.8 with this config.
     */
   def sketchConfigFor(threshold: Double,
       targetRecall: Double = 0.9): (Int, Int) = {

@@ -101,6 +101,30 @@ object SimilaritySearch {
     * Input `(id, vec BINARY)`; centroids `(cid, cvec BINARY)`.
     * Output `(vec_id, cid)` — the inverted-list table.
     */
+  /** Argmax centroid id for one decoded vector over ascending-cid
+    * decoded centroids — the scalar kernel shared by [[ivfAssignPacked]]
+    * and [[knnJoinIvfPacked]] (one copy, so tie-break and NaN semantics
+    * cannot drift). Strict > keeps the smaller cid on ties; returns -1
+    * when no centroid yields a comparable score (a NaN-component
+    * vector) — callers drop such rows rather than emit a bogus cid.
+    */
+  private[ops] def argmaxCid(cs: Array[(Long, Array[Float])],
+      v: Array[Float]): Long = {
+    var best = -1L
+    var bestS = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cs.length) {
+      val cv = cs(ci)._2
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, cv.length)
+      while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+      if (s > bestS) { bestS = s; best = cs(ci)._1 }
+      ci += 1
+    }
+    best
+  }
+
   def ivfAssignPacked(emb: DataFrame, centroids: DataFrame): DataFrame = {
     import graft.functions.FloatVecDot
     val spark = emb.sparkSession
@@ -115,22 +139,11 @@ object SimilaritySearch {
     emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, vb) =>
-          val v = FloatVecDot.unpack(vb)
-          var best = -1L
-          var bestS = Double.NegativeInfinity
-          var ci = 0
-          while (ci < cs.length) {
-            val cv = cs(ci)._2
-            var s = 0.0
-            var i = 0
-            val n = math.min(v.length, cv.length)
-            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
-            // strict >: ascending-cid order makes ties keep the smaller id
-            if (s > bestS) { bestS = s; best = cs(ci)._1 }
-            ci += 1
-          }
-          (id, best)
+        it.flatMap { case (id, vb) =>
+          val best = argmaxCid(cs, FloatVecDot.unpack(vb))
+          // NaN-component vectors rank against nothing: drop, don't
+          // emit cid -1 into the inverted lists
+          if (best < 0L) None else Some((id, best))
         }
       }.toDF("vec_id", "cid")
   }
@@ -159,9 +172,10 @@ object SimilaritySearch {
     * the centroid id instead: every candidate carries its centroid
     * (the packed argmax kernel of [[ivfAssignPacked]]), every query
     * explodes to its `nProbe` closest centroids, and the join is a
-    * plain equi-join on `cid` followed by a per-query window top-k.
-    * `nProbe = #centroids` degenerates to the exact join. Output
-    * matches [[knnJoin]]: (qid, cid→candidate id, score, rk).
+    * plain equi-join on `cid` followed by a sort-free per-query top-k
+    * (bounded heaps — see below). `nProbe = #centroids` degenerates to
+    * the exact join. Output matches [[knnJoin]]:
+    * (qid, cid→candidate id, score, rk).
     *
     * Kernels: both the assignment and the probe ranking decode each
     * vector's byte blob ONCE per row in a `mapPartitions` primitive
@@ -197,6 +211,7 @@ object SimilaritySearch {
     import graft.functions.FloatVecDot
     import graft.functions.FloatVecDot.floatVecDot
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
     // the centroid set is tiny by definition: collect decoded, broadcast
@@ -210,28 +225,16 @@ object SimilaritySearch {
         lit(0.0).as("score"), lit(0).as("rk")).limit(0)
     val bc = spark.sparkContext.broadcast(cents)
 
-    // candidates: packed argmax assignment (ties to the smaller cid via
-    // ascending order + strict >), packed vector carried through
+    // candidates: packed argmax assignment ([[argmaxCid]] — ties to the
+    // smaller cid, NaN vectors dropped), packed vector carried through
     val assigned = candidates
       .select(col("id"), col("vec"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, vb) =>
-          val v = FloatVecDot.unpack(vb)
-          var best = -1L
-          var bestS = Double.NegativeInfinity
-          var ci = 0
-          while (ci < cs.length) {
-            val cv = cs(ci)._2
-            var s = 0.0
-            var i = 0
-            val n = math.min(v.length, cv.length)
-            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
-            if (s > bestS) { bestS = s; best = cs(ci)._1 }
-            ci += 1
-          }
-          (best, id, vb)
+        it.flatMap { case (id, vb) =>
+          val best = argmaxCid(cs, FloatVecDot.unpack(vb))
+          if (best < 0L) None else Some((best, id, vb))
         }
       }.toDF("ccid", "cand_id", "cv")
 
@@ -265,19 +268,64 @@ object SimilaritySearch {
             }
             ci += 1
           }
-          (0 until np).iterator.map(j => (qid, qb, topC(j)))
+          // emit only filled slots: a NaN-component query fills none
+          // (NaN never satisfies >) and must not emit default cid 0
+          val filled = topS.count(_ > Double.NegativeInfinity)
+          (0 until filled).iterator.map(j => (qid, qb, topC(j)))
         }
       }.toDF("qid", "qv", "cid")
 
     // no dedup needed: each candidate belongs to exactly one centroid
     // and each query probes distinct centroids, so (qid, cand) is unique
-    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid2"))
-    probes.join(assigned, probes("cid") === assigned("ccid"))
+    val scored = probes.join(assigned, probes("cid") === assigned("ccid"))
       .select(col("qid"), col("cand_id").as("cid2"),
         round(floatVecDot(col("cv"), col("qv")), 6).as("score"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("qid"), col("cid2").as("cid"), col("score"), col("rk"))
+      .as[(Long, Long, Double)]
+
+    // per-query top-k with NO global sort: a Window row_number here
+    // sorts the full scored-pair stream (queries × nProbe × list size
+    // rows — 1.5e8 at the 10k×1M bench shape, where the sort dominated
+    // the whole join 5:1). Bounded per-query heaps instead select
+    // partition-local winners map-side, and only the winners —
+    // ≤ partitions × k rows per query — shuffle to the final per-query
+    // selection. Ordering matches [[knnJoin]]: (score desc, cid asc).
+    // Heap-map memory is O(queries seen in a partition × k); for
+    // astronomically large query sides pre-partition `scored` by qid
+    // or raise the partition count.
+    val worstFirst = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c1 = java.lang.Double.compare(b._1, a._1) // lower score = worse
+        if (c1 != 0) c1 else java.lang.Long.compare(a._2, b._2) // bigger cid = worse
+      }
+    }
+    def push(h: scala.collection.mutable.PriorityQueue[(Double, Long)],
+        s: Double, c2: Long): Unit = {
+      if (h.size < k) h.enqueue((s, c2))
+      else if (worstFirst.compare((s, c2), h.head) < 0) {
+        h.dequeue(); h.enqueue((s, c2))
+      }
+    }
+    val partial = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, c2, s) =>
+        push(heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst)), s, c2)
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (s, c2) => (qid, c2, s) }
+      }
+    }
+    partial.groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val h = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        rows.foreach { case (_, c2, s) => push(h, s, c2) }
+        val best: Seq[(Double, Long)] = h.dequeueAll.reverse
+        best.iterator.zipWithIndex.map {
+          case ((s, c2), i) => (qid, c2, s, i + 1)
+        }
+      }
+      .toDF("qid", "cid", "score", "rk")
   }
 
   /** Bucketed ANN top-k: only candidates in the query's bucket are

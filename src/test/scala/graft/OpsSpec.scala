@@ -323,6 +323,27 @@ class OpsSpec extends SparkSpec {
     assert(ivf == exact, "probing every centroid must be exact")
   }
 
+  test("packed IVF paths drop NaN vectors instead of emitting bogus centroids") {
+    import spark.implicits._
+    import graft.functions.FloatVecDot
+    val good = Array.fill(8)(0.5f)
+    val nan = Array.fill(8)(Float.NaN)
+    val cents = Seq((0L, FloatVecDot.pack(good)), (1L, FloatVecDot.pack(good)))
+      .toDF("cid", "cvec")
+    val rows = Seq((10L, FloatVecDot.pack(good)), (11L, FloatVecDot.pack(nan)))
+      .toDF("id", "vec")
+    // assignment: the NaN row vanishes, the good row lands on cid 0
+    val assigned = SimilaritySearch.ivfAssignPacked(rows, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(assigned == Map(10L -> 0L))
+    // knn join: a NaN query emits nothing (not np copies of cid 0);
+    // a NaN candidate is never joined
+    val out = SimilaritySearch.knnJoinIvfPacked(
+        rows, rows, cents, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((10L, 10L)))
+  }
+
   test("packed IVF assignment agrees with the array formulation") {
     import spark.implicits._
     import graft.functions.FloatVecPack.floatVecPack

@@ -232,19 +232,20 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
-  test("vacuum sweep: signed-version foreign dirs spared, empty orphans reclaimed") {
+  test("vacuum sweep: signed-version and empty foreign dirs are both spared") {
     val path = freshPath()
     val kb = KbStore.create(spark, path, Map())
     kb.setKey("a", 1L)
     // "v+3" parses as 3 via toLongOption, but it is NOT store layout —
     // the digits-only ownership check must spare the foreign dir
     Files.createDirectories(Paths.get(s"$path/foreign/v+3"))
-    // an empty dir is what an interrupted commit's mkdir leaves; it can
-    // hold no data, so the sweep reclaims it
-    Files.createDirectories(Paths.get(s"$path/stale_empty"))
+    // an empty dir could be a foreign tool's freshly-mkdir'd dir about
+    // to be populated — never claimed (the interrupted-commit empty dir
+    // is an accepted, bounded leak)
+    Files.createDirectories(Paths.get(s"$path/just_made"))
     kb.vacuum()
     assert(Files.isDirectory(Paths.get(s"$path/foreign/v+3")))
-    assert(!Files.isDirectory(Paths.get(s"$path/stale_empty")))
+    assert(Files.isDirectory(Paths.get(s"$path/just_made")))
     assert(kb.hasKey("a"))
     kb.close()
   }
