@@ -1060,11 +1060,14 @@ object SparkEntry {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select($"l_partkey", $"unit_cost", $"s_acctbal", $"s_name", $"n_name")
-      val mn = rc.groupBy($"l_partkey".as("mpk"))
-        .agg(min($"unit_cost").as("min_cost"))
+      // partitioned window min, NOT a re-aggregate + self-join: the
+      // latter computes the rc subtree (fact agg + 3 joins) twice
+      val mnw = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_partkey")
       val p = t(s, dir, "part")
         .filter($"p_size".between(10, 15) && $"p_type" === "LARGE")
-      rc.join(mn, $"l_partkey" === $"mpk" && $"unit_cost" === $"min_cost")
+      rc.withColumn("min_cost", min($"unit_cost").over(mnw))
+        .filter($"unit_cost" === $"min_cost")
         .join(broadcast(p), $"l_partkey" === p("p_partkey"))
         .select(round($"s_acctbal", 4).as("s_acctbal"), $"s_name", $"n_name",
           $"p_partkey", $"unit_cost")

@@ -315,11 +315,15 @@ class OpsSpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 5)
     val cents = emb.filter($"vec_id" >= 5 && $"vec_id" < 13)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    // full tuples incl. score and rank: the heap-based top-k must
+    // reproduce knnJoin's (score desc, cid asc) order exactly
     val exact = SimilaritySearch.knnJoin(queries, emb, k = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
     val ivf = SimilaritySearch.knnJoinIvf(queries, emb, cents,
         k = 5, nProbe = 8).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
     assert(ivf == exact, "probing every centroid must be exact")
   }
 
