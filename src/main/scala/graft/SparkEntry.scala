@@ -152,6 +152,18 @@ object SparkEntry {
       graft.ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.4)
         .orderBy(col("id1"), col("id2"))),
 
+    // cross-corpus contamination (train/test n-gram overlap): the
+    // corpus split by doc-id parity stands in for train vs eval; the
+    // oracle affords the cross join, the operator never does one
+    "d9_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.crossCorpusContamination(
+          docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+          k = 3, threshold = 0.5)
+        .orderBy($"doc_id")
+    }),
+
     // G3 semantic dedup: similarity pairs → connected components → keep
     // one per component (the notebook's sketched graph dedup, real now).
     "d6_semantic_dedup" -> ((s, dir) => {
@@ -1293,6 +1305,29 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
          ORDER BY id1, id2""",
+
+    "d9_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(s) >= 3 THEN
+                    list_transform(range(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                  ELSE [] END) AS sg
+           FROM toks),
+         tr AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+         te AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+         j AS (
+           SELECT te.doc_id AS doc_id, tr.doc_id AS train_id,
+                  round(len(list_intersect(te.sg, tr.sg))::DOUBLE /
+                        len(list_distinct(list_concat(te.sg, tr.sg))), 6) AS jaccard
+           FROM te CROSS JOIN tr),
+         best AS (SELECT doc_id, max(jaccard) AS bj FROM j GROUP BY doc_id)
+         SELECT j.doc_id, min(j.train_id) AS best_match, b.bj AS jaccard
+         FROM j JOIN best b ON j.doc_id = b.doc_id AND j.jaccard = b.bj
+         WHERE b.bj >= 0.5
+         GROUP BY j.doc_id, b.bj
+         ORDER BY j.doc_id""",
 
     "d6_semantic_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

@@ -350,6 +350,66 @@ object Dedup {
     jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus n-gram contamination — the train/test overlap check a
+    * training-data pipeline runs before evaluation (cf. the n-gram
+    * contamination audits of GPT-3/PaLM appendix methodology): for each
+    * test document, its best shingle-Jaccard match in the training
+    * corpus, reported when ≥ threshold.
+    *
+    * Same lossless AllPairs prefix filter as [[jaccardSimilarityJoin]],
+    * across two corpora: document frequencies are computed over the
+    * UNION (one count shuffle), each side keeps only its rare prefix,
+    * and candidates are the prefix equi-join TRAIN×TEST on the shingle
+    * — never a cross join. Exact re-verification on the candidate set;
+    * since the filter loses no pair with J ≥ θ, the per-test-doc best
+    * match over candidates equals the best over all pairs whenever that
+    * best clears the threshold. Ties on the max take the smallest train
+    * doc id.
+    *
+    * Doc ids must be DISJOINT across the two corpora (the verification
+    * join keys each side by doc id).
+    *
+    * @return (doc_id = test doc, best_match = train doc, jaccard),
+    *         one row per contaminated test doc
+    */
+  def crossCorpusContamination(train: DataFrame, test: DataFrame,
+      k: Int = 3, threshold: Double = 0.5,
+      unicode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shTr = shingles(train, k, unicode = unicode).cache()
+    val shTe = shingles(test, k, unicode = unicode).cache()
+    val postsTr = shTr.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val postsTe = shTe.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // document frequency over the union corpus — one shared ranking so
+    // both sides' prefixes order identically
+    val df = postsTr.union(postsTe)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    def prefixes(posts: DataFrame): DataFrame =
+      posts.join(df, "sh")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("sh"))))
+          .getField("sh").as("ordered"))
+        .select(col("doc_id"),
+          explode(slice(col("ordered"), lit(1),
+            (size(col("ordered")) -
+              ceil(lit(threshold) * size(col("ordered"))).cast("int") + 1)))
+            .as("sh"))
+    val cands = prefixes(postsTr).alias("a")
+      .join(prefixes(postsTe).alias("b"), col("a.sh") === col("b.sh"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val sh = shTr.union(shTe)
+    val scored = jaccardVerify(cands, sh)
+      .where(col("jaccard") >= threshold)
+    // best train match per test doc; ties take the smallest train id
+    val w = Window.partitionBy(col("doc2"))
+      .orderBy(desc("jaccard"), col("doc1"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc2").as("doc_id"), col("doc1").as("best_match"),
+        col("jaccard"))
+  }
+
   /** Per-document duplicate-n-gram fraction — the span-level boilerplate
     * / contamination signal of training-data pipelines (the shingle-set
     * coarsening of suffix-based substring dedup, cf. Lee et al.,

@@ -172,6 +172,24 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("cross-corpus contamination finds the leaked doc, not the clean one") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      // near-copy of train doc 1 (one word changed at the end)
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "completely unrelated text with zero shared trigrams here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusContamination(train, test, k = 3,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((10L, 1L)))
+    assert(hits.head._3 >= 0.5 && hits.head._3 < 1.0)
+  }
+
   test("local minhash band keys are bit-identical to the batch banding") {
     import spark.implicits._
     val sample = docs.limit(20).select($"doc_id", $"text").collect()
