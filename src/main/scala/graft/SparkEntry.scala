@@ -155,6 +155,22 @@ object SparkEntry {
     // cross-corpus contamination (train/test n-gram overlap): the
     // corpus split by doc-id parity stands in for train vs eval; the
     // oracle affords the cross join, the operator never does one
+    // IVF-sharded knn join at FULL probe (nProbe = #centroids), which
+    // provably equals the brute-force join — so the oracle is a plain
+    // cross-join ranking. Exercises the packed assign/probe kernels and
+    // the heap-based per-query top-k end to end against DuckDB.
+    "k2_knn_join_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 50)
+      val cents = emb.filter($"vec_id" >= 50 && $"vec_id" < 58)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      graft.ops.SimilaritySearch.knnJoinIvf(queries, emb, cents,
+          k = 3, nProbe = 8)
+        .select($"qid", $"cid", $"score", $"rk".cast("long").as("rk"))
+        .orderBy($"qid", $"rk")
+    }),
+
     "d9_contamination" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -1305,6 +1321,20 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
          ORDER BY id1, id2""",
+
+    "k2_knn_join_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                    FROM embeddings WHERE vec_id < 50),
+         scored AS (
+           SELECT q.qid, e.vec_id AS cid,
+                  round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+           FROM embeddings e CROSS JOIN q),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, cid) AS rk
+           FROM scored)
+         SELECT qid, cid, score, rk FROM ranked
+         WHERE rk <= 3 ORDER BY qid, rk""",
 
     "d9_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
