@@ -276,8 +276,13 @@ object SimilaritySearch {
       }.toDF("qid", "qv", "cid")
 
     // no dedup needed: each candidate belongs to exactly one centroid
-    // and each query probes distinct centroids, so (qid, cand) is unique
-    val scored = probes.join(assigned, probes("cid") === assigned("ccid"))
+    // and each query probes distinct centroids, so (qid, cand) is
+    // unique. shuffle-hash hint building on the probe side: the
+    // default sort-merge join would SORT the candidate stream — the
+    // corpus vectors, by far the heavier side — on a low-cardinality
+    // centroid key
+    val scored = probes.hint("shuffle_hash")
+      .join(assigned, probes("cid") === assigned("ccid"))
       .select(col("qid"), col("cand_id").as("cid2"),
         round(floatVecDot(col("cv"), col("qv")), 6).as("score"))
       .as[(Long, Long, Double)]
