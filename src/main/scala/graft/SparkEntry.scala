@@ -152,6 +152,26 @@ object SparkEntry {
       graft.ops.Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.4)
         .orderBy(col("id1"), col("id2"))),
 
+    // sequence packing: per-language token-budget shard assignment —
+    // the concatenate-then-chop layout step of a training pipeline
+    "x8_token_packing" -> ((s, dir) =>
+      graft.ops.TextAnalysis.packSequences(t(s, dir, "documents"),
+          budgetTokens = 512L)
+        .orderBy(col("doc_id"))),
+
+    // sliding event-count: per-user 1-hour RANGE frame over the event
+    // stream — the rate/velocity feature a monitoring pipeline computes
+    "e3_sliding_count" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .orderBy($"event_id")
+    }),
+
     // cross-corpus contamination (train/test n-gram overlap): the
     // corpus split by doc-id parity stands in for train vs eval; the
     // oracle affords the cross join, the operator never does one
@@ -1321,6 +1341,28 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
          ORDER BY id1, id2""",
+
+    "x8_token_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                 AS cum
+               FROM t)
+         SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS bin,
+                (cum - n_tokens) % 512 AS bin_offset
+         FROM c ORDER BY doc_id""",
+
+    "e3_sliding_count" ->
+      """WITH e AS (SELECT event_id, user_id,
+                           epoch_ns(ts) // 1000 AS us FROM events)
+         SELECT event_id, user_id, us,
+                count(*) OVER (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS n_last_hour
+         FROM e ORDER BY event_id""",
 
     "k2_knn_join_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv

@@ -58,6 +58,33 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars"))
   }
 
+  /** Greedy contiguous sequence packing — the "pack documents into
+    * fixed-length training sequences" step of an LLM data pipeline:
+    * within each `groupCol` shard, documents in `orderCol` order append
+    * into `budgetTokens`-sized bins; a document's bin (and offset) is
+    * where its first token lands, so documents may straddle bins —
+    * exactly the concatenate-then-chop layout.
+    *
+    * One partitioned window prefix-sum, no global order: the shard key
+    * bounds every sort, so the plan survives 100× (a global packing
+    * would need a single-partition running sum). Deterministic given
+    * the (groupCol, orderCol) order.
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+      groupCol: String = "lang", orderCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(orderCol), col(groupCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(orderCol), col(groupCol), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budgetTokens").as("bin"),
+        expr(s"(cum - n_tokens) % $budgetTokens").as("bin_offset"))
+  }
+
   /** Deterministic hash sampling: keep a row iff its md5-derived bucket
     * (0-99) falls below `pct`. Engine-portable, reproducible, and — at
     * 100 TB — a narrow map with no RNG state or shuffle, unlike

@@ -172,6 +172,22 @@ class OpsSpec extends SparkSpec {
       s"ivf k-means recall@10 = ${(exact & ivf).size}/10")
   }
 
+  test("sequence packing: contiguous bins per shard, straddling allowed") {
+    import spark.implicits._
+    // token counts 6, 6, 6 with budget 10: doc 2 starts at offset 6 of
+    // bin 0 (straddles into bin 1), doc 3 starts at offset 2 of bin 1
+    val docs = Seq(
+      (1L, "en", "a b c d e f"),
+      (2L, "en", "g h i j k l"),
+      (3L, "en", "m n o p q r"),
+      (4L, "de", "x y z")) // separate shard restarts at bin 0
+      .toDF("doc_id", "lang", "text")
+    val packed = TextAnalysis.packSequences(docs, budgetTokens = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(packed == Set((1L, 0L, 0L), (2L, 0L, 6L), (3L, 1L, 2L),
+      (4L, 0L, 0L)))
+  }
+
   test("cross-corpus contamination finds the leaked doc, not the clean one") {
     import spark.implicits._
     val train = Seq(
