@@ -116,6 +116,39 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style structural quality rules (word count, mean word
+    // length, symbol ratio, alpha fraction, stopword presence) over a
+    // variant of the corpus with symbols/digits injected deterministically
+    // in both engines (the synthetic text is too clean to exercise the
+    // symbol and alpha rules otherwise)
+    "x9_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" ### ... ###")))
+          .when($"doc_id" % 11 === 0, concat($"text", lit(" 123 456 789")))
+          .otherwise($"text").as("txt"))
+      graft.ops.TextAnalysis.gopherQuality(aug, Seq("the", "a"), "txt",
+          minWords = 18)
+        .orderBy($"doc_id")
+    }),
+
+    // BM25 lexical retrieval: keyword-side complement of v1's vector
+    // retrieval, posting-list build + query-term-pruned scoring
+    "b1_bm25_topk" -> ((s, dir) =>
+      graft.ops.TextRetrieval.bm25TopK(t(s, dir, "documents"),
+        Seq("spark", "join", "window"), k = 20)),
+
+    // corpus vocabulary heavy hitters (vocab/BPE-prep step): two-phase
+    // partial-agg count, top-k without a global sort
+    "x10_vocab_topk" -> ((s, dir) =>
+      graft.ops.TextRetrieval.vocabTopK(t(s, dir, "documents"), k = 50)),
+
+    // per-document tf-idf keyword extraction: doc-partitioned ranking
+    // window, broadcast document frequencies
+    "b2_tfidf_keywords" -> ((s, dir) =>
+      graft.ops.TextRetrieval.tfidfKeywords(t(s, dir, "documents"), perDoc = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
     // --- dedup family (SURVEY §7.5) --------------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       graft.ops.Dedup.exactDupStats(t(s, dir, "documents"))),
@@ -417,6 +450,13 @@ object SparkEntry {
         k = 10, nProbe = 2)
         .select($"vec_id", $"cid", $"score")
     }),
+
+    // int8 scalar-quantized top-k: the 4×-compressed scan tier (codes
+    // are exact integers, so the compressed ranking is engine-portable;
+    // the packed codegen twin is asserted equal in OpsSpec)
+    "n4_sq_topk" -> ((s, dir) =>
+      graft.ops.VectorQuant.sqTopK(t(s, dir, "embeddings"),
+        queryVecId = 2L, k = 10)),
 
     // P9 semantic filter (Build Dad Jokes KB.ipynb cells 8-13): keep
     // documents whose similarity to a probe vector clears a threshold.
@@ -1318,6 +1358,85 @@ object SparkEntry {
          WHERE quality > (SELECT quantile_cont(quality, 0.5) FROM q)
          ORDER BY doc_id""",
 
+    "x9_gopher_rules" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' ### ... ###'
+                       WHEN doc_id % 11 = 0 THEN text || ' 123 456 789'
+                       ELSE text END AS txt
+           FROM documents),
+         u AS (
+           SELECT doc_id, string_split(txt, ' ') AS toks,
+                  (length(txt) - length(replace(txt, '#', '')))::DOUBLE AS hashes,
+                  ((length(txt) - length(replace(txt, '...', ''))) // 3)::DOUBLE AS ellipses
+           FROM aug),
+         m AS (
+           SELECT doc_id,
+                  len(toks)::DOUBLE AS nw,
+                  list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                    / len(toks) AS mean_len,
+                  (hashes + ellipses) / len(toks) AS sym_ratio,
+                  len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                    / len(toks) AS alpha_frac,
+                  len(list_intersect(list_distinct(toks), ['the', 'a']))::BIGINT
+                    AS stop_hits
+           FROM u)
+         SELECT doc_id, nw::BIGINT AS n_words,
+                round(mean_len, 6) AS mean_word_len,
+                round(sym_ratio, 6) AS symbol_ratio,
+                round(alpha_frac, 6) AS alpha_frac,
+                stop_hits,
+                (nw >= 18 AND nw <= 100000
+                 AND mean_len >= 3.0 AND mean_len <= 10.0
+                 AND sym_ratio < 0.1
+                 AND alpha_frac >= 0.8
+                 AND stop_hits >= 1)::BIGINT AS keep
+         FROM m ORDER BY doc_id""",
+
+    "b1_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, term),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id,
+                round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                          * (tf * (1.2 + 1.0))
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                  AS score
+         FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         GROUP BY tf.doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 20""",
+
+    "x10_vocab_topk" ->
+      """SELECT term, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY term
+         ORDER BY n DESC, term
+         LIMIT 50""",
+
+    "b2_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+                GROUP BY doc_id, term),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         sc AS (
+           SELECT doc_id, term, tf * ln(n / df) AS tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf * ln(n / df) DESC, term) AS rk
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, round(tfidf, 6) AS tfidf, rk
+         FROM sc WHERE rk <= 3
+         ORDER BY doc_id, rk""",
+
     "d4_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          sh AS (
@@ -1674,6 +1793,21 @@ object SparkEntry {
                 round(list_dot_product(a.embedding::DOUBLE[], q.qv), 6) AS score
          FROM assign1 a JOIN probes p ON a.cid = p.cid CROSS JOIN q
          ORDER BY score DESC, a.vec_id
+         LIMIT 10""",
+
+    "n4_sq_topk" ->
+      """WITH s AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  127.0 / list_max(list_transform(embedding::DOUBLE[],
+                    x -> abs(x))) AS sc
+           FROM embeddings),
+         qz AS (
+           SELECT vec_id, sc, list_transform(v, x -> round(x * sc)) AS q
+           FROM s)
+         SELECT c.vec_id,
+                round(list_dot_product(c.q, qq.q) / (c.sc * qq.sc), 6) AS score
+         FROM qz c CROSS JOIN (SELECT q, sc FROM qz WHERE vec_id = 2) qq
+         ORDER BY score DESC, c.vec_id
          LIMIT 10""",
 
     "m1_media_features" ->

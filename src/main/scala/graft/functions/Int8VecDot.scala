@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Codegen'd integer dot product over int8-quantized vectors — the
+  * compressed-scan kernel of scalar quantization (4× smaller than packed
+  * f32: a 1536-d embedding shrinks 6 KB → 1.5 KB, so 4× more corpus fits
+  * in executor memory / page cache at 100 TB).
+  *
+  * Sibling of [[FloatVecDot]]: same BinaryType column shape, same
+  * whole-stage-codegen participation; the kernel is a pure int8×int8
+  * multiply-accumulate (exact in Long — no rounding during the scan;
+  * the only quantization error is in the codes themselves).
+  */
+case class Int8VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"Int8VecDot requires (binary, binary), got " +
+          s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    Int8VecDot.dot(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.Int8VecDot.dot($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8VecDot {
+
+  /** Signed-byte multiply-accumulate; exact (|acc| ≤ 127²·n ≪ 2⁶³).
+    * JIT-vectorizable tight loop.
+    */
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  /** Symmetric per-vector quantization: scale = 127 / max|x|, codes are
+    * round-half-away-from-zero to match SQL ROUND in both engines (so
+    * the packed kernel reproduces the array-expression formulation bit
+    * for bit). A zero vector quantizes to all-zero codes with scale 0
+    * (score contributions are 0 either way).
+    */
+  def quantize(v: Array[Float]): (Array[Byte], Double) = {
+    var maxAbs = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs == 0.0) return (new Array[Byte](v.length), 0.0)
+    val scale = 127.0 / maxAbs
+    val out = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) {
+      // ties away from zero == SQL ROUND in both engines (math.rint
+      // would go half-even, Math.round half-up even for negatives)
+      val x = v(i).toDouble * scale
+      val q = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    (out, scale)
+  }
+
+  /** Column API: integer dot of two int8-code BINARY columns. */
+  def int8VecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

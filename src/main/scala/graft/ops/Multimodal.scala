@@ -51,6 +51,15 @@ object Multimodal {
     *  - PNG (8-byte signature): the IHDR chunk is REQUIRED to be first,
     *    so width/height are the big-endian int32s at offsets 16/20; a
     *    still image is 1 frame.
+    *  - GIF (`GIF87a`/`GIF89a` magic): width/height are the
+    *    little-endian uint16s of the logical screen descriptor at
+    *    offsets 6/8; frame count is the number of image descriptors
+    *    (0x2C introducer) found by walking the block structure — for
+    *    animated GIFs that is the animation frame count.
+    *  - JPEG (`FF D8` SOI): scan the marker stream for a start-of-frame
+    *    segment (SOF0–SOF15, excluding DHT/JPG/DAC C4/C8/CC);
+    *    height/width are the big-endian uint16s at SOF payload offsets
+    *    3/5; a still image is 1 frame.
     *  - WAV (`RIFF…WAVE`): the `fmt ` chunk carries channels /
     *    sample-rate / block-align; `data`'s size over block-align is the
     *    sample-frame count. Mapped into [[MediaFeatures]] as
@@ -84,7 +93,83 @@ object Multimodal {
           tag(p, 12) == "IHDR")
         MediaFeatures(r.media_id, "image", p.length,
           width = be32(p, 16), height = be32(p, 20), n_frames = 1)
-      else if (p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
+      else if (p.length >= 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+          p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+        // logical screen descriptor, then a bounded block walk counting
+        // image descriptors (= animation frames). Every size field is
+        // attacker-controlled: all advances are strictly positive and
+        // bounds-checked, malformed input stops the walk with the frames
+        // counted so far (floor 1).
+        var o = 13
+        if ((p(10) & 0x80) != 0) o += 3 * (1 << ((p(10) & 7) + 1)) // global palette
+        var frames = 0
+        var done = false
+        def skipSubBlocks(): Unit = {
+          var n = if (o < p.length) p(o) & 0xff else 0
+          o += 1
+          while (n != 0 && o < p.length) {
+            o += n
+            n = if (o < p.length) p(o) & 0xff else 0
+            o += 1
+          }
+        }
+        while (!done && o < p.length) {
+          (p(o) & 0xff) match {
+            case 0x2c => // image descriptor
+              frames += 1
+              if (o + 10 <= p.length) {
+                val flags = p(o + 9) & 0xff
+                o += 10
+                if ((flags & 0x80) != 0) o += 3 * (1 << ((flags & 7) + 1))
+                o += 1 // LZW min code size
+                skipSubBlocks()
+              } else done = true
+            case 0x21 => // extension: label byte + sub-blocks
+              o += 2
+              skipSubBlocks()
+            case 0x3b => done = true // trailer
+            case _ => done = true // malformed
+          }
+        }
+        MediaFeatures(r.media_id, "image", p.length,
+          width = le16(p, 6), height = le16(p, 8),
+          n_frames = math.max(frames, 1))
+      } else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+        // JPEG: walk the marker stream to the first start-of-frame
+        // segment (SOF0-SOF15 minus DHT/JPG/DAC). Segment lengths are
+        // attacker-controlled: a length < 2 would walk backwards, so it
+        // stops the scan instead.
+        var o = 2
+        var res: MediaFeatures = null
+        var done = false
+        while (!done && o + 3 < p.length) {
+          if ((p(o) & 0xff) != 0xff) done = true // lost sync: malformed
+          else {
+            var m = o + 1
+            while (m < p.length && (p(m) & 0xff) == 0xff) m += 1 // fill bytes
+            if (m + 1 >= p.length) done = true
+            else {
+              val marker = p(m) & 0xff
+              if (marker == 0xd9 || marker == 0xda) done = true // EOI / SOS
+              else if (marker >= 0xd0 && marker <= 0xd8) o = m + 1 // bare marker
+              else {
+                val len = ((p(m + 1) & 0xff) << 8) | (p(m + 2) & 0xff)
+                val sof = marker >= 0xc0 && marker <= 0xcf &&
+                  marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+                if (sof && m + 7 < p.length) {
+                  res = MediaFeatures(r.media_id, "image", p.length,
+                    width = ((p(m + 6) & 0xff) << 8) | (p(m + 7) & 0xff),
+                    height = ((p(m + 4) & 0xff) << 8) | (p(m + 5) & 0xff),
+                    n_frames = 1)
+                  done = true
+                } else if (len < 2) done = true
+                else o = m + 1 + len
+              }
+            }
+          }
+        }
+        if (res != null) res else FakeDecoder.decode(r)
+      } else if (p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE") {
         var (o, rate, channels, blockAlign, dataSize) = (12, 0, 0, 1, 0)
         var malformed = false
         while (!malformed && o + 8 <= p.length) {

@@ -124,6 +124,54 @@ object TextAnalysis {
         + (nStop / nUniq) * 0.2, 6).as("quality"))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * §A1.1 — public paper): per-document structural measurements plus
+    * the keep/drop decision. Every measurement is a narrow map (no
+    * shuffle), so the filter scales linearly with the corpus; the two
+    * higher-order array folds (mean word length, alpha fraction) are
+    * interpreted-but-cheap per-row lambdas, the rest stays in codegen.
+    *
+    * Rules (each must hold for `keep = 1`):
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [minMeanLen, maxMeanLen]
+    *   - symbol-to-word ratio (`#` and `...` occurrences / words) below
+    *     maxSymbolRatio
+    *   - fraction of words containing a letter at least minAlphaFrac
+    *   - at least minStopHits distinct stopwords present
+    */
+  def gopherQuality(docs: DataFrame, stopwords: Seq[String],
+      textCol: String = "text",
+      minWords: Int = 15, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 1): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nWords
+    val hashes = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("double")
+    val ellipses = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = (hashes + ellipses) / nWords
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nWords
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        symbolRatio < maxSymbolRatio &&
+        alphaFrac >= minAlphaFrac &&
+        stopHits >= minStopHits).cast("long").as("keep"))
+  }
+
   /** N-gram-heuristic language ID: score each candidate language by its
     * marker-token hits; argmax with a fixed precedence order, 'und' when
     * nothing matches.

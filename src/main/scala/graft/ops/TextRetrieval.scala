@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) full-text retrieval over the documents table — the
+  * keyword-side complement of the engine's vector retrieval (SURVEY
+  * §3.1): classic probabilistic ranking (Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond" — public
+  * paper), built posting-list-style from DataFrame ops.
+  *
+  * Scale shape: [[buildIndex]] is the one corpus-wide pass (explode →
+  * two aggregations — the inverted-index build a 100 TB deployment runs
+  * once and persists, bucketed by term). [[bm25TopK]]'s query path then
+  * touches ONLY the postings of the query's terms: the term filter is
+  * pushed into the scan (a term-bucketed/partitioned postings table
+  * prunes to the query's buckets), document-frequency and corpus stats
+  * are broadcast scalars, and the final ranking is a
+  * TakeOrderedAndProject — no corpus-wide shuffle at query time.
+  */
+object TextRetrieval {
+
+  /** One-pass index build: per-(doc, term) frequencies plus per-doc
+    * lengths. `postings` is the table a deployment persists bucketed by
+    * `term`; `docLens` by `doc_id`.
+    */
+  def buildIndex(docs: DataFrame, textCol: String = "text"): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val docLens = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    (postings, docLens)
+  }
+
+  /** Corpus vocabulary heavy hitters: the top-k terms by total
+    * occurrence count — the vocabulary/BPE-prep step of a training
+    * pipeline. Two-phase aggregation (map-side partial counts, then a
+    * TakeOrderedAndProject over the merged term counts): the full
+    * vocabulary never sorts globally and the corpus never shuffles —
+    * only (term, partial-count) pairs do.
+    */
+  def vocabTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("term"))
+      .limit(k)
+
+  /** Per-document keyword extraction: the top `perDoc` terms of each
+    * document by tf-idf (idf = ln(N/df), distinct-presence df). The
+    * ranking window is partitioned by doc_id — no global sort — and
+    * document frequencies are a broadcast map-side join (the distinct
+    * term set is vocabulary-sized, not corpus-sized).
+    */
+  def tfidfKeywords(docs: DataFrame, perDoc: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n") / col("df"))).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perDoc)
+      .select(col("doc_id"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"), col("rk").cast("long").as("rk"))
+  }
+
+  /** BM25 top-k for a bag of query terms.
+    *
+    * score(d) = Σ_t ln(1 + (N - df + 0.5) / (df + 0.5))
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Ties break on ascending doc id; scores are rounded to 6 decimals
+    * (oracle-determinism convention — double addition order across
+    * engines differs below that).
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val (postings, docLens) = buildIndex(docs, textCol)
+    // query path: only the query terms' postings survive the filter —
+    // on a term-bucketed postings table this is partition pruning, not
+    // a scan
+    val tf = postings.where(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = docLens.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    tf.join(broadcast(dfreq), "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,277 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Vector quantization — the memory side of 100 TB similarity search.
+  *
+  * A 1536-d float32 embedding is 6 KB; 1 B vectors are 6 TB of raw
+  * vectors alone, so a scan-heavy ANN tier lives or dies on compression:
+  *
+  *  - **Scalar (int8) quantization**: 4× smaller, near-lossless for
+  *    ranking (≈0.1% score error on unit vectors). Codes stay exact
+  *    integers, so the compressed scan is reproducible bit-for-bit in
+  *    any engine — the [[sqTopK]] array formulation is the DuckDB
+  *    oracle's twin, [[sqTopKPacked]] is the codegen'd production scan
+  *    ([[graft.functions.Int8VecDot]]), and a spec asserts they agree.
+  *  - **Product quantization** (Jégou, Douze, Schmid 2011, "Product
+  *    Quantization for Nearest Neighbor Search" — public paper): m
+  *    subspace codebooks of 2⁸ centroids give ~64× compression
+  *    (1536 floats → m=96 bytes) and O(m) asymmetric-distance scoring
+  *    per candidate from a per-query lookup table. Recall is restored
+  *    by exact re-ranking of the top ADC candidates
+  *    ([[pqTopKRefined]]) — the standard IVF-PQ + refine pipeline.
+  *
+  * Scale shapes: training reduces per-partition sufficient statistics
+  * (k·d doubles) to the driver — the same pattern as
+  * [[SimilaritySearch.kmeansCentroidsPacked]]; encode and ADC scoring
+  * are narrow per-partition maps over broadcast codebooks; the final
+  * top-k is TakeOrderedAndProject. Nothing shuffles the corpus.
+  */
+object VectorQuant {
+  import graft.functions.{FloatVecDot, Int8VecDot}
+
+  // ------------------------------------------------------------------
+  // scalar (int8) quantization
+  // ------------------------------------------------------------------
+
+  /** Engine-portable int8-quantized top-k over `(vec_id, embedding)`:
+    * per-vector symmetric scale 127/max|x|, ROUND-half-away codes, exact
+    * integer dot, dequantized score rounded to 6 decimals. Ties on
+    * ascending vec_id. This is the oracle-parity formulation (array
+    * expressions, interpreted) — [[sqTopKPacked]] is the same math on
+    * packed codes through the codegen'd kernel.
+    */
+  def sqTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    def quant(v: org.apache.spark.sql.Column) = {
+      val vd = asDouble(v)
+      val scale = lit(127.0) / array_max(transform(vd, x => abs(x)))
+      struct(transform(vd, x => round(x * scale)).as("q"), scale.as("s"))
+    }
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(quant(col("embedding")).as("qq"))
+    emb.select(col("vec_id"), quant(col("embedding")).as("cq"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(
+          aggregate(zip_with(col("cq.q"), col("qq.q"), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v) / (col("cq.s") * col("qq.s")),
+          6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Quantize `(id, vec BINARY)` packed-f32 rows to `(id, code BINARY,
+    * scale DOUBLE)` — the 4×-compressed table a deployment persists.
+    */
+  def sqEncodePacked(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
+      .map { case (id, vb) =>
+        val (code, scale) = Int8VecDot.quantize(FloatVecDot.unpack(vb))
+        (id, code, scale)
+      }.toDF("id", "code", "scale")
+  }
+
+  /** Compressed scan top-k over [[sqEncodePacked]] output: integer dot
+    * via the codegen'd kernel, dequantize, TakeOrderedAndProject.
+    * Math identical to [[sqTopK]] (a spec asserts parity).
+    */
+  def sqTopKPacked(codes: DataFrame, queryCode: Array[Byte],
+      queryScale: Double, k: Int): DataFrame = {
+    import graft.functions.Int8VecDot.int8VecDot
+    codes.select(col("id").as("vec_id"),
+        round(int8VecDot(col("code"), lit(queryCode)).cast("double") /
+          (col("scale") * lit(queryScale)), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // product quantization
+  // ------------------------------------------------------------------
+
+  /** PQ codebooks: `books(s)(j)` is the j-th centroid (dsub floats) of
+    * subspace s.
+    */
+  type Codebooks = Array[Array[Array[Float]]]
+
+  /** Train PQ codebooks on `(id, vec BINARY)` by per-subspace Lloyd
+    * k-means (L2). Deterministic: the sample is a hash-free id-mod
+    * slice, seeds are the first `ncodes` sample rows in id order, and
+    * every iteration is one distributed pass reducing per-partition
+    * (sum, count) buffers for all m subspaces at once — k·d doubles to
+    * the driver per iteration, like MLlib's k-means.
+    *
+    * @param m      number of subspaces; must divide the dimension
+    * @param ncodes centroids per subspace (≤256 so codes fit one byte)
+    */
+  def pqTrain(emb: DataFrame, m: Int, ncodes: Int = 256,
+      sampleMod: Int = 20, iters: Int = 4): Codebooks = {
+    require(ncodes >= 1 && ncodes <= 256, s"ncodes must be in [1,256]: $ncodes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.where(col("id") % sampleMod === 0)
+      .select(col("id"), col("vec")).as[(Long, Array[Byte])]
+    val seeds = sample.orderBy(col("id")).limit(ncodes).collect()
+      .map { case (_, vb) => FloatVecDot.unpack(vb) }
+    require(seeds.nonEmpty, "pqTrain: empty sample")
+    val d = seeds.head.length
+    require(d % m == 0, s"m=$m must divide dim=$d")
+    val dsub = d / m
+    val k = math.min(ncodes, seeds.length)
+    var books: Codebooks = Array.tabulate(m, k) { (s, j) =>
+      java.util.Arrays.copyOfRange(seeds(j), s * dsub, (s + 1) * dsub)
+    }
+    val rows = sample.rdd
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val (sums, counts) = rows.mapPartitions { it =>
+        val bs = bc.value
+        val sums = Array.ofDim[Double](m, k, dsub)
+        val counts = Array.ofDim[Long](m, k)
+        it.foreach { case (_, vb) =>
+          val v = FloatVecDot.unpack(vb)
+          var s = 0
+          while (s < m) {
+            val j = nearestCode(bs(s), v, s * dsub, dsub)
+            val acc = sums(s)(j)
+            var i = 0
+            while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
+            counts(s)(j) += 1
+            s += 1
+          }
+        }
+        Iterator.single((sums, counts))
+      }.reduce { case ((s1, c1), (s2, c2)) =>
+        var s = 0
+        while (s < m) {
+          var j = 0
+          while (j < k) {
+            var i = 0
+            while (i < dsub) { s1(s)(j)(i) += s2(s)(j)(i); i += 1 }
+            c1(s)(j) += c2(s)(j)
+            j += 1
+          }
+          s += 1
+        }
+        (s1, c1)
+      }
+      bc.destroy()
+      books = Array.tabulate(m, k) { (s, j) =>
+        if (counts(s)(j) == 0L) books(s)(j) // empty cluster keeps its seed
+        else {
+          val n = counts(s)(j).toDouble
+          sums(s)(j).map(x => (x / n).toFloat)
+        }
+      }
+    }
+    books
+  }
+
+  /** Nearest centroid (L2) of one subvector; ties to the lower code.
+    * argmin ‖x−c‖² == argmin (‖c‖² − 2·x·c), but the plain squared
+    * distance keeps it branch-simple and exact.
+    */
+  private[ops] def nearestCode(book: Array[Array[Float]], v: Array[Float],
+      off: Int, dsub: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < book.length) {
+      val c = book(j)
+      var d2 = 0.0
+      var i = 0
+      while (i < dsub) {
+        val diff = v(off + i).toDouble - c(i).toDouble
+        d2 += diff * diff
+        i += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Encode `(id, vec BINARY)` to `(id, code BINARY)` — m bytes per
+    * vector (64× compression at d=1536, m=96). One narrow pass over
+    * broadcast codebooks.
+    */
+  def pqEncode(emb: DataFrame, books: Codebooks): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val dsub = books(0)(0).length
+    val bc = spark.sparkContext.broadcast(books)
+    emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.map { case (id, vb) =>
+          val v = FloatVecDot.unpack(vb)
+          val code = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            code(s) = nearestCode(bs(s), v, s * dsub, dsub).toByte
+            s += 1
+          }
+          (id, code)
+        }
+      }.toDF("id", "code")
+  }
+
+  /** ADC (asymmetric distance computation) top-k: one m·ncodes
+    * inner-product lookup table built from the query on the driver,
+    * broadcast; each candidate scores in m table lookups (no float
+    * decode of the corpus at all). Approximate — recall comes from
+    * [[pqTopKRefined]]'s exact re-rank tier.
+    */
+  def pqTopK(codes: DataFrame, books: Codebooks, query: Array[Float],
+      k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val dsub = books(0)(0).length
+    val table: Array[Array[Double]] = Array.tabulate(m) { s =>
+      books(s).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { acc += query(s * dsub + i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }
+    }
+    val bc = spark.sparkContext.broadcast(table)
+    codes.select(col("id"), col("code")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val t = bc.value
+        it.map { case (id, code) =>
+          var acc = 0.0
+          var s = 0
+          while (s < m) { acc += t(s)(code(s) & 0xff); s += 1 }
+          (id, acc)
+        }
+      }.toDF("vec_id", "adc_score")
+      .orderBy(desc("adc_score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ + exact refine: ADC selects `rerank` candidates, the exact
+    * (packed-f32) dot re-ranks them to the final top-k. The re-rank
+    * side is a broadcast semi-join of ≤`rerank` ids against the raw
+    * vectors — the corpus is still never shuffled, and only the
+    * candidates are decoded.
+    */
+  def pqTopKRefined(codes: DataFrame, emb: DataFrame, books: Codebooks,
+      query: Array[Float], k: Int, rerank: Int): DataFrame = {
+    import graft.functions.FloatVecDot.floatVecDot
+    val cands = pqTopK(codes, books, query, math.max(k, rerank))
+      .select(col("vec_id"))
+    emb.join(broadcast(cands), emb("id") === cands("vec_id"))
+      .select(col("id").as("vec_id"),
+        round(floatVecDot(col("vec"), lit(FloatVecDot.pack(query))), 6)
+          .as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -318,11 +318,34 @@ class OpsSpec extends SparkSpec {
       be32(13) ++ "IHDR".getBytes("US-ASCII") ++
       be32(1920) ++ be32(1080) ++ Array.fill[Byte](5)(0) ++ be32(0)
 
+    // hand-built 2-frame animated GIF89a: header + logical screen
+    // descriptor (320×200, no global palette), a graphic-control
+    // extension, two image descriptors with one 3-byte pixel sub-block
+    // each, trailer
+    def gifFrame = Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(320) ++
+      le16(200) ++ Array[Byte](0) ++ // descriptor, no local palette
+      Array[Byte](2, 3, 1, 2, 3, 0) // LZW min code + sub-block(3) + end
+    val gif = "GIF89a".getBytes("US-ASCII") ++ le16(320) ++ le16(200) ++
+      Array[Byte](0, 0, 0) ++ // no global palette
+      Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0) ++ // GCE sub-blocks
+      gifFrame ++ gifFrame ++ Array[Byte](0x3b)
+
+    // hand-built JPEG: SOI + APP0 segment + SOF0 (baseline) with
+    // big-endian 512×384 dims
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte, 0, 6, 'J', 'F', 'I', 'F') ++
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8) ++
+      Array[Byte](1, 0x80.toByte) ++ // height 384 BE
+      Array[Byte](2, 0) ++ // width 512 BE
+      Array[Byte](3, 0, 0, 0)
+
     val media = Seq(
       Multimodal.MediaRow(1L, "image", bmp),
       Multimodal.MediaRow(2L, "audio", wav),
       Multimodal.MediaRow(3L, "blob", "not a container".getBytes("UTF-8")),
-      Multimodal.MediaRow(4L, "image", png))
+      Multimodal.MediaRow(4L, "image", png),
+      Multimodal.MediaRow(5L, "image", gif),
+      Multimodal.MediaRow(6L, "image", jpg))
       .toDF("media_id", "kind", "payload")
     val feats = Multimodal.extractFeatures(media)
       .collect().sortBy(_.media_id)
@@ -338,6 +361,13 @@ class OpsSpec extends SparkSpec {
     // PNG: big-endian IHDR width/height
     assert(feats(3) == Multimodal.MediaFeatures(4L, "image", png.length,
       1920, 1080, 1))
+    // GIF: little-endian screen descriptor dims, image-descriptor count
+    // as the animation frame count
+    assert(feats(4) == Multimodal.MediaFeatures(5L, "image", gif.length,
+      320, 200, 2))
+    // JPEG: big-endian SOF0 dims behind a skipped APP0 segment
+    assert(feats(5) == Multimodal.MediaFeatures(6L, "image", jpg.length,
+      512, 384, 1))
   }
 
   test("driver entry: flagship query returns rows") {
@@ -549,5 +579,136 @@ class OpsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sorted_overlap_count(array('a','b','c'), array('b','c','d'))")
       .head().getInt(0) == 2)
+  }
+
+  test("gopher rules: each rule independently gates keep") {
+    import spark.implicits._
+    val good = ((1 to 30).map(i => s"word$i") :+ "the").mkString(" ")
+    val d = Seq(
+      (1L, good), // all rules pass
+      (2L, "the cat sat"), // too short
+      (3L, good + " ### ### ### ### ### ###"), // symbol ratio
+      (4L, ((1 to 30).map(i => s"word$i")).mkString(" ")), // no stopword
+      (5L, ((1 to 30).map(_ => "a2345678901234567") :+ "the").mkString(" ")) // mean len > 10
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(d, Seq("the", "a"), minWords = 15)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(5), r.getLong(6))).toMap // (stop_hits, keep)
+    assert(out(1L) == (1L, 1L))
+    assert(out(2L)._2 == 0L)
+    assert(out(3L)._2 == 0L)
+    assert(out(4L) == (0L, 0L))
+    assert(out(5L)._2 == 0L)
+    // measured values on the good doc
+    val g = TextAnalysis.gopherQuality(d, Seq("the", "a"), minWords = 15)
+      .where($"doc_id" === 1L).head()
+    assert(g.getLong(1) == 31L) // n_words
+    assert(g.getDouble(3) == 0.0) // symbol_ratio
+    assert(g.getDouble(4) == 1.0) // alpha_frac
+  }
+
+  test("bm25: tf, rarity, and length normalization drive the ranking") {
+    import spark.implicits._
+    val filler = (1 to 6).map(i => s"f$i").mkString(" ")
+    val d = Seq(
+      (1L, s"spark spark spark $filler"), // tf 3 on common term
+      (2L, s"spark $filler x y z"), // tf 1, longer doc
+      (3L, s"join $filler x y z"), // tf 1 on the RARE term
+      (4L, filler), (5L, filler), (6L, filler)
+    ).toDF("doc_id", "text")
+    val out = TextRetrieval.bm25TopK(d, Seq("spark", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // only docs containing a query term appear
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // scores strictly descending already (orderBy asserted by collect order)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    val score = out.toMap
+    // same term, same length: higher tf wins
+    assert(score(1L) > score(2L))
+    // rarer term (df 1 vs 2) outscores the common term at equal tf
+    assert(score(3L) > score(2L))
+  }
+
+  test("vocab heavy hitters and tfidf keywords") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta beta delta"),
+      (3L, "alpha gamma gamma epsilon")
+    ).toDF("doc_id", "text")
+    val vocab = TextRetrieval.vocabTopK(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // alpha 4, beta 3, gamma 3 (beta before gamma on the term tiebreak)
+    assert(vocab == Seq(("alpha", 4L), ("beta", 3L), ("gamma", 3L)))
+
+    val kw = TextRetrieval.tfidfKeywords(d, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: alpha idf=ln(1)=0; beta == gamma (1·ln 1.5) -> term tiebreak
+    assert(kw(1L) == "beta")
+    // docs 2/3: the doc-unique term (ln 3) beats tf=2 of a df=2 term
+    // (2·ln 1.5 = 0.81 < 1.099)
+    assert(kw(2L) == "delta")
+    assert(kw(3L) == "epsilon")
+  }
+
+  test("int8 quantization: kernel semantics and packed/array parity") {
+    import graft.functions.{FloatVecDot, Int8VecDot}
+    import graft.functions.FloatVecPack.floatVecPack
+    import spark.implicits._
+    // round half away from zero, clamp, scale = 127/max|x|
+    val (code, scale) = Int8VecDot.quantize(Array(0.5f, -0.5f, 1.0f, 0.0f))
+    assert(scale == 127.0)
+    assert(code.toSeq == Seq[Byte](64, -64, 127, 0))
+    assert(Int8VecDot.dot(code, code) == 64L * 64 + 64L * 64 + 127L * 127)
+    // zero vector: all-zero codes, zero scale, no NaN
+    assert(Int8VecDot.quantize(Array(0.0f, 0.0f))._2 == 0.0)
+
+    // packed compressed scan == the oracle-parity array formulation
+    val expected = VectorQuant.sqTopK(emb, 2L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val packed = emb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+    val codes = VectorQuant.sqEncodePacked(packed)
+    val q = codes.where($"id" === 2L).head()
+    val got = VectorQuant.sqTopKPacked(codes,
+        q.getAs[Array[Byte]]("code"), q.getDouble(2), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+
+    // quantized ranking tracks the exact ranking closely on unit vectors
+    val exact = SimilaritySearch.topK(emb, 2L, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.filter(x => exact.contains(x._1)).foreach { case (id, s) =>
+      assert(math.abs(s - exact(id)) < 0.02, s"vec $id drifted: $s vs ${exact(id)}")
+    }
+  }
+
+  test("product quantization: ADC + exact refine reaches recall@10 >= 0.9") {
+    import graft.functions.FloatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
+    import spark.implicits._
+    val packed = emb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+    // 16 subspaces x 32 codes on d=64: 16 bytes/vector (16x compression)
+    val books = VectorQuant.pqTrain(packed, m = 16, ncodes = 32,
+      sampleMod = 1, iters = 4)
+    assert(books.length == 16 && books.forall(_.length == 32) &&
+      books.forall(_.forall(_.length == 4)))
+    val codes = VectorQuant.pqEncode(packed, books).persist()
+    assert(codes.count() == emb.count())
+    assert(codes.select(max(length($"code"))).head().getInt(0) == 16)
+    val query = emb.where($"vec_id" === 42L)
+      .head().getSeq[Float](1).toArray
+    val exact = SimilaritySearch.topK(emb, 42L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val refined = VectorQuant.pqTopKRefined(codes, packed, books, query,
+      k = 10, rerank = 100).collect()
+    assert(refined.length == 10)
+    val recall = refined.map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    assert(recall >= 0.9, s"refined PQ recall $recall")
+    // the ADC tier alone still finds most of the true neighborhood in
+    // its rerank-sized candidate set
+    val adc = VectorQuant.pqTopK(codes, books, query, 100).collect()
+      .map(_.getLong(0)).toSet
+    assert(adc.intersect(exact).size >= 9, "ADC candidate recall")
+    codes.unpersist()
   }
 }
