@@ -166,6 +166,46 @@ object Bench {
       }
       queries10k.unpersist()
 
+      // compressed-tier points over the same 1M × d1536 corpus — the
+      // memory story at 100 TB (6 KB/vector raw): int8 scalar
+      // quantization (1.5 KB/vector, near-lossless ranking) and product
+      // quantization (96 bytes/vector + ADC lookup scoring + exact
+      // refine). Encode is a narrow map; probes never shuffle the
+      // corpus.
+      results("svs_sq_encode_1m") = timedMedian3 {
+        graft.ops.VectorQuant.sqEncodePacked(corpus1m)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val sqCodes = graft.ops.VectorQuant.sqEncodePacked(corpus1m)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sqCodes.count()
+      val (qCode, qScale) = graft.functions.Int8VecDot.quantize(syntheticVec(2L))
+      results("svs_sq_probe_1m") = timedMedian3 {
+        graft.ops.VectorQuant.sqTopKPacked(sqCodes, qCode, qScale, 100)
+          .collect()
+      }
+      sqCodes.unpersist()
+
+      // PQ train on a 10k id-mod sample (2 Lloyd iterations, 96
+      // subspaces × 256 codes), then encode the full corpus
+      var books: graft.ops.VectorQuant.Codebooks = null
+      results("svs_pq_train_1m") = timedMedian3 {
+        books = graft.ops.VectorQuant.pqTrain(corpus1m, m = 96,
+          ncodes = 256, sampleMod = 100, iters = 2)
+      }
+      results("svs_pq_encode_1m") = timedMedian3 {
+        graft.ops.VectorQuant.pqEncode(corpus1m, books)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val pqCodes = graft.ops.VectorQuant.pqEncode(corpus1m, books)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pqCodes.count()
+      results("svs_pq_probe_1m") = timedMedian3 {
+        graft.ops.VectorQuant.pqTopKRefined(pqCodes, corpus1m, books,
+          syntheticVec(2L), k = 100, rerank = 1000).collect()
+      }
+      pqCodes.unpersist()
+
       corpus1m.unpersist()
       KbStoreCleanup.delete(kept1m)
 
