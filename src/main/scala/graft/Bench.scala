@@ -206,6 +206,29 @@ object Bench {
       }
       pqCodes.unpersist()
 
+      // IVF-PQ: residual-encoded inverted lists (build untimed — its
+      // cost is the already-timed ivf assign + pq encode shapes); the
+      // probe touches 4/256 lists of 96-byte codes + a 1000-candidate
+      // exact refine
+      val centsArr = cents.collect().map(r =>
+        (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
+      val res1m = graft.ops.VectorQuant.ivfResiduals(corpus1m, centsArr)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      res1m.count()
+      val rbooks = graft.ops.VectorQuant.pqTrain(
+        res1m.select(col("id"), col("rvec").as("vec")), m = 96,
+        ncodes = 256, sampleMod = 100, iters = 2)
+      val ivfpqCodes = graft.ops.VectorQuant.ivfPqEncode(res1m, rbooks)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ivfpqCodes.count()
+      res1m.unpersist()
+      results("svs_ivfpq_probe_1m") = timedMedian3 {
+        graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes, corpus1m,
+          centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,
+          rerank = 1000).collect()
+      }
+      ivfpqCodes.unpersist()
+
       corpus1m.unpersist()
       KbStoreCleanup.delete(kept1m)
 

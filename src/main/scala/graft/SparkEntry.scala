@@ -149,6 +149,12 @@ object SparkEntry {
       graft.ops.TextRetrieval.tfidfKeywords(t(s, dir, "documents"), perDoc = 3)
         .orderBy(col("doc_id"), col("rk"))),
 
+    // repetition ratio: share of a doc's bigrams taken by its most
+    // frequent bigram (boilerplate / degenerate-repetition signal)
+    "x11_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetitionRatio(t(s, dir, "documents"), k = 2)
+        .orderBy(col("doc_id"))),
+
     // --- dedup family (SURVEY §7.5) --------------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       graft.ops.Dedup.exactDupStats(t(s, dir, "documents"))),
@@ -1436,6 +1442,19 @@ object SparkEntry {
          SELECT doc_id, term, round(tfidf, 6) AS tfidf, rk
          FROM sc WHERE rk <= 3
          ORDER BY doc_id, rk""",
+
+    "x11_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN len(s) >= 2 THEN
+                    list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])
+                  ELSE [] END) AS g
+           FROM toks),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+         SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+                round(max(c)::DOUBLE / sum(c), 6) AS top_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
 
     "d4_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

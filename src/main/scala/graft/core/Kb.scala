@@ -53,6 +53,13 @@ final class Kb private (
   def annRetrieve(query: String, n: Int, nProbe: Int = 8): Seq[Retrieval] =
     store.annRetrieve(query, n, checked, nProbe)
 
+  // ---- persistent int8 compressed tier (scale extension) ----
+  def buildSqIndex(): Unit = store.buildSqIndex()
+  def refreshSqIndex(): Unit = store.refreshSqIndex()
+  def sqIndexState: KbStore.AnnState = store.sqIndexState
+  def sqRetrieve(query: String, n: Int, rerank: Int = 100): Seq[Retrieval] =
+    store.sqRetrieve(query, n, checked, rerank)
+
   /** `with kb.bulk_query_docs() as q:` (`types.py:156-192`). */
   def bulkQueryDocs[A](body: Kb.DocQuerier => A): A =
     body(new Kb.DocQuerier(store))

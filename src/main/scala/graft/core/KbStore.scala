@@ -785,6 +785,102 @@ final class KbStore private (
     hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
   }
 
+  // ------------------------------------------------------------------
+  // persistent int8 compressed tier (SURVEY §7.5 round 5): the same
+  // manifest lifecycle as the ANN index, over 4×-smaller scalar-
+  // quantized codes — the scan tier that keeps a 100 TB corpus in 1/4
+  // the memory, re-ranked exactly against the raw vectors
+  // ------------------------------------------------------------------
+  /** Compressed-tier lifecycle, same manifest arithmetic as
+    * [[annIndexState]]: current iff the codes table's version is at
+    * least the embeddings table's.
+    */
+  def sqIndexState: KbStore.AnnState = {
+    val tv = metaCache.table_versions
+    if (!tv.contains(KbStore.SqCodesTable)) KbStore.AnnNone
+    else if (tv(KbStore.SqCodesTable) >= tv("embeddings")) KbStore.AnnCurrent
+    else KbStore.AnnStale
+  }
+
+  def hasSqIndex: Boolean = sqIndexState == KbStore.AnnCurrent
+
+  /** Quantize every embedding to int8 codes + per-vector scale and
+    * commit the codes table (one narrow encode pass; commits atomically
+    * and versions with the manifest like any table).
+    */
+  def buildSqIndex(): Unit = {
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    require(embeddings.toDF().limit(1).count() > 0,
+      "cannot build a compressed tier over an empty store")
+    val packed = embeddings.toDF()
+      .select($"id", floatVecPack($"vec").as("vec"))
+    commit(Map(KbStore.SqCodesTable ->
+      graft.ops.VectorQuant.sqEncodePacked(packed)
+        .withColumnRenamed("id", "vec_id")), identity)
+  }
+
+  /** Incremental catch-up, mirroring [[refreshAnnIndex]]: deleted ids
+    * drop by semi-join, new ids encode fresh, the union commits —
+    * O(changed docs) plus one pass over the old codes.
+    */
+  def refreshSqIndex(): Unit = sqIndexState match {
+    case KbStore.AnnCurrent => ()
+    case KbStore.AnnNone => throw new IllegalStateException(
+      "no compressed tier to refresh — call buildSqIndex()")
+    case KbStore.AnnStale =>
+      import spark.implicits._
+      import graft.functions.FloatVecPack.floatVecPack
+      val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
+      val old = read(KbStore.SqCodesTable)
+      val kept = old.join(emb.select($"vec_id"), Seq("vec_id"), "left_semi")
+      val added = graft.ops.VectorQuant.sqEncodePacked(
+          emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
+            .select($"vec_id".as("id"), floatVecPack($"vec").as("vec")))
+        .withColumnRenamed("id", "vec_id")
+      commit(Map(KbStore.SqCodesTable -> kept.union(added)), identity)
+  }
+
+  /** Retrieval through the compressed tier: the int8 codegen'd scan
+    * ranks the whole corpus in 1/4 the bytes, the top `rerank`
+    * candidates re-rank exactly against the raw vectors (broadcast
+    * semi-join — the full-precision corpus is only touched for the
+    * candidates). `rerank >= corpus size` degenerates to exact
+    * retrieval. Refuses when not current, like [[annRetrieve]].
+    */
+  def sqRetrieve(query: String, n: Int, provider: EmbeddingProvider,
+      rerank: Int = 100): Seq[Retrieval] = {
+    require(hasSqIndex, sqIndexState match {
+      case KbStore.AnnStale =>
+        "compressed tier is stale: call refreshSqIndex() to catch it up"
+      case _ => "no compressed tier: call buildSqIndex()"
+    })
+    if (n <= 0) return Seq.empty
+    import spark.implicits._
+    import graft.functions.{FloatVecDot, Int8VecDot}
+    import graft.functions.FloatVecDot.floatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
+    val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
+    val (qCode, qScale) = Int8VecDot.quantize(qv)
+    val candIds = graft.ops.VectorQuant.sqTopKPacked(
+        read(KbStore.SqCodesTable).withColumnRenamed("vec_id", "id"),
+        qCode, qScale, math.max(n, rerank))
+      .select($"vec_id")
+    val packed = embeddings.toDF()
+      .select($"id", floatVecPack($"vec").as("vec"))
+    val hits = packed
+      .join(broadcast(candIds), packed("id") === candIds("vec_id"))
+      .select($"id",
+        round(floatVecDot($"vec", lit(FloatVecDot.pack(qv))), 6).as("score"))
+      .orderBy(desc("score"), $"id")
+      .limit(n)
+      .as[(Long, Double)].collect()
+    if (hits.isEmpty) return Seq.empty
+    val docByEmb = docs.filter($"emb_id".isin(hits.map(_._1): _*))
+      .collect().map(d => d.emb_id.get -> d).toMap
+    hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
+  }
+
   /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized
     * id-paths (lexicographic path order == DFS pre-order).
     */
@@ -834,15 +930,19 @@ final class KbStore private (
     * one downstream scan task) would serialize everything.
     */
   def compact(codec: String = "gzip", numFiles: Int = 1): Unit = {
-    // a STALE ANN index must not ride along: rewriting it at the new
+    // a STALE index family must not ride along: rewriting it at the new
     // version would equalize its version with embeddings' and silently
-    // promote it to Current while its assignments still miss the docs
-    // added since the build. Leave its old pointers (still stale after
-    // the bump); refreshAnnIndex() then compacts it naturally.
-    val names =
-      if (annIndexState == KbStore.AnnStale)
-        metaCache.table_versions.keys.filterNot(KbStore.IndexTables.contains)
-      else metaCache.table_versions.keys
+    // promote it to Current while it still misses the docs added since
+    // its build. Excluded PER FAMILY (an ANN index can be stale while
+    // the compressed tier is current, and vice versa): stale families
+    // keep their old pointers (still stale after the bump) and their
+    // refresh then compacts them naturally.
+    val staleIdx: Set[String] =
+      (if (annIndexState == KbStore.AnnStale) KbStore.AnnIndexTables
+       else Seq.empty[String]).toSet ++
+        (if (sqIndexState == KbStore.AnnStale) Set(KbStore.SqCodesTable)
+         else Set.empty[String])
+    val names = metaCache.table_versions.keys.filterNot(staleIdx.contains)
     // preserveIndex: this rewrite includes `embeddings` but replaces no
     // vectors, so commit's invalidation clause must not strip the stale
     // index's pointers (that would flip AnnStale -> AnnNone and let the
@@ -927,7 +1027,12 @@ object KbStore {
     */
   val IvfCentroidsTable = "ivf_centroids"
   val IvfAssignTable = "ivf_assign"
-  val IndexTables: Seq[String] = Seq(IvfCentroidsTable, IvfAssignTable)
+  /** int8 compressed-tier codes (round 5) — same droppable lifecycle. */
+  val SqCodesTable = "sq_codes"
+  /** The ANN index family (invalidated/refreshed together). */
+  val AnnIndexTables: Seq[String] = Seq(IvfCentroidsTable, IvfAssignTable)
+  /** Every index-family table (vacuum ownership + commit invalidation). */
+  val IndexTables: Seq[String] = AnnIndexTables :+ SqCodesTable
 
   sealed trait AnnState
   case object AnnNone extends AnnState

@@ -48,16 +48,24 @@ case class Int8VecDot(left: Expression, right: Expression)
 
 object Int8VecDot {
 
-  /** Signed-byte multiply-accumulate; exact (|acc| ≤ 127²·n ≪ 2⁶³).
-    * JIT-vectorizable tight loop.
+  /** Signed-byte multiply-accumulate; exact. Accumulates int8×int8
+    * products in an Int within 8192-element blocks (|block acc| ≤
+    * 8192·127² < 2³¹) and folds blocks into a Long — the all-Int inner
+    * loop is what the JIT auto-vectorizes; a Long accumulator defeats
+    * that.
     */
   def dot(a: Array[Byte], b: Array[Byte]): Long = {
     val n = math.min(a.length, b.length)
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += a(i).toLong * b(i).toLong
-      i += 1
+      val end = math.min(i + 8192, n)
+      var s = 0
+      while (i < end) {
+        s += a(i) * b(i)
+        i += 1
+      }
+      acc += s
     }
     acc
   }

@@ -172,6 +172,30 @@ object TextAnalysis {
         stopHits >= minStopHits).cast("long").as("keep"))
   }
 
+  /** Repetition ratio (Gopher §A1.1's "fraction of characters in the
+    * most common n-gram" family, on token counts): the share of a
+    * document's k-grams taken by its single most frequent k-gram —
+    * boilerplate and degenerate repetition score high. Multiset
+    * k-grams (unlike the dedup shingle sets), two narrow aggregations
+    * keyed by doc_id — scales linearly, no corpus-wide state.
+    */
+  def repetitionRatio(docs: DataFrame, k: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = docs.select(col("doc_id"),
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array()).as("gs"))
+    grams.select(col("doc_id"), explode(col("gs")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_ngrams"), max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_ngrams"),
+        round(col("top_count").cast("double") / col("n_ngrams"), 6)
+          .as("top_frac"))
+  }
+
   /** N-gram-heuristic language ID: score each candidate language by its
     * marker-token hits; argmax with a fixed precedence order, 'und' when
     * nothing matches.

@@ -263,15 +263,151 @@ object VectorQuant {
     * candidates are decoded.
     */
   def pqTopKRefined(codes: DataFrame, emb: DataFrame, books: Codebooks,
-      query: Array[Float], k: Int, rerank: Int): DataFrame = {
+      query: Array[Float], k: Int, rerank: Int): DataFrame =
+    exactRerank(pqTopK(codes, books, query, math.max(k, rerank)),
+      emb, query, k)
+
+  private def exactRerank(cands: DataFrame, emb: DataFrame,
+      query: Array[Float], k: Int): DataFrame = {
     import graft.functions.FloatVecDot.floatVecDot
-    val cands = pqTopK(codes, books, query, math.max(k, rerank))
-      .select(col("vec_id"))
-    emb.join(broadcast(cands), emb("id") === cands("vec_id"))
+    emb.join(broadcast(cands.select(col("vec_id"))),
+        emb("id") === col("vec_id"))
       .select(col("id").as("vec_id"),
         round(floatVecDot(col("vec"), lit(FloatVecDot.pack(query))), 6)
           .as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: coarse inverted lists + PQ on residuals
+  // ------------------------------------------------------------------
+
+  /** Coarse-assign every vector to its argmax-dot centroid (the same
+    * spherical IVF rule as [[SimilaritySearch.ivfAssignPacked]], same
+    * shared kernel) and emit the packed residual v − c. Residuals are
+    * what PQ encodes in an IVF-PQ index (Jégou et al. 2011 §IV):
+    * q·v = q·c + q·r exactly, and residuals are far smaller in norm
+    * than raw vectors, so the same codebook budget quantizes them much
+    * more accurately. One narrow pass; NaN vectors are dropped like the
+    * IVF paths.
+    */
+  def ivfResiduals(emb: DataFrame,
+      cents: Array[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "ivfResiduals: no centroids")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sorted = cents.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sorted)
+    emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val byId = cs.toMap
+        it.flatMap { case (id, vb) =>
+          val v = FloatVecDot.unpack(vb)
+          val cid = SimilaritySearch.argmaxCid(cs, v)
+          if (cid < 0L) None
+          else {
+            val c = byId(cid)
+            val r = new Array[Float](v.length)
+            var i = 0
+            while (i < v.length) {
+              r(i) = v(i) - (if (i < c.length) c(i) else 0.0f)
+              i += 1
+            }
+            Some((id, cid, FloatVecDot.pack(r)))
+          }
+        }
+      }.toDF("id", "cid", "rvec")
+  }
+
+  /** Encode [[ivfResiduals]] output to `(id, cid, code BINARY)` —
+    * [[pqEncode]] with the inverted-list id carried through, so the
+    * build never shuffles the corpus to re-attach it. Persist the
+    * residuals between [[pqTrain]] (on `rvec` as `vec`) and this pass.
+    */
+  def ivfPqEncode(res: DataFrame, books: Codebooks): DataFrame = {
+    val spark = res.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val dsub = books(0)(0).length
+    val bc = spark.sparkContext.broadcast(books)
+    res.select(col("id"), col("cid"), col("rvec"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.map { case (id, cid, vb) =>
+          val v = FloatVecDot.unpack(vb)
+          val code = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            code(s) = nearestCode(bs(s), v, s * dsub, dsub).toByte
+            s += 1
+          }
+          (id, cid, code)
+        }
+      }.toDF("id", "cid", "code")
+  }
+
+  /** IVF-PQ probe: rank centroids by q·c, keep the top `nProbe` lists,
+    * and score only their members as q·c (exact, broadcast per-list
+    * constant) + ADC(residual codes). The list filter is an IN-list on
+    * `cid` — partition-prunable on a list-bucketed codes table — so at
+    * nProbe/N probe fraction only that fraction of the compressed
+    * corpus is touched at all.
+    *
+    * @param codes (id, cid, code BINARY) — [[ivfResiduals]] output
+    *              encoded by [[pqEncode]] with the cid carried through
+    */
+  def ivfPqTopK(codes: DataFrame, cents: Array[(Long, Array[Float])],
+      books: Codebooks, query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "ivfPqTopK: no centroids")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val dsub = books(0)(0).length
+    def qdot(c: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(query.length, c.length)
+      while (i < n) { acc += query(i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    }
+    val probed: Map[Long, Double] = cents.map { case (cid, c) => (cid, qdot(c)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(math.min(nProbe, cents.length)).toMap
+    val table: Array[Array[Double]] = Array.tabulate(m) { s =>
+      books(s).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { acc += query(s * dsub + i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }
+    }
+    val bcTab = spark.sparkContext.broadcast((table, probed))
+    codes.where(col("cid").isin(probed.keys.toSeq: _*))
+      .select(col("id"), col("cid"), col("code"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (t, off) = bcTab.value
+        it.map { case (id, cid, code) =>
+          var acc = off(cid)
+          var s = 0
+          while (s < m) { acc += t(s)(code(s) & 0xff); s += 1 }
+          (id, acc)
+        }
+      }.toDF("vec_id", "adc_score")
+      .orderBy(desc("adc_score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ + exact refine — the full compressed-index query pipeline:
+    * probe `nProbe` lists by ADC, exact-re-rank the top `rerank`
+    * candidates against the raw vectors.
+    */
+  def ivfPqTopKRefined(codes: DataFrame, emb: DataFrame,
+      cents: Array[(Long, Array[Float])], books: Codebooks,
+      query: Array[Float], k: Int, nProbe: Int, rerank: Int): DataFrame =
+    exactRerank(ivfPqTopK(codes, cents, books, query,
+      math.max(k, rerank), nProbe), emb, query, k)
 }

@@ -629,6 +629,16 @@ class OpsSpec extends SparkSpec {
     assert(score(3L) > score(2L))
   }
 
+  test("repetition ratio: multiset bigram share of the top bigram") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(d, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // "a b a b a b": 5 bigrams, "a b" x3 -> 0.6 (multiset, not set)
+    assert(out(1L) == (5L, 0.6))
+    assert(out(2L) == (2L, 0.5))
+  }
+
   test("vocab heavy hitters and tfidf keywords") {
     import spark.implicits._
     val d = Seq(
@@ -710,5 +720,43 @@ class OpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(adc.intersect(exact).size >= 9, "ADC candidate recall")
     codes.unpersist()
+  }
+
+  test("IVF-PQ: residual identity, list pruning, refined recall@10 >= 0.9") {
+    import graft.functions.FloatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
+    import spark.implicits._
+    val packed = emb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+    val cents = emb.where($"vec_id" < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = VectorQuant.ivfResiduals(packed, cents).persist()
+    assert(res.count() == emb.count())
+
+    // residual + centroid reconstructs the vector
+    val byCid = cents.toMap
+    val row = res.where($"id" === 99L).head()
+    val orig = FloatVecDot.unpack(
+      packed.where($"id" === 99L).head().getAs[Array[Byte]]("vec"))
+    val rec = FloatVecDot.unpack(row.getAs[Array[Byte]]("rvec"))
+      .zip(byCid(row.getLong(1))).map { case (a, b) => a + b }
+    orig.zip(rec).foreach { case (o, r2) => assert(math.abs(o - r2) < 1e-5f) }
+
+    val books = VectorQuant.pqTrain(
+      res.select($"id", $"rvec".as("vec")), m = 16, ncodes = 32,
+      sampleMod = 1, iters = 4)
+    val codes = VectorQuant.ivfPqEncode(res, books).persist()
+    val query = emb.where($"vec_id" === 42L).head().getSeq[Float](1).toArray
+    val exact = SimilaritySearch.topK(emb, 42L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val out = VectorQuant.ivfPqTopKRefined(codes, packed, cents, books,
+      query, k = 10, nProbe = 8, rerank = 100).collect()
+    val recall = out.map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    assert(recall >= 0.9, s"ivf-pq refined recall $recall")
+
+    // a partial probe returns k rows from a strict subset of the lists
+    val partial = VectorQuant.ivfPqTopK(codes, cents, books, query,
+      k = 10, nProbe = 2)
+    assert(partial.count() == 10)
+    res.unpersist(); codes.unpersist()
   }
 }

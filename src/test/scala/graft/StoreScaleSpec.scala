@@ -150,6 +150,92 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("persistent int8 tier: build, exact at full rerank, stale/refresh, invalidation") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      (0 until 120).foreach(i => a.add(s"document number $i"))
+    }
+    assert(!kb.hasSqIndex)
+    intercept[IllegalArgumentException] { kb.sqRetrieve("q", 3, p) }
+
+    kb.buildSqIndex()
+    assert(kb.hasSqIndex)
+    // rerank >= corpus degenerates to exact retrieval
+    val exact = kb.retrieve("query text", 5, p).map(_.doc.id).toSet
+    val sqAll = kb.sqRetrieve("query text", 5, p, rerank = 200)
+    assert(sqAll.size == 5 && sqAll.map(_.doc.id).toSet == exact)
+    // the default candidate budget still returns well-formed ranked rows
+    val sq3 = kb.sqRetrieve("query text", 3, p)
+    assert(sq3.size == 3 && sq3.map(_.score) == sq3.map(_.score).sorted.reverse)
+
+    // adds only stale the codes; incremental refresh catches up
+    kb.bulkAddDocs(p)(_.add("another doc"))
+    assert(kb.sqIndexState == KbStore.AnnStale && !kb.hasSqIndex)
+    intercept[IllegalArgumentException] { kb.sqRetrieve("q", 3, p) }
+    kb.refreshSqIndex()
+    assert(kb.sqIndexState == KbStore.AnnCurrent)
+    assert(kb.sqRetrieve("another doc", 1, p, rerank = 200)
+      .head.doc.text == "another doc")
+
+    // deletes stale it too; refresh drops the dead codes
+    kb.bulkDelDocs(Seq(121L))
+    assert(kb.sqIndexState == KbStore.AnnStale)
+    kb.refreshSqIndex()
+    val all = kb.sqRetrieve("query text", 200, p, rerank = 500)
+    assert(all.size == 120 && !all.exists(_.doc.text == "another doc"))
+
+    // vector replacement invalidates outright; vacuum reclaims the dir.
+    // The ANN family is untouched throughout (never built here)
+    kb.setDocEmbedding(1L, Some(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    assert(kb.sqIndexState == KbStore.AnnNone)
+    intercept[IllegalStateException] { kb.refreshSqIndex() }
+    assert(Files.isDirectory(Paths.get(s"$path/sq_codes")))
+    kb.vacuum()
+    assert(!Files.isDirectory(Paths.get(s"$path/sq_codes")))
+    kb.close()
+  }
+
+  test("compact: per-family staleness — stale SQ tier held back while current ANN rides along") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a => (0 until 40).foreach(i => a.add(s"doc $i")) }
+    kb.buildSqIndex()
+    kb.bulkAddDocs(p)(_.add("late"))  // sq goes stale
+    kb.buildAnnIndex(nlist = 4, iters = 1) // ann built AFTER -> current
+    assert(kb.sqIndexState == KbStore.AnnStale)
+    assert(kb.annIndexState == KbStore.AnnCurrent)
+    // compact: the current ANN family rides along (stays current), the
+    // stale SQ family is held back (stays stale, not silently promoted)
+    kb.compact()
+    assert(kb.annIndexState == KbStore.AnnCurrent)
+    assert(kb.sqIndexState == KbStore.AnnStale)
+    kb.refreshSqIndex()
+    assert(kb.sqIndexState == KbStore.AnnCurrent)
+    assert(kb.sqRetrieve("late", 1, p, rerank = 100).head.doc.text == "late")
+    kb.close()
+  }
+
   test("compact with a STALE ANN index keeps its pointers; refresh then recovers it") {
     import graft.core.Embeddings.EmbeddingProvider
     val path = freshPath()
