@@ -1,41 +1,33 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit main: prints the formatted physical plan of selected
-  * queries and greps for the properties that matter at 100 TB —
-  * parquet filter pushdown (`PushedFilters`), pruned `ReadSchema`,
-  * broadcast joins for small dims, and `TakeOrderedAndProject` for
-  * top-k. Run: `sbt "runMain graft.Explain [query ...]"`.
+/** Dev tool: dump the formatted physical plan of named `SparkEntry`
+  * queries (all of them with no names given) — the per-operator "is this
+  * the plan I'd want at 100×" audit loop.
+  *
+  * Usage: runMain graft.Explain <sfDir> [queryName...]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    require(args.nonEmpty, "usage: Explain <sfDir> [queryName...]")
+    val sfDir = args.head
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
     val builder = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("p8_prune_project", "t1_topk", "v1_retrieve_topk",
-        "j2_join_agg_topk", "j3_pairwise_topk", "d4_ngram_jaccard")
-    names.foreach { name =>
-      println(s"\n========== $name ==========")
-      val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-      println(plan)
-      val checks = Seq(
-        "PushedFilters" -> plan.contains("PushedFilters: ["),
-        "TakeOrderedAndProject" -> plan.contains("TakeOrderedAndProject"),
-        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
-        "WholeStageCodegen" -> plan.contains("WholeStageCodegen"))
-      println("--- markers: " + checks.collect {
-        case (k, true) => k
-      }.mkString(", "))
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable =>
+        println(s"[explain] $n failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -60,6 +60,13 @@ final class Kb private (
   def sqRetrieve(query: String, n: Int, rerank: Int = 100): Seq[Retrieval] =
     store.sqRetrieve(query, n, checked, rerank)
 
+  // ---- persistent lexical (BM25) tier (scale extension) ----
+  def buildTextIndex(): Unit = store.buildTextIndex()
+  def refreshTextIndex(): Unit = store.refreshTextIndex()
+  def textIndexState: KbStore.AnnState = store.textIndexState
+  def bm25Retrieve(query: String, n: Int): Seq[(Double, Doc)] =
+    store.bm25Retrieve(query, n)
+
   /** `with kb.bulk_query_docs() as q:` (`types.py:156-192`). */
   def bulkQueryDocs[A](body: Kb.DocQuerier => A): A =
     body(new Kb.DocQuerier(store))

@@ -138,7 +138,7 @@ final class KbStore private (
       // refreshAnnIndex() catches the index up incrementally
       if (updated.contains("embeddings") &&
           !updated.contains(KbStore.IvfAssignTable) && !preserveIndex)
-        pointers = pointers -- KbStore.IndexTables
+        pointers = pointers -- KbStore.VectorIndexTables
       val m = newMeta(cur).copy(version = next, table_versions = pointers)
       KbStore.writeMetaAtomic(path, m)
       metaCache = m
@@ -881,6 +881,92 @@ final class KbStore private (
     hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
   }
 
+  // ------------------------------------------------------------------
+  // persistent lexical (BM25) index: postings + doc lengths as a third
+  // manifest-managed index family — full-text retrieval over the KB
+  // ------------------------------------------------------------------
+  /** Lexical-tier lifecycle: same manifest arithmetic, keyed on the
+    * DOCS table (text, not vectors, is what it indexes).
+    */
+  def textIndexState: KbStore.AnnState = {
+    val tv = metaCache.table_versions
+    if (!tv.contains(KbStore.TextPostingsTable)) KbStore.AnnNone
+    else if (tv(KbStore.TextPostingsTable) >= tv("docs")) KbStore.AnnCurrent
+    else KbStore.AnnStale
+  }
+
+  def hasTextIndex: Boolean = textIndexState == KbStore.AnnCurrent
+
+  /** Tokenize every document into `(doc_id, term, tf)` postings plus
+    * `(doc_id, dl)` lengths and commit both atomically — document
+    * frequency and corpus stats re-derive from these at query time, so
+    * the two tables alone refresh incrementally by doc id. At
+    * deployment scale the postings table is the one to bucket by
+    * `term`.
+    */
+  def buildTextIndex(): Unit = {
+    import spark.implicits._
+    require(docs.limit(1).count() > 0,
+      "cannot build a text index over an empty store")
+    val (postings, docLens) = graft.ops.TextRetrieval.buildIndex(
+      docs.toDF().select($"id".as("doc_id"), $"text"))
+    try commit(Map(KbStore.TextPostingsTable -> postings,
+      KbStore.TextDocLensTable -> docLens), identity)
+    finally postings.unpersist(blocking = false) // buildIndex caches
+  }
+
+  /** Incremental catch-up by doc id: postings/lengths of deleted docs
+    * drop by semi-join, new docs tokenize fresh — O(changed docs). Text
+    * is immutable per doc id in this store (updates touch meta only),
+    * so surviving postings are never wrong, just possibly incomplete.
+    */
+  def refreshTextIndex(): Unit = textIndexState match {
+    case KbStore.AnnCurrent => ()
+    case KbStore.AnnNone => throw new IllegalStateException(
+      "no text index to refresh — call buildTextIndex()")
+    case KbStore.AnnStale =>
+      import spark.implicits._
+      val live = docs.toDF().select($"id".as("doc_id"), $"text")
+      val oldPost = read(KbStore.TextPostingsTable)
+      val oldLens = read(KbStore.TextDocLensTable)
+      val ids = live.select($"doc_id")
+      val newDocs = live.join(oldLens.select($"doc_id"), Seq("doc_id"), "left_anti")
+      val (addPost, addLens) = graft.ops.TextRetrieval.buildIndex(newDocs)
+      try commit(Map(
+        KbStore.TextPostingsTable ->
+          oldPost.join(ids, Seq("doc_id"), "left_semi").union(addPost),
+        KbStore.TextDocLensTable ->
+          oldLens.join(ids, Seq("doc_id"), "left_semi").union(addLens)),
+        identity)
+      finally addPost.unpersist(blocking = false) // buildIndex caches
+  }
+
+  /** BM25 retrieval through the persistent postings: scores only the
+    * query terms' posting rows (document frequencies and corpus stats
+    * re-derive from the stored tables — a term-pruned scan and one tiny
+    * aggregate), then joins the doc rows back. Tokenization of the
+    * query matches the index build's.
+    */
+  def bm25Retrieve(query: String, n: Int): Seq[(Double, Doc)] = {
+    require(hasTextIndex, textIndexState match {
+      case KbStore.AnnStale =>
+        "text index is stale: call refreshTextIndex() to catch it up"
+      case _ => "no text index: call buildTextIndex()"
+    })
+    if (n <= 0) return Seq.empty
+    import spark.implicits._
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    if (terms.isEmpty) return Seq.empty
+    val hits = graft.ops.TextRetrieval.bm25TopKIndexed(
+        read(KbStore.TextPostingsTable), read(KbStore.TextDocLensTable),
+        terms, n)
+      .as[(Long, Double)].collect()
+    if (hits.isEmpty) return Seq.empty
+    val byId = docs.filter($"id".isin(hits.map(_._1): _*))
+      .collect().map(d => d.id -> d).toMap
+    hits.toSeq.map { case (id, score) => (score, byId(id)) }
+  }
+
   /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized
     * id-paths (lexicographic path order == DFS pre-order).
     */
@@ -941,6 +1027,8 @@ final class KbStore private (
       (if (annIndexState == KbStore.AnnStale) KbStore.AnnIndexTables
        else Seq.empty[String]).toSet ++
         (if (sqIndexState == KbStore.AnnStale) Set(KbStore.SqCodesTable)
+         else Set.empty[String]) ++
+        (if (textIndexState == KbStore.AnnStale) KbStore.TextIndexTables.toSet
          else Set.empty[String])
     val names = metaCache.table_versions.keys.filterNot(staleIdx.contains)
     // preserveIndex: this rewrite includes `embeddings` but replaces no
@@ -1029,10 +1117,17 @@ object KbStore {
   val IvfAssignTable = "ivf_assign"
   /** int8 compressed-tier codes (round 5) — same droppable lifecycle. */
   val SqCodesTable = "sq_codes"
+  /** Lexical (BM25) tier: postings + doc lengths, keyed on `docs`. */
+  val TextPostingsTable = "text_postings"
+  val TextDocLensTable = "text_doclens"
   /** The ANN index family (invalidated/refreshed together). */
   val AnnIndexTables: Seq[String] = Seq(IvfCentroidsTable, IvfAssignTable)
-  /** Every index-family table (vacuum ownership + commit invalidation). */
-  val IndexTables: Seq[String] = AnnIndexTables :+ SqCodesTable
+  /** Vector-derived families — dropped when a vector is REPLACED. */
+  val VectorIndexTables: Seq[String] = AnnIndexTables :+ SqCodesTable
+  /** The text family survives vector replacement (it indexes text). */
+  val TextIndexTables: Seq[String] = Seq(TextPostingsTable, TextDocLensTable)
+  /** Every index-family table (vacuum ownership, compact bookkeeping). */
+  val IndexTables: Seq[String] = VectorIndexTables ++ TextIndexTables
 
   sealed trait AnnState
   case object AnnNone extends AnnState

@@ -22,15 +22,20 @@ object TextRetrieval {
 
   /** One-pass index build: per-(doc, term) frequencies plus per-doc
     * lengths. `postings` is the table a deployment persists bucketed by
-    * `term`; `docLens` by `doc_id`.
+    * `term`; `docLens` by `doc_id`. The corpus is exploded exactly once
+    * — doc lengths aggregate the postings (Σtf per doc), not a second
+    * scan — and the postings are cached because every consumer
+    * ([[bm25TopK]]'s tf/df/dl/stats branches) re-reads them: without
+    * the cache Catalyst re-evaluates the corpus explode per branch.
     */
   def buildIndex(docs: DataFrame, textCol: String = "text"): (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val docLens = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("double").as("dl"))
+      .cache()
+    val docLens = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
     (postings, docLens)
   }
 
@@ -59,8 +64,11 @@ object TextRetrieval {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // cached: both the scoring branch and the document frequencies read
+    // it, and without the cache each branch re-explodes the corpus
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
@@ -88,11 +96,22 @@ object TextRetrieval {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text"): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val (postings, docLens) = buildIndex(docs, textCol)
-    // query path: only the query terms' postings survive the filter —
-    // on a term-bucketed postings table this is partition pruning, not
-    // a scan
+    bm25TopKIndexed(postings, docLens, queryTerms, k, k1, b)
+  }
+
+  /** The pure query path over a prebuilt (possibly persisted) index —
+    * what a deployment (and [[graft.core.KbStore.bm25Retrieve]]) calls:
+    * document frequencies and corpus stats re-derive from the stored
+    * tables, so the index refreshes incrementally by doc id with no
+    * stats table to maintain.
+    */
+  def bm25TopKIndexed(postings: DataFrame, docLens: DataFrame,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // only the query terms' postings survive the filter — on a
+    // term-bucketed postings table this is partition pruning, not a scan
     val tf = postings.where(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))

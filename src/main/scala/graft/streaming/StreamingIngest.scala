@@ -277,9 +277,14 @@ object StreamingIngest {
     else {
       kb.bulkAddDocsDistributed(batch, provider,
         ingestMarker = Some(markerKey -> batchId))
+      // keep whichever index families exist live: each refresh is
+      // O(this batch) against the stored centroids / encoder
       if (maintainIndex &&
           kb.annIndexState == graft.core.KbStore.AnnStale)
         kb.refreshAnnIndex()
+      if (maintainIndex &&
+          kb.sqIndexState == graft.core.KbStore.AnnStale)
+        kb.refreshSqIndex()
       true
     }
   }

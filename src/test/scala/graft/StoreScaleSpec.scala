@@ -206,6 +206,67 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("persistent lexical (BM25) tier: build, retrieve, stale/refresh, survives vector replacement") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      a.add("spark shuffles the big table")
+      a.add("the small table broadcasts cleanly")
+      a.add("spark spark spark everywhere")
+      (0 until 20).foreach(i => a.add(s"filler document number $i"))
+    }
+    assert(!kb.hasTextIndex)
+    intercept[IllegalArgumentException] { kb.bm25Retrieve("spark", 3) }
+
+    kb.buildTextIndex()
+    assert(kb.hasTextIndex)
+    // matching both query terms beats tf-stacking one (tf saturation)
+    val hits = kb.bm25Retrieve("spark table", 5)
+    assert(hits.nonEmpty)
+    assert(hits.head._2.text == "spark shuffles the big table")
+    assert(hits.map(_._1) == hits.map(_._1).sorted.reverse)
+    // single-term query: raw tf (and the shorter doc) wins
+    assert(kb.bm25Retrieve("spark", 2)
+      .head._2.text == "spark spark spark everywhere")
+    // a term absent from the corpus contributes nothing; unknown-only
+    // queries return empty
+    assert(kb.bm25Retrieve("zzz qqq", 3).isEmpty)
+
+    // adds stale it; refresh is incremental and then serves the new doc
+    kb.bulkAddDocs(p)(_.add("fresh zebra document"))
+    assert(kb.textIndexState == KbStore.AnnStale)
+    intercept[IllegalArgumentException] { kb.bm25Retrieve("zebra", 1) }
+    kb.refreshTextIndex()
+    assert(kb.textIndexState == KbStore.AnnCurrent)
+    assert(kb.bm25Retrieve("zebra", 1).head._2.text == "fresh zebra document")
+
+    // deletes stale it; refresh drops the dead postings
+    val zebraId = kb.bm25Retrieve("zebra", 1).head._2.id
+    kb.bulkDelDocs(Seq(zebraId))
+    assert(kb.textIndexState == KbStore.AnnStale)
+    kb.refreshTextIndex()
+    assert(kb.bm25Retrieve("zebra", 1).isEmpty)
+
+    // REPLACING a vector must NOT invalidate the text tier (it indexes
+    // text, not vectors): at worst stale (cheap refresh), never None
+    kb.setDocEmbedding(1L, Some(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    assert(kb.textIndexState != KbStore.AnnNone)
+    if (kb.textIndexState == KbStore.AnnStale) kb.refreshTextIndex()
+    assert(kb.bm25Retrieve("broadcasts", 1)
+      .head._2.text == "the small table broadcasts cleanly")
+    kb.close()
+  }
+
   test("compact: per-family staleness — stale SQ tier held back while current ANN rides along") {
     import graft.core.Embeddings.EmbeddingProvider
     val path = freshPath()

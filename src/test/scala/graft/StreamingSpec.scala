@@ -240,7 +240,9 @@ class StreamingSpec extends SparkSpec {
     val p = MockProvider(4)
     kb.bulkAddDocs(p) { a => (0 until 20).foreach(i => a.add(s"seed $i")) }
     kb.buildAnnIndex(nlist = 4)
+    kb.buildSqIndex() // the int8 tier follows the same live maintenance
     assert(kb.annIndexState == graft.core.KbStore.AnnCurrent)
+    assert(kb.sqIndexState == graft.core.KbStore.AnnCurrent)
 
     val stream = MemoryStream[String]
     val q = StreamingIngest.startStoreIngest(
@@ -260,6 +262,11 @@ class StreamingSpec extends SparkSpec {
     val hits = kb.annRetrieve("anything", 23, p, nProbe = 4)
     assert(hits.size == 23 &&
       hits.exists(_.doc.text == "streamed gamma"))
+    // the compressed tier followed too, with no rebuild
+    assert(kb.sqIndexState == graft.core.KbStore.AnnCurrent)
+    val sqHits = kb.sqRetrieve("anything", 23, p, rerank = 100)
+    assert(sqHits.size == 23 &&
+      sqHits.exists(_.doc.text == "streamed gamma"))
 
     // replay safety: re-applying an already-committed batch id is a
     // no-op (the marker rides in the same commit as the docs), while
