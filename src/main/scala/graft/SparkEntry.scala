@@ -155,6 +155,17 @@ object SparkEntry {
       graft.ops.TextAnalysis.repetitionRatio(t(s, dir, "documents"), k = 2)
         .orderBy(col("doc_id"))),
 
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
+    // and the vector top-k (rank-based, so engine-exact; doc_id ==
+    // vec_id on the synthetic corpus)
+    "b3_hybrid_rrf" -> ((s, dir) =>
+      graft.ops.TextRetrieval.rrfFuse(
+        graft.ops.TextRetrieval.bm25TopK(t(s, dir, "documents"),
+          Seq("spark", "join", "window"), k = 50),
+        graft.ops.SimilaritySearch.topK(t(s, dir, "embeddings"), 2L, 50)
+          .withColumnRenamed("vec_id", "doc_id"),
+        k = 20)),
+
     // --- dedup family (SURVEY §7.5) --------------------------------------
     "d1_exact_dedup" -> ((s, dir) =>
       graft.ops.Dedup.exactDupStats(t(s, dir, "documents"))),
@@ -1455,6 +1466,41 @@ object SparkEntry {
          SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
                 round(max(c)::DOUBLE / sum(c), 6) AS top_frac
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "b3_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, term),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         lex AS (
+           SELECT tf.doc_id,
+                  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                            * (tf * (1.2 + 1.0))
+                            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                    AS score
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id
+           ORDER BY score DESC, doc_id LIMIT 50),
+         vec AS (
+           SELECT a.vec_id AS doc_id,
+                  round(list_dot_product(a.embedding::DOUBLE[], q.qv), 6) AS score
+           FROM embeddings a CROSS JOIN
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2) q
+           ORDER BY score DESC, doc_id LIMIT 50),
+         lr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lex),
+         vr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM vec)
+         SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id,
+                round(coalesce(1.0 / (60 + lr.r), 0)
+                      + coalesce(1.0 / (60 + vr.r), 0), 6) AS rrf
+         FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
 
     "d4_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

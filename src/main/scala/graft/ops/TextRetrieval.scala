@@ -84,6 +84,28 @@ object TextRetrieval {
         round(col("tfidf"), 6).as("tfidf"), col("rk").cast("long").as("rk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009 — public
+    * paper) of two candidate lists: hybrid lexical+vector retrieval.
+    * rrf(d) = Σ_lists 1/(c + rank_list(d)), missing-from-list
+    * contributes 0. Rank-based, so fusion is exact across engines.
+    *
+    * Inputs are top-k lists (k-bounded, tiny): the rank windows sort
+    * dozens of rows, not the corpus — the corpus-scale work happened in
+    * the per-modality retrievals.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, rcol: String) =
+      df.select(col("doc_id"), row_number().over(
+        Window.orderBy(desc("score"), col("doc_id"))).as(rcol))
+    ranked(a, "r_lex").join(ranked(b, "r_vec"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(c) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(k)
+  }
+
   /** BM25 top-k for a bag of query terms.
     *
     * score(d) = Σ_t ln(1 + (N - df + 0.5) / (df + 0.5))

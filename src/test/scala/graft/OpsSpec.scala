@@ -661,6 +661,18 @@ class OpsSpec extends SparkSpec {
     assert(kw(3L) == "epsilon")
   }
 
+  test("rrf fusion: rank-based, disjoint lists contribute one-sided") {
+    import spark.implicits._
+    val a = Seq((1L, 9.0), (2L, 5.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 0.9), (3L, 0.8)).toDF("doc_id", "score")
+    val out = TextRetrieval.rrfFuse(a, b, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // doc2 = 1/62 + 1/61 (rank 2 lexical, rank 1 vector); doc1 = 1/61;
+    // doc3 = 1/62
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(math.abs(out.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+  }
+
   test("int8 quantization: kernel semantics and packed/array parity") {
     import graft.functions.{FloatVecDot, Int8VecDot}
     import graft.functions.FloatVecPack.floatVecPack
