@@ -105,7 +105,8 @@ final class KbStore private (
     */
   private def commit(updated: Map[String, DataFrame],
       newMeta: KbMeta => KbMeta, codec: String = "snappy",
-      preserveIndex: Boolean = false): Unit = {
+      preserveIndex: Boolean = false,
+      partitionBy: Map[String, Seq[String]] = Map.empty): Unit = {
     val cur = metaCache
     val next = cur.version + 1
     // manifest CAS — the single-writer contract, enforced: if another
@@ -126,8 +127,11 @@ final class KbStore private (
           "writer detected (this store is single-writer)")
     try {
       updated.foreach { case (name, df) =>
-        df.write.mode(SaveMode.Overwrite)
-          .option("compression", codec).parquet(tableDir(name, next))
+        val w = df.write.mode(SaveMode.Overwrite)
+          .option("compression", codec)
+        partitionBy.get(name).filter(_.nonEmpty)
+          .fold(w)(cols => w.partitionBy(cols: _*))
+          .parquet(tableDir(name, next))
       }
       var pointers = cur.table_versions ++ updated.keys.map(_ -> next)
       // a new embeddings version invalidates a batch-built ANN index:
@@ -910,8 +914,15 @@ final class KbStore private (
       "cannot build a text index over an empty store")
     val (postings, docLens) = graft.ops.TextRetrieval.buildIndex(
       docs.toDF().select($"id".as("doc_id"), $"text"))
-    try commit(Map(KbStore.TextPostingsTable -> postings,
-      KbStore.TextDocLensTable -> docLens), identity)
+    // postings persist PARTITIONED by a term-hash bucket: a query's
+    // terms map to ≤|terms| buckets, so the retrieval scan is physical
+    // partition pruning (1/64th of the postings per term), not a full
+    // scan with a filter
+    try commit(
+      Map(KbStore.TextPostingsTable -> KbStore.withTermBucket(postings),
+        KbStore.TextDocLensTable -> docLens),
+      identity,
+      partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
     finally postings.unpersist(blocking = false) // buildIndex caches
   }
 
@@ -932,12 +943,17 @@ final class KbStore private (
       val ids = live.select($"doc_id")
       val newDocs = live.join(oldLens.select($"doc_id"), Seq("doc_id"), "left_anti")
       val (addPost, addLens) = graft.ops.TextRetrieval.buildIndex(newDocs)
+      // old postings come back with their bucket column; new rows
+      // bucket identically, and the merged table re-partitions by it
+      val keptPost = oldPost.select($"doc_id", $"term", $"tf", $"bucket")
+        .join(ids, Seq("doc_id"), "left_semi")
       try commit(Map(
         KbStore.TextPostingsTable ->
-          oldPost.join(ids, Seq("doc_id"), "left_semi").union(addPost),
+          keptPost.union(KbStore.withTermBucket(addPost)),
         KbStore.TextDocLensTable ->
           oldLens.join(ids, Seq("doc_id"), "left_semi").union(addLens)),
-        identity)
+        identity,
+        partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
       finally addPost.unpersist(blocking = false) // buildIndex caches
   }
 
@@ -957,8 +973,14 @@ final class KbStore private (
     import spark.implicits._
     val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
     if (terms.isEmpty) return Seq.empty
+    // bucket pruning BEFORE the term filter: the scan touches only the
+    // query terms' partitions (PartitionFilters in the plan), then the
+    // exact term filter applies within them
+    val qBuckets = terms.map(KbStore.termBucketOf).distinct
+    val postings = read(KbStore.TextPostingsTable)
+      .where($"bucket".isin(qBuckets: _*))
     val hits = graft.ops.TextRetrieval.bm25TopKIndexed(
-        read(KbStore.TextPostingsTable), read(KbStore.TextDocLensTable),
+        postings, read(KbStore.TextDocLensTable),
         terms, n)
       .as[(Long, Double)].collect()
     if (hits.isEmpty) return Seq.empty
@@ -1120,6 +1142,28 @@ object KbStore {
   /** Lexical (BM25) tier: postings + doc lengths, keyed on `docs`. */
   val TextPostingsTable = "text_postings"
   val TextDocLensTable = "text_doclens"
+  /** Postings partition fan-out; a query's terms prune to ≤|terms|
+    * of these partitions.
+    */
+  val TextBuckets = 64
+
+  /** Driver-side twin of [[withTermBucket]]'s column expression (CRC32
+    * over UTF-8 bytes — the same zlib polynomial in `java.util.zip` and
+    * Spark's `crc32`), so retrieval can compute a term's partition
+    * without touching the cluster.
+    */
+  def termBucketOf(term: String): Int = {
+    val c = new java.util.zip.CRC32()
+    val b = term.getBytes("UTF-8")
+    c.update(b, 0, b.length)
+    (c.getValue % TextBuckets).toInt
+  }
+
+  /** Add the term-hash partition column to a postings DataFrame. */
+  def withTermBucket(postings: DataFrame): DataFrame =
+    postings.withColumn("bucket",
+      (crc32(col("term").cast("binary")) % TextBuckets).cast("int"))
+
   /** The ANN index family (invalidated/refreshed together). */
   val AnnIndexTables: Seq[String] = Seq(IvfCentroidsTable, IvfAssignTable)
   /** Vector-derived families — dropped when a vector is REPLACED. */

@@ -285,6 +285,9 @@ object StreamingIngest {
       if (maintainIndex &&
           kb.sqIndexState == graft.core.KbStore.AnnStale)
         kb.refreshSqIndex()
+      if (maintainIndex &&
+          kb.textIndexState == graft.core.KbStore.AnnStale)
+        kb.refreshTextIndex()
       true
     }
   }

@@ -230,6 +230,12 @@ class StoreScaleSpec extends SparkSpec {
 
     kb.buildTextIndex()
     assert(kb.hasTextIndex)
+    // postings persist partitioned by term-hash bucket, so retrieval
+    // prunes to the query terms' partitions instead of scanning all
+    val bucketed = Files.walk(Paths.get(s"$path/text_postings"))
+    try assert(bucketed.anyMatch(p =>
+      p.getFileName.toString.startsWith("bucket=")))
+    finally bucketed.close()
     // matching both query terms beats tf-stacking one (tf saturation)
     val hits = kb.bm25Retrieve("spark table", 5)
     assert(hits.nonEmpty)

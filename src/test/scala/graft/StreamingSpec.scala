@@ -241,8 +241,10 @@ class StreamingSpec extends SparkSpec {
     kb.bulkAddDocs(p) { a => (0 until 20).foreach(i => a.add(s"seed $i")) }
     kb.buildAnnIndex(nlist = 4)
     kb.buildSqIndex() // the int8 tier follows the same live maintenance
+    kb.buildTextIndex() // and so does the lexical tier
     assert(kb.annIndexState == graft.core.KbStore.AnnCurrent)
     assert(kb.sqIndexState == graft.core.KbStore.AnnCurrent)
+    assert(kb.textIndexState == graft.core.KbStore.AnnCurrent)
 
     val stream = MemoryStream[String]
     val q = StreamingIngest.startStoreIngest(
@@ -267,6 +269,9 @@ class StreamingSpec extends SparkSpec {
     val sqHits = kb.sqRetrieve("anything", 23, p, rerank = 100)
     assert(sqHits.size == 23 &&
       sqHits.exists(_.doc.text == "streamed gamma"))
+    // and the lexical tier serves the streamed text
+    assert(kb.textIndexState == graft.core.KbStore.AnnCurrent)
+    assert(kb.bm25Retrieve("gamma", 1).head._2.text == "streamed gamma")
 
     // replay safety: re-applying an already-committed batch id is a
     // no-op (the marker rides in the same commit as the docs), while
