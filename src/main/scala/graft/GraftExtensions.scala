@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, FloatVecPack, SortedOverlapCount}
+import graft.functions.{FloatVecDot, FloatVecPack, Int8VecDot, SortedOverlapCount}
 
 /** Session extensions registering the graft custom expressions as SQL
   * functions, so `spark.sql("SELECT float_vec_dot(a, b)")` works — the
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "float_vec_pack(v) takes 1 argument")
         FloatVecPack(args.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("int8_vec_dot"),
+      new ExpressionInfo(classOf[Int8VecDot].getName, "int8_vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "int8_vec_dot(a, b) takes 2 arguments")
+        Int8VecDot(args.head, args(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("sorted_overlap_count"),

@@ -189,7 +189,8 @@ object SimilaritySearch {
     * means of f32 vectors).
     */
   def knnJoinIvf(queries: DataFrame, candidates: DataFrame,
-      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      centroids: DataFrame, k: Int, nProbe: Int,
+      saltShards: Int = 1): DataFrame = {
     import graft.functions.FloatVecPack.floatVecPack
     knnJoinIvfPacked(
       queries.select(col("vec_id").as("id"),
@@ -198,7 +199,7 @@ object SimilaritySearch {
         floatVecPack(col("embedding")).as("vec")),
       centroids.select(col("cid"),
         floatVecPack(col("cvec").cast("array<float>")).as("cvec")),
-      k, nProbe)
+      k, nProbe, saltShards)
   }
 
   /** [[knnJoinIvf]] over already-packed `(id, vec BINARY)` inputs and
@@ -206,12 +207,24 @@ object SimilaritySearch {
     * (or [[graft.Bench]]'s 1M corpus) calls without an unpack/repack
     * round trip.
     */
+  /** @param saltShards >1 splits every inverted list into that many
+    *   shuffle shards: the equi-join key becomes (cid, salt), so a
+    *   skewed list (one centroid owning a disproportionate share of
+    *   the corpus — common with real cluster structure) spreads over
+    *   `saltShards` tasks instead of serializing in one. Candidates
+    *   salt by a hash of their id (narrow map); probes replicate
+    *   ×saltShards (the SMALL side — queries × nProbe rows). Results
+    *   are identical for any value: each (query, candidate) pair still
+    *   meets exactly once, in exactly one shard.
+    */
   def knnJoinIvfPacked(queries: DataFrame, candidates: DataFrame,
-      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      centroids: DataFrame, k: Int, nProbe: Int,
+      saltShards: Int = 1): DataFrame = {
     import graft.functions.FloatVecDot
     import graft.functions.FloatVecDot.floatVecDot
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(k >= 1, s"k must be >= 1, got $k")
+    require(saltShards >= 1, s"saltShards must be >= 1, got $saltShards")
     val spark = queries.sparkSession
     import spark.implicits._
     // the centroid set is tiny by definition: collect decoded, broadcast
@@ -277,12 +290,23 @@ object SimilaritySearch {
 
     // no dedup needed: each candidate belongs to exactly one centroid
     // and each query probes distinct centroids, so (qid, cand) is
-    // unique. shuffle-hash hint building on the probe side: the
-    // default sort-merge join would SORT the candidate stream — the
-    // corpus vectors, by far the heavier side — on a low-cardinality
-    // centroid key
-    val scored = probes.hint("shuffle_hash")
-      .join(assigned, probes("cid") === assigned("ccid"))
+    // unique (salting preserves this: a candidate lands in exactly one
+    // shard, and a probe meets it only in that shard). shuffle-hash
+    // hint building on the probe side: the default sort-merge join
+    // would SORT the candidate stream — the corpus vectors, by far the
+    // heavier side — on a low-cardinality centroid key
+    val (probesJ, assignedJ) =
+      if (saltShards == 1) (probes, assigned)
+      else (
+        probes.crossJoin(
+          spark.range(saltShards).select(col("id").cast("int").as("salt"))),
+        assigned.withColumn("salt",
+          pmod(hash(col("cand_id")), lit(saltShards))))
+    val scored = probesJ.hint("shuffle_hash")
+      .join(assignedJ,
+        if (saltShards == 1) probesJ("cid") === assignedJ("ccid")
+        else probesJ("cid") === assignedJ("ccid") &&
+          probesJ("salt") === assignedJ("salt"))
       .select(col("qid"), col("cand_id").as("cid2"),
         round(floatVecDot(col("cv"), col("qv")), 6).as("score"))
       .as[(Long, Long, Double)]

@@ -389,6 +389,13 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSet
     assert(ivf == exact, "probing every centroid must be exact")
+    // list salting spreads a skewed list over shards without changing
+    // a single result tuple
+    val salted = SimilaritySearch.knnJoinIvf(queries, emb, cents,
+        k = 5, nProbe = 8, saltShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(salted == exact, "salting must be result-invariant")
   }
 
   test("packed IVF paths drop NaN vectors instead of emitting bogus centroids") {
@@ -579,6 +586,15 @@ class OpsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sorted_overlap_count(array('a','b','c'), array('b','c','d'))")
       .head().getInt(0) == 2)
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_vec_dot",
+      exprs => graft.functions.Int8VecDot(exprs.head, exprs(1)),
+      "built-in")
+    val (qa, _) = graft.functions.Int8VecDot.quantize(Array(1.0f, -0.5f))
+    Seq((qa, qa)).toDF("qa", "qb").createOrReplaceTempView("qq")
+    assert(spark.sql("SELECT int8_vec_dot(qa, qb) FROM qq")
+      .head().getLong(0) == 127L * 127 + 64L * 64)
   }
 
   test("gopher rules: each rule independently gates keep") {
