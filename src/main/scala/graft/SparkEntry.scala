@@ -155,6 +155,30 @@ object SparkEntry {
       graft.ops.TextAnalysis.repetitionRatio(t(s, dir, "documents"), k = 2)
         .orderBy(col("doc_id"))),
 
+    // end-to-end curation pipeline — the composition a training-data
+    // run actually executes: structural rules pass (Gopher) ∧ exact-dup
+    // group representative (first doc_id per fingerprint) ∧ quality
+    // above the corpus median. Three narrow/keyed stages over the same
+    // scan; the median is a broadcast scalar.
+    "x12_curation" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val rules = graft.ops.TextAnalysis.gopherQuality(
+          docs, Seq("the", "a"), minWords = 18)
+        .where($"keep" === 1L).select($"doc_id")
+      val rep = graft.ops.TextAnalysis.fingerprint(docs)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"fp_md5").orderBy($"doc_id")))
+        .where($"rk" === 1).select($"doc_id")
+      val q = graft.ops.TextAnalysis.qualityScore(docs, Seq("the", "a"))
+      val med = q.agg(expr("percentile(quality, 0.5)").as("med"))
+      val good = q.crossJoin(broadcast(med))
+        .where($"quality" > $"med").select($"doc_id", $"quality")
+      good.join(rules, "doc_id").join(rep, "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
     // and the vector top-k (rank-based, so engine-exact; doc_id ==
     // vec_id on the synthetic corpus)
@@ -1466,6 +1490,55 @@ object SparkEntry {
          SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
                 round(max(c)::DOUBLE / sum(c), 6) AS top_frac
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "x12_curation" ->
+      """WITH u AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  (length(text) - length(replace(text, '#', '')))::DOUBLE AS hashes,
+                  ((length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE AS ellipses
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks)::DOUBLE AS nw,
+                  list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                    / len(toks) AS mean_len,
+                  (hashes + ellipses) / len(toks) AS sym_ratio,
+                  len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                    / len(toks) AS alpha_frac,
+                  len(list_intersect(list_distinct(toks), ['the', 'a']))::BIGINT
+                    AS stop_hits
+           FROM u),
+         rules AS (
+           SELECT doc_id FROM m
+           WHERE nw >= 18 AND nw <= 100000
+             AND mean_len >= 3.0 AND mean_len <= 10.0
+             AND sym_ratio < 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 1),
+         fp AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+           FROM documents),
+         rep AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+                    row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rk
+             FROM fp) WHERE rk = 1),
+         uq AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::DOUBLE AS nt,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE AS nu,
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a']))::DOUBLE AS ns
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+                  round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
+                        + (ns / nu) * 0.2, 6) AS quality
+           FROM uq),
+         good AS (
+           SELECT doc_id, quality FROM q
+           WHERE quality > (SELECT quantile_cont(quality, 0.5) FROM q))
+         SELECT good.doc_id, good.quality
+         FROM good JOIN rules USING (doc_id) JOIN rep USING (doc_id)
+         ORDER BY doc_id""",
 
     "b3_hybrid_rrf" ->
       """WITH toks AS (
