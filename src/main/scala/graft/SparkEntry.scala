@@ -246,6 +246,28 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // time-series resample / gap-fill: per-user daily grid from first
+    // to last event, carry-forward last observed value at each grid
+    // point — reuses the as-of join (one key shuffle, no range
+    // expansion); the grid is generated, never materialized upstream
+    "e4_resample" -> ((s, dir) => {
+      import s.implicits._
+      val day = 86400000000L
+      val ev = t(s, dir, "events").filter($"user_id" < 25L)
+        .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"us").as("lo"), max($"us").as("hi"))
+        .select($"user_id",
+          explode(sequence(expr(s"(lo div ${day}L) * ${day}L"), $"hi",
+            lit(day))).as("gus"))
+      // collapse identical (user, µs) ties like o1 — asofJoin's winner
+      // among equal timestamps is unspecified in both engines
+      val evG = ev.groupBy($"user_id", $"us").agg(max($"value").as("value"))
+      graft.ops.TimeJoins.asofJoin(grid, evG, "user_id", "gus", "us")
+        .select($"user_id", $"gus", round($"r_value", 4).as("last_value"))
+        .orderBy($"user_id", $"gus")
+    }),
+
     // cross-corpus contamination (train/test n-gram overlap): the
     // corpus split by doc-id parity stands in for train vs eval; the
     // oracle affords the cross join, the operator never does one
@@ -1620,6 +1642,24 @@ object SparkEntry {
                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                   AS n_last_hour
          FROM e ORDER BY event_id""",
+
+    "e4_resample" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+           FROM events WHERE user_id < 25),
+         evg AS (SELECT user_id, us, max(value) AS value
+                 FROM ev GROUP BY user_id, us),
+         b AS (SELECT user_id,
+                      (min(us) // 86400000000) * 86400000000 AS lo,
+                      max(us) AS hi
+               FROM ev GROUP BY user_id),
+         grid AS (SELECT user_id,
+                         unnest(range(lo, hi + 1, 86400000000)) AS gus
+                  FROM b)
+         SELECT g.user_id, g.gus, round(e.value, 4) AS last_value
+         FROM grid g ASOF LEFT JOIN evg e
+           ON g.user_id = e.user_id AND g.gus >= e.us
+         ORDER BY g.user_id, g.gus""",
 
     "k2_knn_join_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
