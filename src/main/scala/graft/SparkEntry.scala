@@ -268,6 +268,24 @@ object SparkEntry {
         .orderBy($"user_id", $"gus")
     }),
 
+    // per-entity anomaly flags: z-score of each event against its
+    // user's mean/stddev (unpartitioned-window-free: both moments are
+    // per-user windows, one key shuffle)
+    "e5_zscore" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value")
+        .withColumn("mu", avg($"value").over(w))
+        .withColumn("sd", stddev_samp($"value").over(w))
+        .where($"sd" > 0)
+        .select($"event_id", $"user_id",
+          round(($"value" - $"mu") / $"sd", 6).as("z"))
+        .where(abs($"z") > 2.0)
+        .orderBy($"event_id")
+    }),
+
     // cross-corpus contamination (train/test n-gram overlap): the
     // corpus split by doc-id parity stands in for train vs eval; the
     // oracle affords the cross join, the operator never does one
@@ -1660,6 +1678,17 @@ object SparkEntry {
          FROM grid g ASOF LEFT JOIN evg e
            ON g.user_id = e.user_id AND g.gus >= e.us
          ORDER BY g.user_id, g.gus""",
+
+    "e5_zscore" ->
+      """WITH s AS (
+           SELECT event_id, user_id, value,
+                  avg(value) OVER (PARTITION BY user_id) AS mu,
+                  stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+           FROM events)
+         SELECT event_id, user_id, round((value - mu) / sd, 6) AS z
+         FROM s
+         WHERE sd > 0 AND abs(round((value - mu) / sd, 6)) > 2.0
+         ORDER BY event_id""",
 
     "k2_knn_join_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
