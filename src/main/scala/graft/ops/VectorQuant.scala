@@ -99,11 +99,13 @@ object VectorQuant {
   type Codebooks = Array[Array[Array[Float]]]
 
   /** Train PQ codebooks on `(id, vec BINARY)` by per-subspace Lloyd
-    * k-means (L2). Deterministic: the sample is a hash-free id-mod
-    * slice, seeds are the first `ncodes` sample rows in id order, and
-    * every iteration is one distributed pass reducing per-partition
+    * k-means (L2). The sample is a hash-free id-mod slice and seeds are
+    * the first `ncodes` sample rows in id order — fully deterministic
+    * inputs; centroid arithmetic is subject to floating-point reduction
+    * order across partitions (same caveat as MLlib's k-means). Every
+    * iteration is one distributed pass reducing per-partition
     * (sum, count) buffers for all m subspaces at once — k·d doubles to
-    * the driver per iteration, like MLlib's k-means.
+    * the driver per iteration.
     *
     * @param m      number of subspaces; must divide the dimension
     * @param ncodes centroids per subspace (≤256 so codes fit one byte)
