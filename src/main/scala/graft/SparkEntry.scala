@@ -255,10 +255,13 @@ object SparkEntry {
       val day = 86400000000L
       val ev = t(s, dir, "events").filter($"user_id" < 25L)
         .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      // lo - pmod(lo, day) == floor(lo/day)*day in exact integer math
+      // (Spark's `div` truncates toward zero, which would diverge from
+      // the oracle's floor `//` for pre-1970 timestamps)
       val grid = ev.groupBy($"user_id")
         .agg(min($"us").as("lo"), max($"us").as("hi"))
         .select($"user_id",
-          explode(sequence(expr(s"(lo div ${day}L) * ${day}L"), $"hi",
+          explode(sequence(expr(s"lo - pmod(lo, ${day}L)"), $"hi",
             lit(day))).as("gus"))
       // collapse identical (user, µs) ties like o1 — asofJoin's winner
       // among equal timestamps is unspecified in both engines
@@ -1510,11 +1513,11 @@ object SparkEntry {
          df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
          n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          sc AS (
-           SELECT doc_id, term, tf * ln(n / df) AS tfidf,
+           SELECT doc_id, term, round(tf * ln(n / df), 6) AS tfidf,
                   row_number() OVER (PARTITION BY doc_id
-                    ORDER BY tf * ln(n / df) DESC, term) AS rk
+                    ORDER BY round(tf * ln(n / df), 6) DESC, term) AS rk
            FROM tf JOIN df USING (term) CROSS JOIN n)
-         SELECT doc_id, term, round(tfidf, 6) AS tfidf, rk
+         SELECT doc_id, term, tfidf, rk
          FROM sc WHERE rk <= 3
          ORDER BY doc_id, rk""",
 

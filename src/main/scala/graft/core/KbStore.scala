@@ -825,8 +825,10 @@ final class KbStore private (
   }
 
   /** Incremental catch-up, mirroring [[refreshAnnIndex]]: deleted ids
-    * drop by semi-join, new ids encode fresh, the union commits —
-    * O(changed docs) plus one pass over the old codes.
+    * drop by semi-join, new ids encode fresh, the union commits.
+    * ENCODE work is O(changed docs); the commit itself rewrites the
+    * codes table at the new version, like every commit in this
+    * versioned-table design (write volume is O(table), not O(batch)).
     */
   def refreshSqIndex(): Unit = sqIndexState match {
     case KbStore.AnnCurrent => ()
@@ -927,9 +929,11 @@ final class KbStore private (
   }
 
   /** Incremental catch-up by doc id: postings/lengths of deleted docs
-    * drop by semi-join, new docs tokenize fresh — O(changed docs). Text
-    * is immutable per doc id in this store (updates touch meta only),
-    * so surviving postings are never wrong, just possibly incomplete.
+    * drop by semi-join, new docs tokenize fresh — TOKENIZE work is
+    * O(changed docs); the commit rewrites both tables at the new
+    * version like every commit here (write volume O(table)). Text is
+    * immutable per doc id in this store (updates touch meta only), so
+    * surviving postings are never wrong, just possibly incomplete.
     */
   def refreshTextIndex(): Unit = textIndexState match {
     case KbStore.AnnCurrent => ()
@@ -1056,11 +1060,15 @@ final class KbStore private (
     // preserveIndex: this rewrite includes `embeddings` but replaces no
     // vectors, so commit's invalidation clause must not strip the stale
     // index's pointers (that would flip AnnStale -> AnnNone and let the
-    // next vacuum delete the index dirs instead of refreshing them)
+    // next vacuum delete the index dirs instead of refreshing them).
+    // The postings table keeps its term-bucket partition layout through
+    // the rewrite — without it a routine compact would silently demote
+    // bm25Retrieve's partition pruning to a full scan.
     commit(
       names.map(name =>
         name -> read(name).coalesce(math.max(1, numFiles))).toMap,
-      identity, codec, preserveIndex = true)
+      identity, codec, preserveIndex = true,
+      partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
   }
 
   /** Drop old table versions (VACUUM, `kb.py:831-834`). By default the

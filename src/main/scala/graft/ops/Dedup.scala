@@ -278,9 +278,15 @@ object Dedup {
     * carry 4 bits (16 keys), which degenerates to ~n²/16 candidates
     * regardless of corpus. Always mine pairs on 60-bit signatures;
     * narrower widths are for compact signature storage only.
+    *
+    * `bits` has NO default on purpose: it MUST equal the width the
+    * input signatures were computed at ([[simhash]]'s `bits`). A
+    * mismatch is silent and quadratic — e.g. 16-bit signatures sliced
+    * as 15-bit bands put every doc in band key 0 on the high bands,
+    * collapsing the candidate stage back to all-pairs.
     */
   def simhashPairsBanded(sims: DataFrame, maxHamming: Int,
-      bits: Int = 60): DataFrame = {
+      bits: Int): DataFrame = {
     val nb = maxHamming + 1
     require(nb <= bits, s"need at least $nb bits for hamming $maxHamming")
     val widths = Array.fill(nb)(bits / nb)

@@ -72,16 +72,19 @@ object TextRetrieval {
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    // rank on the ROUNDED score: mathematically-tied terms reached via
+    // different FP paths (2·ln2 vs ln4) could otherwise tie-break in
+    // opposite directions across engines
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), col("term"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
-        (col("tf") * log(col("n") / col("df"))).as("tfidf"))
+        round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= perDoc)
       .select(col("doc_id"), col("term"),
-        round(col("tfidf"), 6).as("tfidf"), col("rk").cast("long").as("rk"))
+        col("tfidf"), col("rk").cast("long").as("rk"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009 — public

@@ -82,7 +82,14 @@ object VectorQuant {
   def sqTopKPacked(codes: DataFrame, queryCode: Array[Byte],
       queryScale: Double, k: Int): DataFrame = {
     import graft.functions.Int8VecDot.int8VecDot
-    codes.select(col("id").as("vec_id"),
+    // a zero/all-NaN vector quantizes to scale 0 (Int8VecDot.quantize);
+    // dividing by it would make a NaN score, which Spark's descending
+    // sort ranks ABOVE every real score — exclude such rows from the
+    // ranking instead (the IVF paths drop NaN vectors the same way)
+    require(queryScale > 0,
+      s"query vector quantized to scale $queryScale (zero or NaN vector)")
+    codes.where(col("scale") > 0)
+      .select(col("id").as("vec_id"),
         round(int8VecDot(col("code"), lit(queryCode)).cast("double") /
           (col("scale") * lit(queryScale)), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
@@ -136,14 +143,22 @@ object VectorQuant {
         val counts = Array.ofDim[Long](m, k)
         it.foreach { case (_, vb) =>
           val v = FloatVecDot.unpack(vb)
-          var s = 0
-          while (s < m) {
-            val j = nearestCode(bs(s), v, s * dsub, dsub)
-            val acc = sums(s)(j)
-            var i = 0
-            while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
-            counts(s)(j) += 1
-            s += 1
+          // a single NaN component would poison per-subspace centroid
+          // sums for every remaining iteration — skip the row (same
+          // policy as the IVF kernels' NaN drop)
+          var nan = false
+          var ni = 0
+          while (ni < v.length) { if (v(ni).isNaN) { nan = true; ni = v.length } else ni += 1 }
+          if (!nan) {
+            var s = 0
+            while (s < m) {
+              val j = nearestCode(bs(s), v, s * dsub, dsub)
+              val acc = sums(s)(j)
+              var i = 0
+              while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
+              counts(s)(j) += 1
+              s += 1
+            }
           }
         }
         Iterator.single((sums, counts))
@@ -272,11 +287,14 @@ object VectorQuant {
   private def exactRerank(cands: DataFrame, emb: DataFrame,
       query: Array[Float], k: Int): DataFrame = {
     import graft.functions.FloatVecDot.floatVecDot
+    // a NaN-component candidate would score NaN and top the descending
+    // sort — drop it here, like every other exact-scoring path
     emb.join(broadcast(cands.select(col("vec_id"))),
         emb("id") === col("vec_id"))
       .select(col("id").as("vec_id"),
         round(floatVecDot(col("vec"), lit(FloatVecDot.pack(query))), 6)
           .as("score"))
+      .where(!isnan(col("score")))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }

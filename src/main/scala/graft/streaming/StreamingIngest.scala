@@ -277,8 +277,11 @@ object StreamingIngest {
     else {
       kb.bulkAddDocsDistributed(batch, provider,
         ingestMarker = Some(markerKey -> batchId))
-      // keep whichever index families exist live: each refresh is
-      // O(this batch) against the stored centroids / encoder
+      // keep whichever index families exist live. Refresh COMPUTE is
+      // O(this batch) against the stored centroids / encoder, but each
+      // refresh commit rewrites its index table (the versioned-table
+      // write model) — for high-frequency micro-batches over a huge
+      // store, prefer maintainIndex = false + periodic refresh
       if (maintainIndex &&
           kb.annIndexState == graft.core.KbStore.AnnStale)
         kb.refreshAnnIndex()

@@ -750,6 +750,39 @@ class OpsSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("quantized tiers exclude zero/NaN vectors instead of ranking them first") {
+    import graft.functions.{FloatVecDot, Int8VecDot}
+    import spark.implicits._
+    val good = (0 until 4).map(i =>
+      (i.toLong, FloatVecDot.pack(Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f))))
+    val zero = (10L, FloatVecDot.pack(Array.fill(8)(0.0f)))
+    val nan = (11L, FloatVecDot.pack(Array.fill(8)(Float.NaN)))
+    val packed = (good :+ zero :+ nan).toDF("id", "vec")
+    val q = Array.tabulate(8)(j => if (j == 0) 1.0f else 0.0f)
+
+    // int8 tier: scale-0 rows (zero or NaN source) never rank
+    val codes = VectorQuant.sqEncodePacked(packed)
+    val (qc, qs) = Int8VecDot.quantize(q)
+    val top = VectorQuant.sqTopKPacked(codes, qc, qs, 10).collect()
+      .map(_.getLong(0))
+    assert(!top.contains(10L) && !top.contains(11L))
+    assert(top.head == 0L) // the matching axis vector wins
+    // and a degenerate QUERY is refused loudly, not ranked as NaN
+    intercept[IllegalArgumentException] {
+      VectorQuant.sqTopKPacked(codes, new Array[Byte](8), 0.0, 3)
+    }
+
+    // PQ: a NaN sample row doesn't poison the codebooks, and a NaN
+    // candidate never surfaces through the exact refine
+    val books = VectorQuant.pqTrain(packed, m = 2, ncodes = 4,
+      sampleMod = 1, iters = 2)
+    assert(books.flatten.flatten.forall(x => !x.isNaN))
+    val pqCodes = VectorQuant.pqEncode(packed, books)
+    val out = VectorQuant.pqTopKRefined(pqCodes, packed, books, q,
+      k = 5, rerank = 6).collect().map(_.getLong(0))
+    assert(!out.contains(11L))
+  }
+
   test("IVF-PQ: residual identity, list pruning, refined recall@10 >= 0.9") {
     import graft.functions.FloatVecDot
     import graft.functions.FloatVecPack.floatVecPack

@@ -263,6 +263,18 @@ class StoreScaleSpec extends SparkSpec {
     kb.refreshTextIndex()
     assert(kb.bm25Retrieve("zebra", 1).isEmpty)
 
+    // a routine compact keeps the postings' bucket partition layout
+    // (vacuum to retain only the compacted version, then the buckets we
+    // find must be the new version's)
+    kb.compact()
+    kb.vacuum(retain = 0)
+    assert(kb.textIndexState == KbStore.AnnCurrent)
+    val bucketed2 = Files.walk(Paths.get(s"$path/text_postings"))
+    try assert(bucketed2.anyMatch(p =>
+      p.getFileName.toString.startsWith("bucket=")))
+    finally bucketed2.close()
+    assert(kb.bm25Retrieve("spark", 2).nonEmpty)
+
     // REPLACING a vector must NOT invalidate the text tier (it indexes
     // text, not vectors): at worst stale (cheap refresh), never None
     kb.setDocEmbedding(1L, Some(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
