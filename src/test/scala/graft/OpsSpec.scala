@@ -677,6 +677,26 @@ class OpsSpec extends SparkSpec {
     assert(kw(3L) == "epsilon")
   }
 
+  test("retrieval edge cases: absent terms, k beyond corpus, empty inputs") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    // all query terms absent -> empty result, not an error
+    assert(TextRetrieval.bm25TopK(d, Seq("zzz"), 5).isEmpty)
+    // k beyond the matching set returns just the matches
+    assert(TextRetrieval.bm25TopK(d, Seq("alpha"), 100).count() == 1)
+    // vocab k beyond vocabulary size returns the whole vocabulary
+    assert(TextRetrieval.vocabTopK(d, 100).count() == 3)
+    // empty query terms are refused loudly
+    intercept[IllegalArgumentException] {
+      TextRetrieval.bm25TopK(d, Seq.empty, 5)
+    }
+    // rrf with one empty side degrades to the other list's ranking
+    val a = Seq((1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
+    val none = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val out = TextRetrieval.rrfFuse(a, none, 5).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
   test("rrf fusion: rank-based, disjoint lists contribute one-sided") {
     import spark.implicits._
     val a = Seq((1L, 9.0), (2L, 5.0)).toDF("doc_id", "score")
