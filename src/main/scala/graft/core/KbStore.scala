@@ -878,6 +878,11 @@ final class KbStore private (
       .join(broadcast(candIds), packed("id") === candIds("vec_id"))
       .select($"id",
         round(floatVecDot($"vec", lit(FloatVecDot.pack(qv))), 6).as("score"))
+      // a stored vector with NaN components passes checkMagnitude (NaN
+      // comparisons are all false) yet scores NaN here, and NaN sorts
+      // ABOVE every real double descending — drop it from the ranking,
+      // matching VectorQuant.exactRerank
+      .where(!isnan($"score"))
       .orderBy(desc("score"), $"id")
       .limit(n)
       .as[(Long, Double)].collect()

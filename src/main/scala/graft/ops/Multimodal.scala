@@ -147,7 +147,10 @@ object Multimodal {
           else {
             var m = o + 1
             while (m < p.length && (p(m) & 0xff) == 0xff) m += 1 // fill bytes
-            if (m + 1 >= p.length) done = true
+            // need marker + BOTH length bytes in bounds: a run of 0xff
+            // fill bytes can leave m == p.length - 2, where reading
+            // p(m + 2) below would throw on attacker-controlled input
+            if (m + 2 >= p.length) done = true
             else {
               val marker = p(m) & 0xff
               if (marker == 0xd9 || marker == 0xda) done = true // EOI / SOS

@@ -51,7 +51,12 @@ object VectorQuant {
     }
     val q = emb.where(col("vec_id") === queryVecId)
       .select(quant(col("embedding")).as("qq"))
-    emb.select(col("vec_id"), quant(col("embedding")).as("cq"))
+    // an all-zero (or NaN-bearing) row would make scale Infinity/NaN and
+    // a NaN score that ranks first under descending sort — exclude such
+    // rows, agreeing with sqTopKPacked's `scale > 0` filter
+    emb.where(array_max(transform(asDouble(col("embedding")),
+        x => abs(x))) > 0)
+      .select(col("vec_id"), quant(col("embedding")).as("cq"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(

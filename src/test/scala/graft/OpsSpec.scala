@@ -370,6 +370,27 @@ class OpsSpec extends SparkSpec {
       512, 384, 1))
   }
 
+  test("malformed media headers stop the walk instead of throwing") {
+    import spark.implicits._
+    // a run of 0xff fill bytes can leave the marker at p.length - 2,
+    // where the 2-byte segment-length read would be out of bounds
+    val truncJpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xe0.toByte, 0x00)
+    // length bytes themselves cut off mid-segment
+    val cutJpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe0.toByte, 0x00)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", truncJpg),
+      Multimodal.MediaRow(2L, "image", cutJpg))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    // both fall through to the disclosed stub rather than failing the task
+    assert(feats(0) == Multimodal.FakeDecoder.decode(
+      Multimodal.MediaRow(1L, "image", truncJpg)))
+    assert(feats(1) == Multimodal.FakeDecoder.decode(
+      Multimodal.MediaRow(2L, "image", cutJpg)))
+  }
+
   test("driver entry: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -791,6 +812,14 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VectorQuant.sqTopKPacked(codes, new Array[Byte](8), 0.0, 3)
     }
+
+    // the interpreted array formulation agrees: an all-zero corpus row
+    // (scale = Infinity, NaN score) is excluded, not ranked first
+    val arrEmb = (good :+ zero).map { case (id, vb) =>
+      (id, FloatVecDot.unpack(vb).toSeq) }.toDF("vec_id", "embedding")
+    val arrTop = VectorQuant.sqTopK(arrEmb, 0L, 10).collect().map(_.getLong(0))
+    assert(!arrTop.contains(10L))
+    assert(arrTop.head == 0L)
 
     // PQ: a NaN sample row doesn't poison the codebooks, and a NaN
     // candidate never surfaces through the exact refine
