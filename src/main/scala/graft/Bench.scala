@@ -257,7 +257,15 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // part-2 svs_* points FIRST, part-1 oracle queries LAST: the driver
+    // archives only the final ~2000 chars of output, and r5's part-1
+    // numbers fell out of that window. With the oracle queries at the
+    // tail, all of them land inside it; anything clipped at the front is
+    // in BENCH_FULL.json (written below) which the round-end commit
+    // picks up.
+    val ordered = results.toSeq.sortBy { case (k, _) =>
+      if (k.startsWith("svs_")) 0 else 1 }
+    val qs = ordered.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     // workload annotations: which engine numbers pair with which
@@ -274,10 +282,34 @@ object Bench {
       "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    // `queries` is emitted LAST: the driver archives only the final 2000
-    // chars of output, so the per-query numbers must sit at the tail of
-    // the line (r3's longer notes pushed half of them out of the window)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","notes":$notes,"queries":$qs}""")
+    // Emission layout for the driver's 2000-char tail window:
+    //   line 1 — notes (workload annotations; clipped first, least vital)
+    //   line 2 — the contract JSON line with `queries` LAST in the line
+    //            and the part-1 oracle numbers last within `queries`
+    // plus BENCH_FULL.json in the repo root with everything, pretty, so
+    // nothing is ever lost to the window.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","notes":$notes,"queries":{${
+      ordered.map { case (k, v) => "\n    \"" + k + "\": " + f"$v%.4f" }
+        .mkString(",")}\n}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      Console.err.println(s"BENCH_FULL.json write failed: $e") }
+    println(s"""{"notes":$notes,"tail_format":"final line = part-1 oracle query seconds, space-separated name:sec, 2dp, trailing zeros and leading 0 stripped; full detail incl. part-2 svs_* in BENCH_FULL.json and the canonical JSON line above it"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full":"BENCH_FULL.json","queries":$qs}""")
+    // ultra-compact part-1-only LAST line: ~89 oracle query numbers are
+    // ~2100 chars as strict JSON — they never all fit the window behind
+    // the canonical line, so the window gets them bare
+    def trim2(v: Double): String = {
+      var s = f"$v%.2f"
+      while (s.endsWith("0")) s = s.dropRight(1)
+      if (s.endsWith(".")) s = s.dropRight(1)
+      if (s.startsWith("0.")) s = s.substring(1)
+      if (s.isEmpty) "0" else s
+    }
+    println(ordered.filterNot(_._1.startsWith("svs_"))
+      .map { case (k, v) => s"$k:${trim2(v)}" }
+      .mkString("part1_sec ", " ", ""))
     spark.stop()
   }
 
