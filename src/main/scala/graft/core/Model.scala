@@ -73,6 +73,16 @@ object Model {
     * across commits — carrying a table forward is a manifest re-point,
     * never a data copy (O(1) per commit regardless of table size).
     */
+  /** `table_bases` / `table_deltas` extend the manifest with
+    * merge-on-read segment chains (round 6): a table with deltas reads
+    * as base ⊖ del-keys ⊕ add-rows applied in version order, so a
+    * point mutation stages O(batch) bytes instead of rewriting the
+    * table. Tables absent from both maps are plain single-directory
+    * tables; a full rewrite (compact, rebuild, chain-limit overflow)
+    * clears the chain. `table_versions` still points at the NEWEST
+    * segment, keeping the index-family staleness arithmetic and the
+    * CAS untouched.
+    */
   final case class KbMeta(
       schema_version: Int,
       created_datetime: String,
@@ -80,5 +90,7 @@ object Model {
       max_doc_id: Long,
       max_edge_id: Long,
       version: Long,
-      table_versions: Map[String, Long])
+      table_versions: Map[String, Long],
+      table_bases: Map[String, Long] = Map.empty,
+      table_deltas: Map[String, Seq[Long]] = Map.empty)
 }

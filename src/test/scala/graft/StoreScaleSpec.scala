@@ -17,6 +17,78 @@ class StoreScaleSpec extends SparkSpec {
   private def freshPath(): String =
     Files.createTempDirectory("graft-kb").resolve("kb").toString
 
+  test("delta commits: a 1-doc mutation writes O(batch) bytes, never the table") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    def dirBytes(d: String): Long = {
+      val root = Paths.get(d)
+      if (!Files.isDirectory(root)) 0L
+      else {
+        val walk = Files.walk(root)
+        try walk.filter(f => Files.isRegularFile(f))
+          .mapToLong(f => Files.size(f)).sum()
+        finally walk.close()
+      }
+    }
+    // seed batch — itself a delta segment on the empty v0 base
+    kb.bulkAddDocs(p) { a =>
+      (0 until 3000).foreach(i =>
+        a.add(s"seed document number $i with distinctive words ${i * 7} " +
+          s"and ${i * 13} padding the row to a realistic length"))
+    }
+    val seedBytes = dirBytes(s"$path/docs/v1")
+    assert(kb.meta.table_deltas("docs") == Seq(1L))
+
+    // THE property this round exists for: a 1-doc add stages one tiny
+    // segment — write volume is O(batch), not O(table)
+    kb.bulkAddDocs(p)(_.add("one more document"))
+    val addBytes = dirBytes(s"$path/docs/v2")
+    assert(addBytes > 0 && addBytes < seedBytes / 5,
+      s"1-doc add wrote $addBytes bytes vs $seedBytes for the 3000-doc seed")
+    assert(kb.countDocs == 3001)
+    assert(kb.meta.table_deltas("docs") == Seq(1L, 2L))
+    assert(kb.meta.table_bases("docs") == 0L)
+
+    // a 1-doc delete writes tombstone keys only
+    kb.bulkDelDocs(Seq(3001L))
+    val delBytes = dirBytes(s"$path/docs/v3")
+    assert(delBytes > 0 && delBytes < seedBytes / 5,
+      s"1-doc delete wrote $delBytes bytes")
+    assert(kb.countDocs == 3000)
+
+    // point updates are one-row patches with exact read-back
+    kb.updateDocMeta(5L, Some("annotated"))
+    assert(kb.fetchDoc(5L).meta.contains("annotated"))
+    assert(kb.fetchDoc(5L).text.startsWith("seed document number 4 "))
+
+    // keyval fold order: tombstone then re-add resurrects the key
+    kb.setKey("k", 1L)
+    kb.delKey("k")
+    assert(!kb.hasKey("k"))
+    kb.setKey("k", 2L)
+    assert(kb.getKey("k") == 2L)
+
+    // compact collapses every chain; state identical afterwards
+    kb.compact(numFiles = 2)
+    assert(kb.meta.table_deltas.isEmpty && kb.meta.table_bases.isEmpty)
+    assert(kb.countDocs == 3000)
+    assert(kb.getKey("k") == 2L)
+    assert(kb.fetchDoc(5L).meta.contains("annotated"))
+    val r = kb.retrieve("seed document number 17 ", 1, p)
+    assert(r.nonEmpty)
+    kb.close()
+  }
+
   test("addEdges checks (src,dst,rel) uniqueness against a 1M-row edge table without collecting it") {
     import spark.implicits._
     val path = freshPath()
@@ -135,7 +207,11 @@ class StoreScaleSpec extends SparkSpec {
     assert(kb.annIndexState == KbStore.AnnNone)
     intercept[IllegalStateException] { kb.refreshAnnIndex() }
     assert(Files.isDirectory(Paths.get(s"$path/ivf_assign")))
+    // default retain=1 protects a reader of the PRIOR manifest (which
+    // still references the index); dropping retention reclaims it
     kb.vacuum()
+    assert(Files.isDirectory(Paths.get(s"$path/ivf_assign")))
+    kb.vacuum(retain = 0)
     assert(!Files.isDirectory(Paths.get(s"$path/ivf_assign")))
     assert(!Files.isDirectory(Paths.get(s"$path/ivf_centroids")))
 
@@ -201,7 +277,9 @@ class StoreScaleSpec extends SparkSpec {
     assert(kb.sqIndexState == KbStore.AnnNone)
     intercept[IllegalStateException] { kb.refreshSqIndex() }
     assert(Files.isDirectory(Paths.get(s"$path/sq_codes")))
-    kb.vacuum()
+    kb.vacuum() // retain=1: the prior manifest still references it
+    assert(Files.isDirectory(Paths.get(s"$path/sq_codes")))
+    kb.vacuum(retain = 0)
     assert(!Files.isDirectory(Paths.get(s"$path/sq_codes")))
     kb.close()
   }
@@ -370,23 +448,28 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
-  test("vacuum retains the prior version so an in-flight reader survives a commit") {
+  test("vacuum retains the prior manifest's chain so an in-flight reader survives a commit") {
     val path = freshPath()
     val kb = KbStore.create(spark, path, Map())
-    kb.setKey("a", 1L) // keyval v1
-    // a reader resolves the v1 manifest now, lazily — its scan runs later
-    val reader = spark.read.parquet(s"$path/keyval/v1")
-    kb.setKey("b", 2L) // keyval v2 commits underneath the reader
-    kb.vacuum() // default retain=1: keep v2 (current) + v1 (prior)
+    kb.setKey("a", 1L) // keyval delta v1 on base v0
+    kb.setKey("b", 2L) // keyval delta v2
+    // a reader resolves the pre-compact state now, lazily — its scan
+    // (a fold over base v0 + deltas v1, v2) runs later
+    val reader = kb.keyval.toDF()
+    kb.compact() // full rewrite at v3; the chain is now the PRIOR state
+    kb.vacuum() // default retain=1: the prior manifest keeps v0..v2 alive
+    assert(Files.isDirectory(Paths.get(s"$path/keyval/v0")))
     assert(Files.isDirectory(Paths.get(s"$path/keyval/v1")))
-    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v0")))
-    assert(reader.count() == 1L) // the in-flight reader still completes
-    assert(kb.hasKey("a") && kb.hasKey("b"))
-    // retain=0 reclaims everything but the committed version
-    kb.vacuum(retain = 0)
-    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v1")))
     assert(Files.isDirectory(Paths.get(s"$path/keyval/v2")))
-    assert(kb.hasKey("b"))
+    assert(reader.count() == 2L) // the in-flight reader still completes
+    assert(kb.hasKey("a") && kb.hasKey("b"))
+    // retain=0 reclaims everything but the committed state
+    kb.vacuum(retain = 0)
+    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v0")))
+    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v1")))
+    assert(!Files.isDirectory(Paths.get(s"$path/keyval/v2")))
+    assert(Files.isDirectory(Paths.get(s"$path/keyval/v3")))
+    assert(kb.hasKey("a") && kb.hasKey("b"))
 
     // a staged-but-never-published version (crashed commit) is NEWER
     // than the manifest; vacuum always reclaims it
