@@ -138,6 +138,20 @@ object SparkEntry {
       graft.ops.TextRetrieval.bm25TopK(t(s, dir, "documents"),
         Seq("spark", "join", "window"), k = 20)),
 
+    // BM25 over a punctuated+case-mangled corpus with the unicode
+    // tokenizer (x7's corpus construction): the split(' ') index would
+    // glue "word." / "Word" into spurious terms and mis-rank — this is
+    // the tokenizer the lexical tier runs on real corpora
+    "b1u_bm25_unicode" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        concat($"text", lit("!! "), upper(substring($"text", 1, 12)), lit("."))
+          .as("txt"))
+      graft.ops.TextRetrieval.bm25TopK(aug,
+        Seq("spark", "join", "window"), k = 20,
+        textCol = "txt", unicode = true)
+    }),
+
     // corpus vocabulary heavy hitters (vocab/BPE-prep step): two-phase
     // partial-agg count, top-k without a global sort
     "x10_vocab_topk" -> ((s, dir) =>
@@ -1481,6 +1495,31 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term
            FROM documents),
+         dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, term),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id,
+                round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                          * (tf * (1.2 + 1.0))
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                  AS score
+         FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         GROUP BY tf.doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 20""",
+
+    "b1u_bm25_unicode" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || '!! ' || upper(substr(text, 1, 12)) || '.' AS txt
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(txt), '[\p{L}\p{N}]+')) AS term
+           FROM aug),
          dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
          stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
          tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks

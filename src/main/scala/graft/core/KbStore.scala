@@ -1049,12 +1049,16 @@ final class KbStore private (
     * deployment scale the postings table is the one to bucket by
     * `term`.
     */
-  def buildTextIndex(): Unit = {
+  /** `unicode = true` tokenizes with the letter/digit-run tokenizer
+    * (real punctuated corpora); the choice persists in the manifest so
+    * retrieval and refresh ALWAYS tokenize the way the index was built.
+    */
+  def buildTextIndex(unicode: Boolean = false): Unit = {
     import spark.implicits._
     require(docs.limit(1).count() > 0,
       "cannot build a text index over an empty store")
     val (postings, docLens) = graft.ops.TextRetrieval.buildIndex(
-      docs.toDF().select($"id".as("doc_id"), $"text"))
+      docs.toDF().select($"id".as("doc_id"), $"text"), unicode = unicode)
     // postings persist PARTITIONED by a term-hash bucket: a query's
     // terms map to ≤|terms| buckets, so the retrieval scan is physical
     // partition pruning (1/64th of the postings per term), not a full
@@ -1062,10 +1066,15 @@ final class KbStore private (
     try commit(
       Map(KbStore.TextPostingsTable -> KbStore.withTermBucket(postings),
         KbStore.TextDocLensTable -> docLens),
-      identity,
+      m => m.copy(index_params =
+        m.index_params + ("text_unicode" -> unicode.toString)),
       partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
     finally postings.unpersist(blocking = false) // buildIndex caches
   }
+
+  /** The lexical tier's persisted tokenizer choice. */
+  private def textIndexUnicode: Boolean =
+    metaCache.index_params.get("text_unicode").contains("true")
 
   /** Incremental catch-up by doc id: postings/lengths of deleted docs
     * drop by semi-join, new docs tokenize fresh — TOKENIZE work is
@@ -1084,7 +1093,9 @@ final class KbStore private (
       val oldLens = read(KbStore.TextDocLensTable)
       val ids = live.select($"doc_id")
       val newDocs = live.join(oldLens.select($"doc_id"), Seq("doc_id"), "left_anti")
-      val (addPost, addLens) = graft.ops.TextRetrieval.buildIndex(newDocs)
+      // tokenize the catch-up batch exactly as the original build did
+      val (addPost, addLens) =
+        graft.ops.TextRetrieval.buildIndex(newDocs, unicode = textIndexUnicode)
       // one tombstone set (the doc ids that left) covers both tables —
       // postings and lengths are keyed by doc_id; TOKENIZE work is
       // O(changed docs) and now the WRITE is too. New postings bucket
@@ -1117,7 +1128,9 @@ final class KbStore private (
     })
     if (n <= 0) return Seq.empty
     import spark.implicits._
-    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    // tokenize the query with the tokenizer the index was BUILT with
+    // (persisted in the manifest) — a mismatch silently misses postings
+    val terms = graft.ops.TextRetrieval.tokenizeQuery(query, textIndexUnicode)
     if (terms.isEmpty) return Seq.empty
     // bucket pruning BEFORE the term filter: the scan touches only the
     // query terms' partitions (PartitionFilters in the plan), then the
@@ -1564,6 +1577,8 @@ object KbStore {
     val deltas = m.table_deltas.toSeq.sortBy(_._1)
       .map { case (k, vs) => s"${q(k)}: ${vs.mkString("[", ", ", "]")}" }
       .mkString("{", ", ", "}")
+    val idxParams = m.index_params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
     val json =
       s"""{
          |  "schema_version": ${m.schema_version},
@@ -1574,7 +1589,8 @@ object KbStore {
          |  "version": ${m.version},
          |  "table_versions": $tables,
          |  "table_bases": $bases,
-         |  "table_deltas": $deltas
+         |  "table_deltas": $deltas,
+         |  "index_params": $idxParams
          |}""".stripMargin
     val tmp = Paths.get(metaPath(path) + ".tmp")
     Files.writeString(tmp, json)
@@ -1617,13 +1633,17 @@ object KbStore {
         m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
           .map(_.toLong).toSeq
     }.filter(_._2.nonEmpty).toMap
+    val idxStr = ("\"index_params\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val idxMap = kvRe.findAllMatchIn(idxStr)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
     val version = longField("version")
     KbMeta(longField("schema_version").toInt, strField("created_datetime"),
       paramMap, longField("max_doc_id"), longField("max_edge_id"),
       version,
       if (tableMap.nonEmpty) tableMap
       else TableNames.map(_ -> version).toMap,
-      baseMap, deltaMap)
+      baseMap, deltaMap, idxMap)
   }
 
   private def unescape(s: String): String =

@@ -92,5 +92,11 @@ object Model {
       version: Long,
       table_versions: Map[String, Long],
       table_bases: Map[String, Long] = Map.empty,
-      table_deltas: Map[String, Seq[Long]] = Map.empty)
+      table_deltas: Map[String, Seq[Long]] = Map.empty,
+      /** Index-build parameters that the QUERY side must replay exactly
+        * (e.g. `text_unicode`: the lexical tier's tokenizer choice —
+        * query tokenization must match the build's or retrieval
+        * silently misses postings).
+        */
+      index_params: Map[String, String] = Map.empty)
 }

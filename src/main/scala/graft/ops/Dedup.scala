@@ -217,10 +217,12 @@ object Dedup {
     * exact-Jaccard verify → threshold.
     */
   def minhashNearDups(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
-      rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+      rowsPerBand: Int = 2, threshold: Double = 0.8,
+      unicode: Boolean = false): DataFrame = {
     // cache the shingle sets: referenced by both the signature pipeline
-    // and the verification join
-    val sh = shingles(docs, k).cache()
+    // and the verification join; `unicode` switches the shingle
+    // tokenizer for punctuated corpora (see shinglePosts)
+    val sh = shingles(docs, k, unicode = unicode).cache()
     val cands = lshCandidates(minhashSignatures(sh, numHashes), rowsPerBand)
     jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
   }
@@ -233,9 +235,12 @@ object Dedup {
     * that [[simhashPairsBanded]]'s pigeonhole bands carry ~15 bits each —
     * see the band-key-space note there.
     */
-  def simhash(docs: DataFrame, bits: Int = 16, textCol: String = "text"): DataFrame =
+  def simhash(docs: DataFrame, bits: Int = 16, textCol: String = "text",
+      unicode: Boolean = false): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+        explode(array_distinct(
+          if (unicode) TextAnalysis.tokensUnicode(col(textCol))
+          else split(col(textCol), " "))).as("tok"))
       .select(col("doc_id"), TextAnalysis.hash60(col("tok")).as("h"))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bits - 1))).as("b"), col("h"))

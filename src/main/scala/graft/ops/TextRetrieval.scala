@@ -20,6 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object TextRetrieval {
 
+  /** Tokenizer switch shared by every lexical entry point: the corpus
+    * contract's single-space split, or [[TextAnalysis.tokensUnicode]]
+    * (lower-cased letter/digit runs) for punctuated real-world corpora
+    * where `split(' ')` would glue "word." and "Word" into distinct
+    * spurious terms.
+    */
+  private def tokenize(textCol: String, unicode: Boolean) =
+    if (unicode) TextAnalysis.tokensUnicode(col(textCol))
+    else TextAnalysis.tokens(col(textCol))
+
+  /** Driver-side twin of the tokenizer for QUERY strings — retrieval
+    * must tokenize the query exactly as the index build tokenized the
+    * corpus, or multi-word/punctuated queries silently miss postings.
+    */
+  def tokenizeQuery(query: String, unicode: Boolean): Seq[String] =
+    if (!unicode) query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    else {
+      val m = java.util.regex.Pattern.compile("[\\p{L}\\p{N}]+")
+        .matcher(query.toLowerCase(java.util.Locale.ROOT))
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(0)
+      b.result().distinct
+    }
+
   /** One-pass index build: per-(doc, term) frequencies plus per-doc
     * lengths. `postings` is the table a deployment persists bucketed by
     * `term`; `docLens` by `doc_id`. The corpus is exploded exactly once
@@ -28,9 +52,10 @@ object TextRetrieval {
     * ([[bm25TopK]]'s tf/df/dl/stats branches) re-reads them: without
     * the cache Catalyst re-evaluates the corpus explode per branch.
     */
-  def buildIndex(docs: DataFrame, textCol: String = "text"): (DataFrame, DataFrame) = {
+  def buildIndex(docs: DataFrame, textCol: String = "text",
+      unicode: Boolean = false): (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      explode(tokenize(textCol, unicode)).as("term"))
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .cache()
@@ -46,8 +71,9 @@ object TextRetrieval {
     * vocabulary never sorts globally and the corpus never shuffles —
     * only (term, partial-count) pairs do.
     */
-  def vocabTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+  def vocabTopK(docs: DataFrame, k: Int, textCol: String = "text",
+      unicode: Boolean = false): DataFrame =
+    docs.select(explode(tokenize(textCol, unicode)).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("term"))
@@ -59,11 +85,14 @@ object TextRetrieval {
     * document frequencies are a broadcast map-side join (the distinct
     * term set is vocabulary-sized, not corpus-sized).
     */
+  /** CACHE NOTE: like [[bm25TopK]], the tf cache backs the returned
+    * lazy plan and lives until the session drops it — one-shot use.
+    */
   def tfidfKeywords(docs: DataFrame, perDoc: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      explode(tokenize(textCol, unicode)).as("term"))
     // cached: both the scoring branch and the document frequencies read
     // it, and without the cache each branch re-explodes the corpus
     val tf = toks.groupBy(col("doc_id"), col("term"))
@@ -118,10 +147,17 @@ object TextRetrieval {
     * (oracle-determinism convention — double addition order across
     * engines differs below that).
     */
+  /** CACHE NOTE: this one-shot composition builds (and caches) the
+    * postings for a single query; the cache backs the returned lazy
+    * plan, so it cannot be unpersisted here and lives until the session
+    * drops it. Issuing many queries? Build once with [[buildIndex]] and
+    * call [[bm25TopKIndexed]] (unpersisting when done), or use the
+    * store's persisted lexical tier — that is the deployment path.
+    */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      textCol: String = "text"): DataFrame = {
-    val (postings, docLens) = buildIndex(docs, textCol)
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
+    val (postings, docLens) = buildIndex(docs, textCol, unicode)
     bm25TopKIndexed(postings, docLens, queryTerms, k, k1, b)
   }
 

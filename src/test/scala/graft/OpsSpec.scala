@@ -370,6 +370,42 @@ class OpsSpec extends SparkSpec {
       512, 384, 1))
   }
 
+  test("unicode tokenization flows through minhash, simhash, and the lexical entry points") {
+    import spark.implicits._
+    // doc 2 is doc 1 up to punctuation and case; doc 3 is unrelated
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "The quick, brown fox! Jumps over the lazy dog; tonight."),
+      (3L, "completely different text about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    // split(' ') shingles glue punctuation onto tokens → the near-dup
+    // pair is invisible; the unicode tokenizer recovers jaccard 1.0
+    val plain = Dedup.minhashNearDups(d, k = 3, numHashes = 8,
+      rowsPerBand = 2, threshold = 0.8).collect()
+    assert(!plain.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    val uni = Dedup.minhashNearDups(d, k = 3, numHashes = 8,
+      rowsPerBand = 2, threshold = 0.8, unicode = true).collect()
+    assert(uni.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 1.0))
+    // simhash: identical signatures under unicode, different under split
+    def sigs(unicode: Boolean) = Dedup.simhash(d, bits = 16, unicode = unicode)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(unicode = true)(1L) == sigs(unicode = true)(2L))
+    assert(sigs(unicode = false)(1L) != sigs(unicode = false)(2L))
+    // lexical entry points tokenize clean under the flag: no vocabulary
+    // term carries punctuation or upper case
+    val vocab = TextRetrieval.vocabTopK(d, 50, unicode = true).collect()
+    assert(vocab.forall(r =>
+      r.getString(0).forall(c => Character.isLetterOrDigit(c))))
+    // and bm25 under unicode matches the punctuated doc for a cased,
+    // punctuated query term normalized the same way
+    val hits = TextRetrieval.bm25TopK(d,
+        TextRetrieval.tokenizeQuery("Tonight!", unicode = true),
+        k = 3, unicode = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
+  }
+
   test("malformed media headers stop the walk instead of throwing") {
     import spark.implicits._
     // a run of 0xff fill bytes can leave the marker at p.length - 2,

@@ -363,6 +363,38 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("lexical tier unicode mode: tokenizer persists in the manifest; query and refresh match it") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      a.add("The JVM heap, explained!")
+      a.add("gardening tips; tomatoes & basil")
+    }
+    kb.buildTextIndex(unicode = true)
+    // cased/punctuated queries normalize to the indexed terms
+    assert(kb.bm25Retrieve("Heap?", 1).head._2.text.contains("JVM"))
+    // the flag survives the manifest round-trip in a fresh open
+    val kb2 = KbStore.open(spark, path)
+    assert(kb2.bm25Retrieve("TOMATOES!", 1).head._2.text.contains("gardening"))
+    // the refresh catch-up batch tokenizes the way the build did
+    kb2.bulkAddDocs(p)(_.add("Quantum; entanglement demystified."))
+    kb2.refreshTextIndex()
+    assert(kb2.bm25Retrieve("entanglement", 1)
+      .head._2.text.contains("Quantum"))
+    kb2.close()
+    kb.close()
+  }
+
   test("compact: per-family staleness — stale SQ tier held back while current ANN rides along") {
     import graft.core.Embeddings.EmbeddingProvider
     val path = freshPath()
