@@ -95,6 +95,11 @@ final class KbStore private (
     }
   }
 
+  /** Chain-resolved table access for specs (parity twins need the same
+    * merged view the store itself queries).
+    */
+  private[graft] def readTableForSpec(name: String): DataFrame = read(name)
+
   private def invalidate(): Unit = synchronized {
     cachedEmb.foreach(_.unpersist())
     cachedEmb = None
@@ -895,6 +900,15 @@ final class KbStore private (
     * docs back. `nProbe = nlist` degenerates to exact retrieval.
     * Refuses when no current index exists (build or rebuild first) —
     * silently-stale answers are worse than an error.
+    *
+    * Probe path (round 6): centroid selection is a driver-side loop
+    * over the (tiny, nlist-row) centroid table; candidate scoring goes
+    * through packed vectors + the codegen'd [[graft.functions
+    * .FloatVecDot]] kernel — the shape [[sqRetrieve]] uses — instead of
+    * the interpreted higher-order array expressions of
+    * [[graft.ops.SimilaritySearch.ivfTopK]] (which stays as the
+    * oracle-parity twin; both accumulate double(f32)·double(f32)
+    * sequentially, so results are bit-identical — a spec asserts it).
     */
   def annRetrieve(query: String, n: Int, provider: EmbeddingProvider,
       nProbe: Int = 8): Seq[Retrieval] = {
@@ -905,14 +919,36 @@ final class KbStore private (
     })
     if (n <= 0) return Seq.empty
     import spark.implicits._
+    import graft.functions.FloatVecDot
+    import graft.functions.FloatVecDot.floatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
     val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
-    val qdf = Seq(Tuple1(qv.map(_.toDouble))).toDF("qv")
-    val emb = embeddings.toDF()
-      .select($"id".as("vec_id"), $"vec".as("embedding"))
-    val assigned = read(KbStore.IvfAssignTable).join(emb, "vec_id")
-    val hits = graft.ops.SimilaritySearch.ivfTopK(
-        assigned, read(KbStore.IvfCentroidsTable), qdf, n, nProbe)
-      .select($"vec_id", $"score").as[(Long, Double)].collect()
+    // probe selection: same sequential double fold and (score desc,
+    // cid asc) tie order as ivfTopK's probe subquery
+    val probed = read(KbStore.IvfCentroidsTable).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length && i < qv.length) {
+          acc += cv(i) * qv(i).toDouble; i += 1
+        }
+        (r.getLong(0), acc)
+      }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(_._1).toSeq
+    if (probed.isEmpty) return Seq.empty
+    val packed = embeddings.toDF()
+      .select($"id".as("vec_id"), floatVecPack($"vec").as("pv"))
+    val hits = read(KbStore.IvfAssignTable)
+      .where($"cid".isin(probed: _*))
+      .join(packed, "vec_id")
+      .select($"vec_id",
+        round(floatVecDot($"pv", lit(FloatVecDot.pack(qv))), 6).as("score"))
+      .where(!isnan($"score")) // NaN would sort above every real score
+      .orderBy(desc("score"), $"vec_id")
+      .limit(n)
+      .as[(Long, Double)].collect()
     if (hits.isEmpty) return Seq.empty
     val docByEmb = docs.filter($"emb_id".isin(hits.map(_._1): _*))
       .collect().map(d => d.emb_id.get -> d).toMap

@@ -183,6 +183,21 @@ class StoreScaleSpec extends SparkSpec {
     val ann3 = kb.annRetrieve("query text", 3, p, nProbe = 3)
     assert(ann3.size == 3 &&
       ann3.map(_.score) == ann3.map(_.score).sorted.reverse)
+    // the packed probe path is bit-identical to the interpreted array
+    // twin (ivfTopK) at the same partial probe — same probe selection,
+    // same sequential double fold, same rounding and tie order
+    locally {
+      import spark.implicits._
+      val qv = p.embed(Seq("query text")).head
+      val qdf = Seq(Tuple1(qv.map(_.toDouble))).toDF("qv")
+      val embDf = kb.embeddings.toDF()
+        .select($"id".as("vec_id"), $"vec".as("embedding"))
+      val twin = graft.ops.SimilaritySearch.ivfTopK(
+          kb.readTableForSpec(KbStore.IvfAssignTable).join(embDf, "vec_id"),
+          kb.readTableForSpec(KbStore.IvfCentroidsTable), qdf, 3, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(ann3.map(r => (r.doc.emb_id.get, r.score)) == twin)
+    }
 
     // adding docs leaves the index STALE (assignments still valid) —
     // it refuses to serve until the incremental refresh catches it up
