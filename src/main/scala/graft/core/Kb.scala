@@ -60,12 +60,53 @@ final class Kb private (
   def sqRetrieve(query: String, n: Int, rerank: Int = 100): Seq[Retrieval] =
     store.sqRetrieve(query, n, checked, rerank)
 
+  // ---- persistent IVF-PQ tier (scale extension, round 6) ----
+  def buildPqIndex(nlist: Int = 64, m: Int = 8, ncodes: Int = 256,
+      iters: Int = 2): Unit = store.buildPqIndex(nlist, m, ncodes, iters)
+  def refreshPqIndex(): Unit = store.refreshPqIndex()
+  def pqIndexState: KbStore.AnnState = store.pqIndexState
+  def pqRetrieve(query: String, n: Int, nProbe: Int = 8,
+      rerank: Int = 100): Seq[Retrieval] =
+    store.pqRetrieve(query, n, checked, nProbe, rerank)
+
   // ---- persistent lexical (BM25) tier (scale extension) ----
-  def buildTextIndex(): Unit = store.buildTextIndex()
+  def buildTextIndex(unicode: Boolean = false): Unit =
+    store.buildTextIndex(unicode)
   def refreshTextIndex(): Unit = store.refreshTextIndex()
   def textIndexState: KbStore.AnnState = store.textIndexState
   def bm25Retrieve(query: String, n: Int): Seq[(Double, Doc)] =
     store.bm25Retrieve(query, n)
+
+  /** Store-integrated hybrid retrieval: reciprocal-rank fusion (RRF,
+    * Cormack et al. 2009) of the lexical tier's BM25 list and the
+    * vector retrieve, computed driver-side over the two k-bounded
+    * lists. rrf(d) = Σ 1/(c + rank); a doc missing from one list
+    * contributes 0 from it. Component ranks use each tier's own tie
+    * order (BM25: score desc / id asc; vector: the reference order);
+    * fused ties break on ascending doc id; scores round to 6 dp like
+    * [[graft.ops.TextRetrieval.rrfFuse]]. Requires a CURRENT text
+    * index (bm25Retrieve refuses otherwise).
+    */
+  def hybridRetrieve(query: String, n: Int, k: Int = 50,
+      c: Int = 60): Seq[(Double, Doc)] = {
+    if (n <= 0) return Seq.empty
+    val lex = store.bm25Retrieve(query, k)
+    val vec = store.retrieve(query, k, checked)
+    val rLex = lex.zipWithIndex.map { case ((_, d), i) => d.id -> (i + 1) }.toMap
+    val rVec = vec.zipWithIndex.map { case (r, i) => r.doc.id -> (i + 1) }.toMap
+    val docsById = (lex.map(x => x._2.id -> x._2) ++
+      vec.map(r => r.doc.id -> r.doc)).toMap
+    docsById.keys.toSeq
+      .map { id =>
+        val s = rLex.get(id).map(r => 1.0 / (c + r)).getOrElse(0.0) +
+          rVec.get(id).map(r => 1.0 / (c + r)).getOrElse(0.0)
+        (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, id)
+      }
+      .sortBy { case (s, id) => (-s, id) }
+      .take(n)
+      .map { case (s, id) => (s, docsById(id)) }
+  }
 
   /** `with kb.bulk_query_docs() as q:` (`types.py:156-192`). */
   def bulkQueryDocs[A](body: Kb.DocQuerier => A): A =

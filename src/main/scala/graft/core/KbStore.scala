@@ -1063,6 +1063,142 @@ final class KbStore private (
   }
 
   // ------------------------------------------------------------------
+  // persistent IVF-PQ index (round 6): coarse inverted lists + PQ on
+  // residuals as a FOURTH manifest-managed family — the 64×-compressed
+  // tier for corpora whose raw vectors (and even int8 codes) no longer
+  // fit the memory budget (Jégou et al. 2011)
+  // ------------------------------------------------------------------
+  /** Same manifest arithmetic as the other vector families: current
+    * iff the codes table's version is at least the embeddings table's.
+    */
+  def pqIndexState: KbStore.AnnState = {
+    val tv = metaCache.table_versions
+    if (!tv.contains(KbStore.IvfPqCodesTable)) KbStore.AnnNone
+    else if (tv(KbStore.IvfPqCodesTable) >= tv("embeddings")) KbStore.AnnCurrent
+    else KbStore.AnnStale
+  }
+
+  def hasPqIndex: Boolean = pqIndexState == KbStore.AnnCurrent
+
+  /** Build (or rebuild) the IVF-PQ tier: deterministic-seeded packed
+    * k-means for the coarse centroids, residual codebook training, and
+    * per-vector (cid, code) rows — three tables committed atomically.
+    * `m` must divide the embedding dimension.
+    */
+  def buildPqIndex(nlist: Int = 64, m: Int = 8, ncodes: Int = 256,
+      iters: Int = 2, sampleMod: Int = 1): Unit = {
+    import spark.implicits._
+    import graft.functions.FloatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
+    val packed = embeddings.toDF()
+      .select($"id", floatVecPack($"vec").as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = packed.count()
+      require(total > 0, "cannot build an IVF-PQ index over an empty store")
+      val k = math.max(1, math.min(nlist.toLong, total).toInt)
+      val seeds = packed
+        .select($"id", $"vec", md5(concat(lit("ivfpq:"), $"id")).as("h"))
+        .orderBy($"h").limit(k).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i.toLong, FloatVecDot.unpack(r.getAs[Array[Byte]](1)))
+        }
+      val cents = graft.ops.SimilaritySearch
+        .kmeansCentroidsPacked(packed, seeds, iters)
+      val res = graft.ops.VectorQuant.ivfResiduals(packed, cents.toArray)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val books = graft.ops.VectorQuant.pqTrain(
+          res.select($"id", $"rvec".as("vec")), m, ncodes, sampleMod, iters)
+        val codes = graft.ops.VectorQuant.ivfPqEncode(res, books)
+          .withColumnRenamed("id", "vec_id")
+        val centsDf = cents.toSeq
+          .map { case (cid, v) => (cid, v.map(_.toDouble).toSeq) }
+          .toDF("cid", "cvec")
+        val booksDf = books.zipWithIndex.flatMap { case (sub, s) =>
+          sub.zipWithIndex.map { case (cv, c) =>
+            (s, c, cv.map(_.toDouble).toSeq) }
+        }.toSeq.toDF("s", "c", "v")
+        commit(
+          Map(KbStore.IvfPqCentroidsTable -> centsDf,
+            KbStore.IvfPqBooksTable -> booksDf,
+            KbStore.IvfPqCodesTable -> codes),
+          identity)
+      } finally res.unpersist(blocking = false)
+    } finally packed.unpersist(blocking = false)
+  }
+
+  private def loadPqCents(): Array[(Long, Array[Float])] =
+    read(KbStore.IvfPqCentroidsTable).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toFloat).toArray))
+      .sortBy(_._1)
+
+  private def loadPqBooks(): graft.ops.VectorQuant.Codebooks = {
+    val rows = read(KbStore.IvfPqBooksTable).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).map(_.toFloat).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(s => rows.filter(_._1 == s).sortBy(_._2).map(_._3))
+  }
+
+  /** Incremental catch-up like the other families: tombstone codes of
+    * deleted ids, residual-assign + encode new ids against the STORED
+    * centroids and codebooks — encode AND write are O(changed docs).
+    */
+  def refreshPqIndex(): Unit = pqIndexState match {
+    case KbStore.AnnCurrent => ()
+    case KbStore.AnnNone => throw new IllegalStateException(
+      "no IVF-PQ index to refresh — call buildPqIndex()")
+    case KbStore.AnnStale =>
+      import spark.implicits._
+      import graft.functions.FloatVecPack.floatVecPack
+      val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
+      val old = read(KbStore.IvfPqCodesTable)
+      val removed = old.select($"vec_id")
+        .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti")
+      val newEmb = emb
+        .join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .select($"vec_id".as("id"), floatVecPack($"vec").as("vec"))
+      val added = graft.ops.VectorQuant.ivfPqEncode(
+          graft.ops.VectorQuant.ivfResiduals(newEmb, loadPqCents()),
+          loadPqBooks())
+        .withColumnRenamed("id", "vec_id")
+      commitDelta(Map(KbStore.IvfPqCodesTable ->
+        KbStore.TablePatch(del = Some(removed), add = Some(added))), identity)
+  }
+
+  /** Retrieval through the IVF-PQ tier: ADC over the probed lists'
+    * 1-byte-per-subspace codes, exact re-rank of the top `rerank`
+    * candidates against the raw vectors, docs joined back.
+    * `nProbe = nlist` with `rerank >= corpus` degenerates to exact
+    * retrieval. Refuses when not current, like the other tiers.
+    */
+  def pqRetrieve(query: String, n: Int, provider: EmbeddingProvider,
+      nProbe: Int = 8, rerank: Int = 100): Seq[Retrieval] = {
+    require(hasPqIndex, pqIndexState match {
+      case KbStore.AnnStale =>
+        "IVF-PQ index is stale: call refreshPqIndex() to catch it up"
+      case _ => "no IVF-PQ index: call buildPqIndex()"
+    })
+    if (n <= 0) return Seq.empty
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
+    val codes = read(KbStore.IvfPqCodesTable)
+      .withColumnRenamed("vec_id", "id")
+    val packed = embeddings.toDF()
+      .select($"id", floatVecPack($"vec").as("vec"))
+    val hits = graft.ops.VectorQuant.ivfPqTopKRefined(
+        codes, packed, loadPqCents(), loadPqBooks(), qv,
+        n, nProbe, math.max(n, rerank))
+      .as[(Long, Double)].collect()
+    if (hits.isEmpty) return Seq.empty
+    val docByEmb = docs.filter($"emb_id".isin(hits.map(_._1): _*))
+      .collect().map(d => d.emb_id.get -> d).toMap
+    hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
+  }
+
+  // ------------------------------------------------------------------
   // persistent lexical (BM25) index: postings + doc lengths as a third
   // manifest-managed index family — full-text retrieval over the KB
   // ------------------------------------------------------------------
@@ -1245,6 +1381,8 @@ final class KbStore private (
        else Seq.empty[String]).toSet ++
         (if (sqIndexState == KbStore.AnnStale) Set(KbStore.SqCodesTable)
          else Set.empty[String]) ++
+        (if (pqIndexState == KbStore.AnnStale) KbStore.IvfPqTables.toSet
+         else Set.empty[String]) ++
         (if (textIndexState == KbStore.AnnStale) KbStore.TextIndexTables.toSet
          else Set.empty[String])
     val names = metaCache.table_versions.keys.filterNot(staleIdx.contains)
@@ -1383,6 +1521,15 @@ object KbStore {
   val IvfAssignTable = "ivf_assign"
   /** int8 compressed-tier codes (round 5) — same droppable lifecycle. */
   val SqCodesTable = "sq_codes"
+  /** IVF-PQ family (round 6): coarse centroids + residual PQ codebooks
+    * + per-vector codes — the 64×-compressed tier, same droppable
+    * lifecycle as the other vector-derived families.
+    */
+  val IvfPqCentroidsTable = "ivfpq_centroids"
+  val IvfPqBooksTable = "ivfpq_books"
+  val IvfPqCodesTable = "ivfpq_codes"
+  val IvfPqTables: Seq[String] =
+    Seq(IvfPqCentroidsTable, IvfPqBooksTable, IvfPqCodesTable)
   /** Lexical (BM25) tier: postings + doc lengths, keyed on `docs`. */
   val TextPostingsTable = "text_postings"
   val TextDocLensTable = "text_doclens"
@@ -1411,7 +1558,8 @@ object KbStore {
   /** The ANN index family (invalidated/refreshed together). */
   val AnnIndexTables: Seq[String] = Seq(IvfCentroidsTable, IvfAssignTable)
   /** Vector-derived families — dropped when a vector is REPLACED. */
-  val VectorIndexTables: Seq[String] = AnnIndexTables :+ SqCodesTable
+  val VectorIndexTables: Seq[String] =
+    (AnnIndexTables :+ SqCodesTable) ++ IvfPqTables
   /** The text family survives vector replacement (it indexes text). */
   val TextIndexTables: Seq[String] = Seq(TextPostingsTable, TextDocLensTable)
   /** Every index-family table (vacuum ownership, compact bookkeeping). */
@@ -1438,6 +1586,7 @@ object KbStore {
     "docs" -> Seq("id"), "embeddings" -> Seq("id"),
     "edges" -> Seq("id"), "keyval" -> Seq("key"),
     IvfAssignTable -> Seq("vec_id"), SqCodesTable -> Seq("vec_id"),
+    IvfPqCodesTable -> Seq("vec_id"),
     TextPostingsTable -> Seq("doc_id"), TextDocLensTable -> Seq("doc_id"))
 
   /** Physical layout add-segments (and chain-overflow rewrites) must

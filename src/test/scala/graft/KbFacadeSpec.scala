@@ -10,6 +10,38 @@ import graft.core.Embeddings.KeywordProvider
   */
 class KbFacadeSpec extends SparkSpec {
 
+  test("hybridRetrieve: RRF of the lexical and vector tiers, golden fusion") {
+    val path = Files.createTempDirectory("graft-hybrid").resolve("kb").toString
+    val kb = Kb(spark, path, KeywordProvider.fixture)
+    // lexical signal says "second"; vector signal for the query
+    // "... second ..." also ranks the second doc first — but the two
+    // tiers order the REST differently, which is what fusion arbitrates
+    kb.bulkAddDocs { add =>
+      add.add("first doc about spark windows")
+      add.add("second doc about spark joins and joins")
+      add.add("third doc unrelated text")
+    }
+    kb.buildTextIndex()
+    val fused = kb.hybridRetrieve("... second ... joins", 3, k = 3)
+    // golden check: recompute RRF from the component lists per the
+    // definition (c = 60, ranks 1-based, missing contributes 0)
+    val lex = kb.bm25Retrieve("... second ... joins", 3)
+    val vec = kb.retrieve("... second ... joins", 3)
+    val rLex = lex.zipWithIndex.map { case ((_, d), i) => d.id -> (i + 1) }.toMap
+    val rVec = vec.zipWithIndex.map { case (r, i) => r.doc.id -> (i + 1) }.toMap
+    val expected = (rLex.keySet ++ rVec.keySet).toSeq
+      .map { id =>
+        val s = rLex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rVec.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      }
+      .sortBy { case (s, id) => (-s, id) }
+    assert(fused.map { case (s, d) => (s, d.id) } == expected.take(3))
+    // the doc both tiers rank #1 dominates the fusion
+    assert(fused.head._2.text.startsWith("second"))
+    kb.close()
+  }
+
   test("full KB API surface end-to-end") {
     val path = Files.createTempDirectory("graft-facade").resolve("kb").toString
     val kb = Kb(spark, path, KeywordProvider.fixture)

@@ -299,6 +299,88 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("persistent IVF-PQ tier: build, exact at full probe+rerank, stale/refresh, compact hold-back, invalidation") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      (0 until 120).foreach(i => a.add(s"document number $i"))
+    }
+    assert(kb.pqIndexState == KbStore.AnnNone)
+    intercept[IllegalArgumentException] { kb.pqRetrieve("q", 3, p) }
+
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    assert(kb.hasPqIndex)
+    // full probe + corpus-sized rerank degenerates to exact retrieval
+    val exact = kb.retrieve("query text", 5, p)
+    val pq = kb.pqRetrieve("query text", 5, p, nProbe = 4, rerank = 500)
+    assert(pq.map(_.doc.id) == exact.map(_.doc.id))
+    val exactById = exact.map(r => r.doc.id -> r.score).toMap
+    pq.foreach(r => assert(math.abs(r.score - exactById(r.doc.id)) < 1e-6))
+    // full probe with a SMALL rerank: the ADC candidate set still
+    // recovers most of the true top-5 (recall gate)
+    val adc = kb.pqRetrieve("query text", 5, p, nProbe = 4, rerank = 20)
+    val recall = adc.map(_.doc.id).toSet
+      .intersect(exact.map(_.doc.id).toSet).size / 5.0
+    assert(recall >= 0.8, s"IVF-PQ recall@5 $recall")
+
+    // adds stale it (refuse to serve); refresh encodes the catch-up
+    // batch against the STORED centroids/codebooks
+    kb.bulkAddDocs(p)(_.add("another doc"))
+    assert(kb.pqIndexState == KbStore.AnnStale && !kb.hasPqIndex)
+    intercept[IllegalArgumentException] { kb.pqRetrieve("q", 3, p) }
+    kb.refreshPqIndex()
+    assert(kb.pqIndexState == KbStore.AnnCurrent)
+    assert(kb.pqRetrieve("another doc", 1, p, nProbe = 4, rerank = 500)
+      .head.doc.text == "another doc")
+
+    // deletes stale it; refresh tombstones the dead codes
+    kb.bulkDelDocs(Seq(121L))
+    assert(kb.pqIndexState == KbStore.AnnStale)
+    kb.refreshPqIndex()
+    val all = kb.pqRetrieve("query text", 200, p, nProbe = 4, rerank = 500)
+    assert(all.size == 120 && !all.exists(_.doc.text == "another doc"))
+
+    // compact holds a STALE pq family back instead of silently
+    // promoting it; its refresh then recovers it
+    kb.bulkAddDocs(p)(_.add("late doc"))
+    assert(kb.pqIndexState == KbStore.AnnStale)
+    kb.compact()
+    assert(kb.pqIndexState == KbStore.AnnStale)
+    kb.refreshPqIndex()
+    assert(kb.pqIndexState == KbStore.AnnCurrent)
+    assert(kb.pqRetrieve("late doc", 1, p, nProbe = 4, rerank = 500)
+      .head.doc.text == "late doc")
+
+    // vector replacement invalidates outright; vacuum respects the
+    // retained prior manifest, then reclaims at retain=0
+    kb.setDocEmbedding(1L, Some(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    assert(kb.pqIndexState == KbStore.AnnNone)
+    intercept[IllegalStateException] { kb.refreshPqIndex() }
+    assert(Files.isDirectory(Paths.get(s"$path/ivfpq_codes")))
+    kb.vacuum()
+    assert(Files.isDirectory(Paths.get(s"$path/ivfpq_codes")))
+    kb.vacuum(retain = 0)
+    assert(!Files.isDirectory(Paths.get(s"$path/ivfpq_codes")))
+    assert(!Files.isDirectory(Paths.get(s"$path/ivfpq_centroids")))
+    assert(!Files.isDirectory(Paths.get(s"$path/ivfpq_books")))
+
+    // a rebuild recovers the tier after invalidation
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    assert(kb.hasPqIndex)
+    assert(kb.pqRetrieve("query text", 3, p, nProbe = 4, rerank = 500).size == 3)
+    kb.close()
+  }
+
   test("persistent lexical (BM25) tier: build, retrieve, stale/refresh, survives vector replacement") {
     import graft.core.Embeddings.EmbeddingProvider
     val path = freshPath()
