@@ -247,6 +247,13 @@ object SparkEntry {
           budgetTokens = 512L)
         .orderBy(col("doc_id"))),
 
+    // sequence packing budgeted by BPE pre-tokenization pieces — real
+    // pipelines pack by tokenizer pieces, not whitespace words
+    "x8b_packing_bpe" -> ((s, dir) =>
+      graft.ops.TextAnalysis.packSequences(t(s, dir, "documents"),
+          budgetTokens = 1024L, budgetBy = "bpe_pieces")
+        .orderBy(col("doc_id"))),
+
     // sliding event-count: per-user 1-hour RANGE frame over the event
     // stream — the rate/velocity feature a monitoring pipeline computes
     "e3_sliding_count" -> ((s, dir) => {
@@ -1692,6 +1699,21 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS bin,
                 (cum - n_tokens) % 512 AS bin_offset
+         FROM c ORDER BY doc_id""",
+
+    "x8b_packing_bpe" ->
+      """WITH t AS (SELECT doc_id, lang,
+                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT
+                  AS n_bpe_pieces
+           FROM documents),
+         c AS (SELECT *, sum(n_bpe_pieces) OVER (PARTITION BY lang
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                 AS cum
+               FROM t)
+         SELECT doc_id, lang, n_bpe_pieces,
+                (cum - n_bpe_pieces) // 1024 AS bin,
+                (cum - n_bpe_pieces) % 1024 AS bin_offset
          FROM c ORDER BY doc_id""",
 
     "e3_sliding_count" ->

@@ -70,19 +70,34 @@ object TextAnalysis {
     * would need a single-partition running sum). Deterministic given
     * the (groupCol, orderCol) order.
     */
+  /** `budgetBy` picks the unit the budget counts: `"tokens"`
+    * (whitespace tokens — the corpus contract) or `"bpe_pieces"` (the
+    * [[tokenStats]] BPE pre-tokenization split — what a real pipeline
+    * packs by, since training sequences are measured in tokenizer
+    * pieces, not words).
+    */
   def packSequences(docs: DataFrame, budgetTokens: Long,
       groupCol: String = "lang", orderCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", budgetBy: String = "tokens"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val (unit, unitName) = budgetBy match {
+      case "tokens" =>
+        (size(tokens(col(textCol))).cast("long"), "n_tokens")
+      case "bpe_pieces" =>
+        (size(regexp_extract_all(col(textCol),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long"),
+          "n_bpe_pieces")
+      case other => throw new IllegalArgumentException(
+        s"budgetBy must be 'tokens' or 'bpe_pieces': $other")
+    }
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(orderCol), col(groupCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col(orderCol), col(groupCol), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $budgetTokens").as("bin"),
-        expr(s"(cum - n_tokens) % $budgetTokens").as("bin_offset"))
+    docs.select(col(orderCol), col(groupCol), unit.as(unitName))
+      .withColumn("cum", sum(col(unitName)).over(w))
+      .select(col(orderCol), col(groupCol), col(unitName),
+        expr(s"(cum - $unitName) div $budgetTokens").as("bin"),
+        expr(s"(cum - $unitName) % $budgetTokens").as("bin_offset"))
   }
 
   /** Deterministic hash sampling: keep a row iff its md5-derived bucket
