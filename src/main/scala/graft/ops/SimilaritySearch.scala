@@ -221,13 +221,49 @@ object SimilaritySearch {
       centroids: DataFrame, k: Int, nProbe: Int,
       saltShards: Int = 1): DataFrame = {
     import graft.functions.FloatVecDot
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // the centroid set is tiny by definition: collect decoded, broadcast
+    val cents0 = centroids
+      .select(col("cid"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
+      .sortBy(_._1)
+    val bc0 = spark.sparkContext.broadcast(cents0)
+
+    // candidates: packed argmax assignment ([[argmaxCid]] — ties to the
+    // smaller cid, NaN vectors dropped), packed vector carried through
+    val assigned = candidates
+      .select(col("id"), col("vec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bc0.value
+        it.flatMap { case (id, vb) =>
+          val best = argmaxCid(cs, FloatVecDot.unpack(vb))
+          if (best < 0L) None else Some((best, id, vb))
+        }
+      }.toDF("ccid", "cand_id", "cv")
+    knnJoinIvfAssigned(queries, assigned, centroids, k, nProbe, saltShards)
+  }
+
+  /** The probe+join core over a PRE-ASSIGNED candidate table
+    * `(ccid, cand_id, cv BINARY)` — what a deployment calls when the
+    * assignment is a PERSISTED index table (e.g. the store's
+    * `ivf_assign` joined back to its packed vectors): per-call cost is
+    * probe ranking + post-join scoring + bounded heaps only; the
+    * one-time assignment pass over the corpus is amortized into index
+    * maintenance instead of being paid per join.
+    */
+  def knnJoinIvfAssigned(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int,
+      saltShards: Int = 1): DataFrame = {
+    import graft.functions.FloatVecDot
     import graft.functions.FloatVecDot.floatVecDot
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(k >= 1, s"k must be >= 1, got $k")
     require(saltShards >= 1, s"saltShards must be >= 1, got $saltShards")
     val spark = queries.sparkSession
     import spark.implicits._
-    // the centroid set is tiny by definition: collect decoded, broadcast
     val cents = centroids
       .select(col("cid"), col("cvec"))
       .collect()
@@ -237,19 +273,6 @@ object SimilaritySearch {
       return queries.select(col("id").as("qid"), lit(0L).as("cid"),
         lit(0.0).as("score"), lit(0).as("rk")).limit(0)
     val bc = spark.sparkContext.broadcast(cents)
-
-    // candidates: packed argmax assignment ([[argmaxCid]] — ties to the
-    // smaller cid, NaN vectors dropped), packed vector carried through
-    val assigned = candidates
-      .select(col("id"), col("vec"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.flatMap { case (id, vb) =>
-          val best = argmaxCid(cs, FloatVecDot.unpack(vb))
-          if (best < 0L) None else Some((best, id, vb))
-        }
-      }.toDF("ccid", "cand_id", "cv")
 
     // queries: decode once, rank all centroids, keep the top nProbe by
     // (pscore desc, cid asc) — insertion selection; strict > keeps the

@@ -453,6 +453,27 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSet
     assert(salted == exact, "salting must be result-invariant")
+
+    // probing a PERSISTED assignment (the deployment path) returns the
+    // identical result set: assignment + vector join done up front,
+    // knnJoinIvfAssigned pays only probe + scoring + heaps
+    import graft.functions.FloatVecPack.floatVecPack
+    val packedEmb = emb.select($"vec_id".as("id"),
+      floatVecPack($"embedding").as("vec"))
+    val packedCents = cents.select($"cid",
+      floatVecPack($"cvec").as("cvec"))
+    val assignedTbl = SimilaritySearch.ivfAssignPacked(packedEmb, packedCents)
+      .alias("a")
+    val pre = assignedTbl
+      .join(packedEmb.alias("e"), col("a.vec_id") === col("e.id"))
+      .select(col("a.cid").as("ccid"),
+        col("a.vec_id").as("cand_id"), col("e.vec").as("cv"))
+    val indexed = SimilaritySearch.knnJoinIvfAssigned(
+        queries.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec")),
+        pre, packedCents, k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(indexed == exact, "pre-assigned join must be exact")
   }
 
   test("packed IVF paths drop NaN vectors instead of emitting bogus centroids") {
