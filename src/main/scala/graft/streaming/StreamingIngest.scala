@@ -250,6 +250,43 @@ object StreamingIngest {
     * (provider called in partition batches of 200) as a streaming-safe
     * transform. Output schema: (doc_id, text, vec BINARY packed f32).
     */
+  /** Stream-stream as-of ENRICHMENT (the streaming twin of the batch
+    * as-of join `o1`): left-outer join a fact stream (purchases)
+    * against a context stream (views) on the same key, keeping context
+    * rows whose event time falls in `[leftTs - lag, leftTs]`. Both
+    * sides are watermarked, which is what lets Spark bound and evict
+    * the join state; a fact with no in-window context emits once with
+    * nulls when the watermark passes it, and context arriving beyond
+    * its own watermark is dropped, never matched.
+    *
+    * Semantics note: this returns EVERY in-window context row per fact
+    * (range semantics). The batch as-of join's "latest preceding only"
+    * reduction needs a re-rank over matched state that a streaming
+    * left-outer join cannot express ([[graft.ops.TimeJoins.asofJoin]]
+    * stays the batch-side op); reduce downstream (max over
+    * `rightPrefix+rightTs` per fact id) when latest-only is required.
+    * The same code runs in batch (withWatermark no-ops), which is what
+    * the parity spec pins.
+    */
+  def streamEnrichAsOf(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      lag: String = "10 minutes",
+      leftWatermark: String = "30 seconds",
+      rightWatermark: String = "30 seconds",
+      rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val rPref = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c")
+    }
+    val r = rPref.withWatermark(s"$rightPrefix$rightTs", rightWatermark)
+    l.join(r,
+      col(key) === col(s"$rightPrefix$key") &&
+        col(s"$rightPrefix$rightTs") >= col(leftTs) - expr(s"interval $lag") &&
+        col(s"$rightPrefix$rightTs") <= col(leftTs),
+      "left_outer")
+      .drop(s"$rightPrefix$key")
+  }
+
   def embedStage(docs: Dataset[(Long, String)],
       provider: EmbeddingProvider): DataFrame = {
     import docs.sparkSession.implicits._

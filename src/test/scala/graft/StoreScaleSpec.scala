@@ -620,9 +620,14 @@ class StoreScaleSpec extends SparkSpec {
     // to be populated — never claimed (the interrupted-commit empty dir
     // is an accepted, bounded leak)
     Files.createDirectories(Paths.get(s"$path/just_made"))
+    // a signed-version dir INSIDE a known table dir is not store layout
+    // either — "v+3" parses as 3 via toLongOption but the per-table
+    // sweep's digits-only check must spare it
+    Files.createDirectories(Paths.get(s"$path/keyval/v+3"))
     kb.vacuum()
     assert(Files.isDirectory(Paths.get(s"$path/foreign/v+3")))
     assert(Files.isDirectory(Paths.get(s"$path/just_made")))
+    assert(Files.isDirectory(Paths.get(s"$path/keyval/v+3")))
     assert(kb.hasKey("a"))
     kb.close()
   }

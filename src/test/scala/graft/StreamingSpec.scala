@@ -158,6 +158,67 @@ class StreamingSpec extends SparkSpec {
       s"late event must be dropped, got ${got.mkString(",")}")
   }
 
+  test("stream-stream as-of enrichment: on-time views join, late views drop, no-view facts emit nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingIngest.streamEnrichAsOf(
+      purchases.toDF().toDF("user_id", "ts", "amount"),
+      views.toDF().toDF("user_id", "vts", "page"),
+      key = "user_id", leftTs = "ts", rightTs = "vts",
+      lag = "5 minutes", leftWatermark = "10 seconds",
+      rightWatermark = "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+
+    // batch 1 — on-time traffic: user 1 viewed page A 10 s before
+    // buying (in window) and page OLD 20 min before (outside the lag);
+    // user 2 buys with no view at all
+    views.addData(Seq((1L, ts(90), "A"), (1L, ts(-1100), "OLD")))
+    purchases.addData(Seq((1L, ts(100), 10.0), (2L, ts(130), 20.0)))
+    q.processAllAvailable()
+    // batch 2 — a LATE view for user 2: by now we advance both
+    // watermarks far past t=130 with fresh traffic, so the t=125 view
+    // arrives beyond its stream's watermark and must never match
+    views.addData(Seq((9L, ts(5000), "W"))) // watermark pusher
+    purchases.addData(Seq((9L, ts(5001), 1.0)))
+    q.processAllAvailable()
+    views.addData(Seq((2L, ts(125), "LATE")))
+    q.processAllAvailable()
+    // batch 3 — push watermarks further so unmatched facts flush
+    views.addData(Seq((8L, ts(9000), "X")))
+    purchases.addData(Seq((8L, ts(9001), 2.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("enrich_out")
+      .select($"user_id", $"amount", $"r_page")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSet
+    // user 1: exactly the in-window view A (OLD excluded by the lag);
+    // user 2: emitted once with nulls — the late view never joined
+    assert(got.contains((1L, 10.0, Some("A"))))
+    assert(!got.exists(_._3.contains("OLD")))
+    assert(got.contains((2L, 20.0, None)))
+    assert(!got.exists(_._3.contains("LATE")))
+
+    // batch parity: the same code over batch frames (watermarks no-op)
+    // on the ON-TIME subset produces the same matches for users 1 and 2
+    val bPurch = Seq((1L, ts(100), 10.0), (2L, ts(130), 20.0))
+      .toDF("user_id", "ts", "amount")
+    val bViews = Seq((1L, ts(90), "A"), (1L, ts(-1100), "OLD"))
+      .toDF("user_id", "vts", "page")
+    val batch = StreamingIngest.streamEnrichAsOf(
+        bPurch, bViews, "user_id", "ts", "vts", lag = "5 minutes")
+      .select($"user_id", $"amount", $"r_page")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSet
+    assert(batch == Set((1L, 10.0, Some("A")), (2L, 20.0, None)))
+  }
+
   test("streaming exact dedup: repeated fingerprints within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
