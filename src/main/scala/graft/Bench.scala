@@ -300,7 +300,7 @@ object Bench {
       "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
       "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
       "svs_knn_join_1m" -> "IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256): both sides shuffle on centroid id, packed kernels end-to-end; no published counterpart (the reference retrieves one query at a time)",
-      "svs_knn_join_indexed_1m" -> "the same 10k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): per-call cost once the index is maintained — the measured index-amortization contrast to svs_knn_join_1m",
+      "svs_knn_join_indexed_1m" -> "the same 10k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn_join_1m); the candidates' packed vectors still cross the join exchange per call — a cid-bucketed assigned table is what would amortize that shuffle too",
       "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -933,7 +933,10 @@ final class KbStore private (
         while (i < cv.length && i < qv.length) {
           acc += cv(i) * qv(i).toDouble; i += 1
         }
-        (r.getLong(0), acc)
+        // + 0.0 canonicalizes -0.0 to +0.0: Scala's total Double order
+        // ranks -0.0 < 0.0, while the SQL twin treats them as equal and
+        // tie-breaks on cid — parity requires the same here
+        (r.getLong(0), acc + 0.0)
       }
       .sortBy { case (cid, s) => (-s, cid) }
       .take(nProbe).map(_._1).toSeq
@@ -991,10 +994,9 @@ final class KbStore private (
   }
 
   /** Incremental catch-up, mirroring [[refreshAnnIndex]]: deleted ids
-    * drop by semi-join, new ids encode fresh, the union commits.
-    * ENCODE work is O(changed docs); the commit itself rewrites the
-    * codes table at the new version, like every commit in this
-    * versioned-table design (write volume is O(table), not O(batch)).
+    * tombstone, new ids encode fresh and append — since round 6's
+    * delta commits both the ENCODE work and the WRITE volume are
+    * O(changed docs).
     */
   def refreshSqIndex(): Unit = sqIndexState match {
     case KbStore.AnnCurrent => ()
@@ -1220,8 +1222,8 @@ final class KbStore private (
     * the two tables alone refresh incrementally by doc id. At
     * deployment scale the postings table is the one to bucket by
     * `term`.
-    */
-  /** `unicode = true` tokenizes with the letter/digit-run tokenizer
+    *
+    * `unicode = true` tokenizes with the letter/digit-run tokenizer
     * (real punctuated corpora); the choice persists in the manifest so
     * retrieval and refresh ALWAYS tokenize the way the index was built.
     */
@@ -1249,11 +1251,11 @@ final class KbStore private (
     metaCache.index_params.get("text_unicode").contains("true")
 
   /** Incremental catch-up by doc id: postings/lengths of deleted docs
-    * drop by semi-join, new docs tokenize fresh — TOKENIZE work is
-    * O(changed docs); the commit rewrites both tables at the new
-    * version like every commit here (write volume O(table)). Text is
-    * immutable per doc id in this store (updates touch meta only), so
-    * surviving postings are never wrong, just possibly incomplete.
+    * tombstone, new docs tokenize fresh and append — TOKENIZE work and
+    * (since round 6's delta commits) WRITE volume are both O(changed
+    * docs). Text is immutable per doc id in this store (updates touch
+    * meta only), so surviving postings are never wrong, just possibly
+    * incomplete.
     */
   def refreshTextIndex(): Unit = textIndexState match {
     case KbStore.AnnCurrent => ()
@@ -1485,8 +1487,22 @@ final class KbStore private (
           case _: java.io.IOException | _: java.io.UncheckedIOException =>
             Seq.empty[(Long, Path)]
         }
+        // upgrade window: a store whose superseded manifests predate
+        // the history-file mechanism has fewer backups than `retain`
+        // asks for — fall back to the old per-table heuristic (keep
+        // the newest non-live version dirs below the current head) for
+        // the shortfall, so retain>=1 never silently degrades to 0
+        val shortfall = math.max(0, retain) - keptBackups.size
+        val keepHeuristic =
+          if (shortfall <= 0) Set.empty[Long]
+          else metaCache.table_versions.get(name) match {
+            case None => Set.empty[Long]
+            case Some(head) => versions.map(_._1)
+              .filter(v => v < head && !live(v))
+              .sorted.takeRight(shortfall).toSet
+          }
         versions.foreach { case (v, p) =>
-          if (!live(v))
+          if (!live(v) && !keepHeuristic(v))
             try KbStore.deleteRecursively(p)
             catch { case _: java.io.IOException |
                          _: java.io.UncheckedIOException => () }
@@ -1605,13 +1621,29 @@ object KbStore {
   /** Whether a staged segment side exists with at least one parquet
     * file — an empty partitioned write leaves only _SUCCESS, and a
     * mutation may have no del (pure add) or no add (pure delete).
+    *
+    * Memoized: read() probes both sides of every chain segment each
+    * time a table DataFrame is built, and segment dirs are immutable
+    * once published (they change only by deletion — [[deleteRecursively]]
+    * evicts the affected keys), so repeated walks (LIST round-trips on
+    * an object store) would be pure waste on the store's hottest path.
     */
+  private val segSideCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private[core] def hasParquetFiles(dir: String): Boolean = {
+    val cached = segSideCache.get(dir)
+    if (cached != null) return cached.booleanValue()
     val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) return false
-    val walk = Files.walk(p)
-    try walk.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-    finally walk.close()
+    val r =
+      if (!Files.isDirectory(p)) false
+      else {
+        val walk = Files.walk(p)
+        try walk.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+    segSideCache.put(dir, java.lang.Boolean.valueOf(r))
+    r
   }
 
   /** Above this many vectors `topPairwiseScores` switches from the exact
@@ -1742,9 +1774,16 @@ object KbStore {
       try {
         val old = Files.readString(curPath)
         "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(old).foreach { mm =>
-          if (mm.group(1).toLong != m.version)
-            Files.writeString(
-              Paths.get(s"$path/_meta.v${mm.group(1)}.json"), old)
+          if (mm.group(1).toLong != m.version) {
+            // tmp + atomic move, like the manifest itself: a torn
+            // backup would later parse-fail inside vacuum and silently
+            // void the retention that protects an in-flight reader
+            val dst = Paths.get(s"$path/_meta.v${mm.group(1)}.json")
+            val tmp = Paths.get(dst.toString + ".tmp")
+            Files.writeString(tmp, old)
+            Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
         }
       } catch { case _: java.io.IOException => () } // advisory history
     }
@@ -1866,6 +1905,10 @@ object KbStore {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
     }
+    // deletion is the one event that can change a segment-side probe
+    // (rollback re-staging the same v<N>, forceFresh reusing a path)
+    val prefix = p.toString
+    segSideCache.keySet.removeIf(k => k.startsWith(prefix))
   }
 
 }

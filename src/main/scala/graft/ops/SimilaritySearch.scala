@@ -223,12 +223,17 @@ object SimilaritySearch {
     import graft.functions.FloatVecDot
     val spark = queries.sparkSession
     import spark.implicits._
-    // the centroid set is tiny by definition: collect decoded, broadcast
+    // the centroid set is tiny by definition: collect decoded ONCE,
+    // broadcast; the shared core reuses this collection (no second
+    // collect round-trip or duplicate broadcast)
     val cents0 = centroids
       .select(col("cid"), col("cvec"))
       .collect()
       .map(r => (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
       .sortBy(_._1)
+    if (cents0.isEmpty)
+      return queries.select(col("id").as("qid"), lit(0L).as("cid"),
+        lit(0.0).as("score"), lit(0).as("rk")).limit(0)
     val bc0 = spark.sparkContext.broadcast(cents0)
 
     // candidates: packed argmax assignment ([[argmaxCid]] — ties to the
@@ -243,7 +248,7 @@ object SimilaritySearch {
           if (best < 0L) None else Some((best, id, vb))
         }
       }.toDF("ccid", "cand_id", "cv")
-    knnJoinIvfAssigned(queries, assigned, centroids, k, nProbe, saltShards)
+    knnJoinIvfAssignedImpl(queries, assigned, cents0, k, nProbe, saltShards)
   }
 
   /** The probe+join core over a PRE-ASSIGNED candidate table
@@ -258,12 +263,6 @@ object SimilaritySearch {
       centroids: DataFrame, k: Int, nProbe: Int,
       saltShards: Int = 1): DataFrame = {
     import graft.functions.FloatVecDot
-    import graft.functions.FloatVecDot.floatVecDot
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(saltShards >= 1, s"saltShards must be >= 1, got $saltShards")
-    val spark = queries.sparkSession
-    import spark.implicits._
     val cents = centroids
       .select(col("cid"), col("cvec"))
       .collect()
@@ -272,6 +271,19 @@ object SimilaritySearch {
     if (cents.isEmpty)
       return queries.select(col("id").as("qid"), lit(0L).as("cid"),
         lit(0.0).as("score"), lit(0).as("rk")).limit(0)
+    knnJoinIvfAssignedImpl(queries, assigned, cents, k, nProbe, saltShards)
+  }
+
+  private def knnJoinIvfAssignedImpl(queries: DataFrame,
+      assigned: DataFrame, cents: Array[(Long, Array[Float])],
+      k: Int, nProbe: Int, saltShards: Int): DataFrame = {
+    import graft.functions.FloatVecDot
+    import graft.functions.FloatVecDot.floatVecDot
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(saltShards >= 1, s"saltShards must be >= 1, got $saltShards")
+    val spark = queries.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
 
     // queries: decode once, rank all centroids, keep the top nProbe by

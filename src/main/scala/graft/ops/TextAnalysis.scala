@@ -69,8 +69,8 @@ object TextAnalysis {
     * bounds every sort, so the plan survives 100× (a global packing
     * would need a single-partition running sum). Deterministic given
     * the (groupCol, orderCol) order.
-    */
-  /** `budgetBy` picks the unit the budget counts: `"tokens"`
+    *
+    * `budgetBy` picks the unit the budget counts: `"tokens"`
     * (whitespace tokens — the corpus contract) or `"bpe_pieces"` (the
     * [[tokenStats]] BPE pre-tokenization split — what a real pipeline
     * packs by, since training sequences are measured in tokenizer

@@ -84,8 +84,8 @@ object TextRetrieval {
     * ranking window is partitioned by doc_id — no global sort — and
     * document frequencies are a broadcast map-side join (the distinct
     * term set is vocabulary-sized, not corpus-sized).
-    */
-  /** CACHE NOTE: like [[bm25TopK]], the tf cache backs the returned
+    *
+    * CACHE NOTE: like [[bm25TopK]], the tf cache backs the returned
     * lazy plan and lives until the session drops it — one-shot use.
     */
   def tfidfKeywords(docs: DataFrame, perDoc: Int,
@@ -146,8 +146,8 @@ object TextRetrieval {
     * Ties break on ascending doc id; scores are rounded to 6 decimals
     * (oracle-determinism convention — double addition order across
     * engines differs below that).
-    */
-  /** CACHE NOTE: this one-shot composition builds (and caches) the
+    *
+    * CACHE NOTE: this one-shot composition builds (and caches) the
     * postings for a single query; the cache backs the returned lazy
     * plan, so it cannot be unpersisted here and lives until the session
     * drops it. Issuing many queries? Build once with [[buildIndex]] and

@@ -51,9 +51,12 @@ object VectorQuant {
     }
     val q = emb.where(col("vec_id") === queryVecId)
       .select(quant(col("embedding")).as("qq"))
-    // an all-zero (or NaN-bearing) row would make scale Infinity/NaN and
-    // a NaN score that ranks first under descending sort — exclude such
-    // rows, agreeing with sqTopKPacked's `scale > 0` filter
+    // degenerate corpus rows must not rank: an all-zero row makes scale
+    // Infinity (filtered by the > 0 guard), but a NaN-bearing row makes
+    // array_max NaN — and SQL comparison semantics put NaN ABOVE every
+    // number, so `NaN > 0` is TRUE and the guard alone does not drop
+    // it. The isnan(score) filter catches that case, agreeing with
+    // sqTopKPacked (whose JVM-side quantize maps NaN rows to scale 0)
     emb.where(array_max(transform(asDouble(col("embedding")),
         x => abs(x))) > 0)
       .select(col("vec_id"), quant(col("embedding")).as("cq"))
@@ -63,6 +66,7 @@ object VectorQuant {
           aggregate(zip_with(col("cq.q"), col("qq.q"), (x, y) => x * y),
             lit(0.0), (acc, v) => acc + v) / (col("cq.s") * col("qq.s")),
           6).as("score"))
+      .where(!isnan(col("score")))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }

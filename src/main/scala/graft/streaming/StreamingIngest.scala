@@ -246,10 +246,6 @@ object StreamingIngest {
       }
   }
 
-  /** Streaming embed-and-pack stage: the `bulk_add_docs` backfill
-    * (provider called in partition batches of 200) as a streaming-safe
-    * transform. Output schema: (doc_id, text, vec BINARY packed f32).
-    */
   /** Stream-stream as-of ENRICHMENT (the streaming twin of the batch
     * as-of join `o1`): left-outer join a fact stream (purchases)
     * against a context stream (views) on the same key, keeping context
@@ -287,6 +283,10 @@ object StreamingIngest {
       .drop(s"$rightPrefix$key")
   }
 
+  /** Streaming embed-and-pack stage: the `bulk_add_docs` backfill
+    * (provider called in partition batches of 200) as a streaming-safe
+    * transform. Output schema: (doc_id, text, vec BINARY packed f32).
+    */
   def embedStage(docs: Dataset[(Long, String)],
       provider: EmbeddingProvider): DataFrame = {
     import docs.sparkSession.implicits._

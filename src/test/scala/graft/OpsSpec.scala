@@ -871,11 +871,13 @@ class OpsSpec extends SparkSpec {
     }
 
     // the interpreted array formulation agrees: an all-zero corpus row
-    // (scale = Infinity, NaN score) is excluded, not ranked first
-    val arrEmb = (good :+ zero).map { case (id, vb) =>
+    // (scale = Infinity, NaN score) is excluded, not ranked first —
+    // and so is a NaN-bearing row, which slips past the array_max
+    // guard because SQL orders NaN above every number
+    val arrEmb = (good :+ zero :+ nan).map { case (id, vb) =>
       (id, FloatVecDot.unpack(vb).toSeq) }.toDF("vec_id", "embedding")
     val arrTop = VectorQuant.sqTopK(arrEmb, 0L, 10).collect().map(_.getLong(0))
-    assert(!arrTop.contains(10L))
+    assert(!arrTop.contains(10L) && !arrTop.contains(11L))
     assert(arrTop.head == 0L)
 
     // PQ: a NaN sample row doesn't poison the codebooks, and a NaN
