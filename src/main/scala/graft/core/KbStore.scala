@@ -199,11 +199,21 @@ final class KbStore private (
     * under `v<N+1>/{del,add}` and publish the extended segment chain —
     * a 1-doc add to a 100 TB table writes one tiny file, never the
     * table. Readers resolve the chain via [[read]]'s ordered fold.
+    *
     * When a table's chain would exceed [[KbStore.DeltaChainLimit]],
-    * that table (alone) is materialized at the new version instead —
-    * log-structured self-compaction, so read fan-in stays bounded
-    * without anyone calling compact(). Same CAS, same atomic manifest
-    * publish, same rollback discipline as a full commit.
+    * that table's chain is MINOR-compacted (LSM-style) into one merged
+    * delta at the new version: `del` = the union of the chain's
+    * tombstone keys (plus the incoming patch's), `add` = the chain
+    * folded over an EMPTY base (adds minus later tombstones) — both
+    * computable from the segments alone, so the BASE is never read or
+    * rewritten and write volume stays O(accumulated changes), never
+    * O(table). (Correct because mutations never add a key that exists
+    * un-tombstoned: adds allocate fresh high-water ids and updates
+    * tombstone before re-adding.) Read fan-in thus stays bounded
+    * without anyone calling compact(); compact() remains the explicit
+    * MAJOR compaction that folds chains into a fresh base. Same CAS,
+    * same atomic manifest publish, same rollback discipline as a full
+    * commit.
     */
   private def commitDelta(patches: Map[String, KbStore.TablePatch],
       newMeta: KbMeta => KbMeta,
@@ -217,19 +227,50 @@ final class KbStore private (
           s"${onDisk.version} since this writer's snapshot; concurrent " +
           "writer detected (this store is single-writer)")
     try {
-      // tables whose chain is full are rewritten (patch applied to the
-      // folded current state); the rest stage delta segments
+      // tables whose chain is full get a MINOR compaction (chain merged
+      // into one delta, base untouched); the rest stage plain segments
       val (overflow, asDelta) = patches.partition { case (name, _) =>
         cur.table_deltas.getOrElse(name, Nil).size >= KbStore.DeltaChainLimit
       }
       overflow.foreach { case (name, patch) =>
-        var df = read(name)
-        patch.del.foreach(d => df = df.join(d, KbStore.DeltaKeys(name), "left_anti"))
-        patch.add.foreach(a => df = df.union(a.select(df.columns.map(col(_)): _*)))
-        val w = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+        val keys = KbStore.DeltaKeys(name)
+        val chain = cur.table_deltas(name)
+        // merged tombstones: every key any chain segment (or the
+        // incoming patch) removed — keys of base rows that must not
+        // surface plus re-add bookkeeping handled by the merged add
+        val chainDels = chain.flatMap { v =>
+          val d = s"${tableDir(name, v)}/del"
+          if (KbStore.hasParquetFiles(d))
+            Some(spark.read.parquet(d).select(keys.map(col(_)): _*))
+          else None
+        } ++ patch.del.map(_.select(keys.map(col(_)): _*))
+        // merged adds: the chain (plus incoming patch) folded over an
+        // empty base — adds that a later segment tombstoned drop out
+        val schema = spark.read.parquet(
+          tableDir(name, cur.table_bases.getOrElse(name,
+            cur.table_versions(name)))).limit(0)
+        var merged = schema
+        chain.foreach { v =>
+          val dir = tableDir(name, v)
+          if (KbStore.hasParquetFiles(s"$dir/del"))
+            merged = merged.join(
+              spark.read.parquet(s"$dir/del"), keys, "left_anti")
+          if (KbStore.hasParquetFiles(s"$dir/add"))
+            merged = merged.union(spark.read.parquet(s"$dir/add")
+              .select(merged.columns.map(col(_)): _*))
+        }
+        patch.del.foreach(d => merged = merged.join(d, keys, "left_anti"))
+        patch.add.foreach(a =>
+          merged = merged.union(a.select(merged.columns.map(col(_)): _*)))
+        val delOut = chainDels.reduceOption(_ union _).map(_.distinct())
+        delOut.foreach(_.write.mode(SaveMode.Overwrite)
+          .option("compression", "snappy")
+          .parquet(s"${tableDir(name, next)}/del"))
+        val w = merged.write.mode(SaveMode.Overwrite)
+          .option("compression", "snappy")
         KbStore.DeltaPartitioning.get(name)
           .fold(w)(cols => w.partitionBy(cols: _*))
-          .parquet(tableDir(name, next))
+          .parquet(s"${tableDir(name, next)}/add")
       }
       asDelta.foreach { case (name, patch) =>
         patch.del.foreach(_.select(KbStore.DeltaKeys(name).map(col(_)): _*)
@@ -243,8 +284,13 @@ final class KbStore private (
         }
       }
       var pointers = cur.table_versions ++ patches.keys.map(_ -> next)
-      var bases = cur.table_bases -- overflow.keys
-      var deltaChains = cur.table_deltas -- overflow.keys
+      var bases = cur.table_bases
+      var deltaChains = cur.table_deltas
+      // minor-compacted tables keep their base; the chain collapses to
+      // the one merged segment just staged
+      overflow.keys.foreach { name =>
+        deltaChains += name -> Seq(next)
+      }
       asDelta.keys.foreach { name =>
         if (!bases.contains(name))
           bases += name -> cur.table_versions(name)

@@ -89,6 +89,32 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("delta chain overflow: minor compaction merges the chain, base untouched") {
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    kb.setKey("stable", 0L)
+    (1 to 30).foreach(i => kb.setKey(s"k$i", i.toLong))
+    kb.delKey("k5")
+    assert(kb.meta.table_deltas("keyval").size == KbStore.DeltaChainLimit)
+    // the 33rd delta commit overflows the chain: LSM-style MINOR
+    // compaction merges the 32 segments + this patch into ONE delta —
+    // the base is never read or rewritten (it stays v0)
+    kb.setKey("k3", 999L)
+    assert(kb.meta.table_deltas("keyval") == Seq(kb.meta.version))
+    assert(kb.meta.table_bases("keyval") == 0L)
+    // every net effect survives the merge: upserts, the delete, the
+    // re-set, the untouched key
+    assert(kb.getKey("stable") == 0L)
+    assert(kb.getKey("k3") == 999L)
+    assert(!kb.hasKey("k5"))
+    assert(kb.getKey("k30") == 30L)
+    // and the chain regrows on top of the merged segment
+    kb.setKey("post", 1L)
+    assert(kb.meta.table_deltas("keyval").size == 2)
+    assert(kb.getKey("post") == 1L && kb.getKey("k3") == 999L)
+    kb.close()
+  }
+
   test("addEdges checks (src,dst,rel) uniqueness against a 1M-row edge table without collecting it") {
     import spark.implicits._
     val path = freshPath()
