@@ -248,6 +248,23 @@ object Bench {
           centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,
           rerank = 1000).collect()
       }
+
+      // compressed k-NN JOIN over the same residual codes: ADC
+      // pre-filters the 10k × 1M candidate stream through
+      // 96-byte-per-vector codes (the join never ships raw candidate
+      // vectors), exact re-rank of the top-50 survivors per query —
+      // the probe-depth lever ProfileKnnIdx pointed at after the
+      // persisted-assignment variant showed pair scoring dominates
+      val queriesPq = syntheticEmbeddings(spark, 10000)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      queriesPq.count()
+      results("svs_knn_join_pq_1m") = timedMedian3 {
+        graft.ops.VectorQuant.knnJoinIvfPq(queriesPq, ivfpqCodes,
+          centsArr, rbooks, corpus1m, k = 10, nProbe = 4, rerank = 50,
+          tableCacheSize = 256)
+          .write.format("noop").mode("overwrite").save()
+      }
+      queriesPq.unpersist()
       ivfpqCodes.unpersist()
 
       corpus1m.unpersist()
@@ -301,6 +318,7 @@ object Bench {
       "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
       "svs_knn_join_1m" -> "IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256): both sides shuffle on centroid id, packed kernels end-to-end; no published counterpart (the reference retrieves one query at a time)",
       "svs_knn_join_indexed_1m" -> "the same 10k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn_join_1m); the candidates' packed vectors still cross the join exchange per call — a cid-bucketed assigned table is what would amortize that shuffle too",
+      "svs_knn_join_pq_1m" -> "the same 10k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate",
       "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -329,6 +329,31 @@ object SparkEntry {
         .orderBy($"qid", $"rk")
     }),
 
+    // IVF-PQ k-NN join: the compressed scale path — candidates rank by
+    // ADC over 1-byte-per-subspace codes, exact re-rank of survivors.
+    // At full probe + corpus-sized rerank the output is provably the
+    // brute-force join (what the oracle checks), so the approximation
+    // machinery itself is under the exactness gate
+    "k3_knn_join_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.FloatVecPack.floatVecPack
+      val emb = t(s, dir, "embeddings")
+      val packed = emb.select($"vec_id".as("id"),
+        floatVecPack($"embedding").as("vec"))
+      val centsArr = emb.filter($"vec_id" >= 50 && $"vec_id" < 58).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val res = graft.ops.VectorQuant.ivfResiduals(packed, centsArr).cache()
+      val books = graft.ops.VectorQuant.pqTrain(
+        res.select($"id", $"rvec".as("vec")),
+        m = 16, ncodes = 32, sampleMod = 1, iters = 2)
+      val codes = graft.ops.VectorQuant.ivfPqEncode(res, books)
+      graft.ops.VectorQuant.knnJoinIvfPq(
+          packed.filter($"id" < 50), codes, centsArr, books, packed,
+          k = 3, nProbe = 8, rerank = 1000000)
+        .select($"qid", $"cid", $"score", $"rk".cast("long").as("rk"))
+        .orderBy($"qid", $"rk")
+    }),
+
     "d9_contamination" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -1755,6 +1780,20 @@ object SparkEntry {
          ORDER BY event_id""",
 
     "k2_knn_join_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                    FROM embeddings WHERE vec_id < 50),
+         scored AS (
+           SELECT q.qid, e.vec_id AS cid,
+                  round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+           FROM embeddings e CROSS JOIN q),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, cid) AS rk
+           FROM scored)
+         SELECT qid, cid, score, rk FROM ranked
+         WHERE rk <= 3 ORDER BY qid, rk""",
+
+    "k3_knn_join_ivfpq" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
                     FROM embeddings WHERE vec_id < 50),
          scored AS (

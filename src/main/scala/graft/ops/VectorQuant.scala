@@ -439,4 +439,169 @@ object VectorQuant {
       query: Array[Float], k: Int, nProbe: Int, rerank: Int): DataFrame =
     exactRerank(ivfPqTopK(codes, cents, books, query,
       math.max(k, rerank), nProbe), emb, query, k)
+
+  /** IVF-PQ k-NN JOIN — the compressed scale path for LARGE query
+    * sides. [[SimilaritySearch.knnJoinIvfPacked]] ships every probed
+    * candidate's full f32 vector through the join and scores it exactly
+    * (~2.4e11 flops at the 10k×1M bench shape — the measured wall-clock
+    * dominator, see ProfileKnnIdx). Here the join carries the 1-byte-
+    * per-subspace PQ codes instead: candidates rank by ADC
+    * (q·c offset + m table lookups), only each query's top `rerank`
+    * survivors touch their raw vectors in the exact re-rank — m/4d of
+    * the bytes and roughly m lookups instead of d multiplies per pair.
+    *
+    * Exactness: with `nProbe = nlist` and `rerank >= corpus` the ADC
+    * stage merely enumerates every candidate and the exact re-rank
+    * fully re-scores — output equals the brute-force join regardless of
+    * codebook quality (the k3 oracle entry pins this); at partial
+    * probe/rerank it is the approximate trade documented for the other
+    * compressed tiers (recall spec-gated).
+    *
+    * The per-query ADC lookup table (m × ncodes doubles) is computed
+    * at most once per (query, partition) through a bounded LRU
+    * (`tableCacheSize` queries, ~200 KB each at m=96/ncodes=256) —
+    * never broadcast, never shuffled; the probe stage ships only the
+    * packed query vector. Output matches [[SimilaritySearch.knnJoin]]:
+    * (qid, cid, score, rk) with (score desc, cid asc) ties.
+    *
+    * @param queries    (id LONG, vec BINARY packed f32)
+    * @param codes      (id, cid, code BINARY) — [[ivfResiduals]] output
+    *                   encoded by [[ivfPqEncode]]
+    * @param candidates (id, vec BINARY) raw vectors for the re-rank
+    */
+  def knnJoinIvfPq(queries: DataFrame, codes: DataFrame,
+      cents: Array[(Long, Array[Float])], books: Codebooks,
+      candidates: DataFrame, k: Int, nProbe: Int, rerank: Int,
+      tableCacheSize: Int = 1024): DataFrame = {
+    require(cents.nonEmpty, "knnJoinIvfPq: no centroids")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import graft.functions.FloatVecDot.floatVecDot
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val dsub = books(0)(0).length
+    val sorted = cents.sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(sorted)
+    val bcB = spark.sparkContext.broadcast(books)
+
+    // probes: top-nProbe lists per query by q·c (desc, cid asc ties),
+    // carrying the exact q·c offset the ADC score starts from
+    val probes = queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val np = math.min(nProbe, cs.length)
+        it.flatMap { case (qid, qb) =>
+          val v = FloatVecDot.unpack(qb)
+          val topC = new Array[Long](np)
+          val topS = new Array[Double](np)
+          java.util.Arrays.fill(topS, Double.NegativeInfinity)
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)._2
+            var s = 0.0
+            var i = 0
+            val n = math.min(v.length, cv.length)
+            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            if (s > topS(np - 1)) {
+              var j = np - 1
+              while (j > 0 && s > topS(j - 1)) {
+                topS(j) = topS(j - 1); topC(j) = topC(j - 1); j -= 1
+              }
+              topS(j) = s; topC(j) = cs(ci)._1
+            }
+            ci += 1
+          }
+          val filled = topS.count(_ > Double.NegativeInfinity)
+          (0 until filled).iterator.map(j => (qid, qb, topC(j), topS(j)))
+        }
+      }.toDF("qid", "qv", "cid", "qc")
+
+    // ADC scoring behind the cid equi-join; shuffle-hash hint so the
+    // (heavier) codes stream is never sorted
+    val joined = probes.hint("shuffle_hash")
+      .join(codes.select(col("cid").as("ccid"), col("id").as("cand_id"),
+        col("code")), col("cid") === col("ccid"))
+      .select(col("qid"), col("qv"), col("qc"), col("cand_id"), col("code"))
+      .as[(Long, Array[Byte], Double, Long, Array[Byte])]
+
+    val sel = math.max(k, rerank)
+    val worstFirst = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c1 = java.lang.Double.compare(b._1, a._1)
+        if (c1 != 0) c1 else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    def push(h: scala.collection.mutable.PriorityQueue[(Double, Long)],
+        s: Double, c2: Long, cap: Int): Unit = {
+      if (h.size < cap) h.enqueue((s, c2))
+      else if (worstFirst.compare((s, c2), h.head) < 0) {
+        h.dequeue(); h.enqueue((s, c2))
+      }
+    }
+    val partial = joined.mapPartitions { it =>
+      val bs = bcB.value
+      // bounded LRU of per-query lookup tables: evicted queries simply
+      // recompute (corpus order is arbitrary, so hot queries stay)
+      val tables = new java.util.LinkedHashMap[Long, Array[Array[Double]]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, Array[Array[Double]]]): Boolean =
+          size() > tableCacheSize
+      }
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, qb, qc, cand, code) =>
+        var t = tables.get(qid)
+        if (t == null) {
+          val q = FloatVecDot.unpack(qb)
+          t = Array.tabulate(m) { s =>
+            bs(s).map { c =>
+              var acc = 0.0
+              var i = 0
+              while (i < dsub && s * dsub + i < q.length) {
+                acc += q(s * dsub + i).toDouble * c(i).toDouble; i += 1
+              }
+              acc
+            }
+          }
+          tables.put(qid, t)
+        }
+        var adc = qc
+        var si = 0
+        while (si < m) { adc += t(si)(code(si) & 0xff); si += 1 }
+        push(heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst)),
+          adc, cand, sel)
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (s, c2) => (qid, c2, s) }
+      }
+    }
+    val candPairs = partial.groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val h = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        rows.foreach { case (_, c2, s) => push(h, s, c2, sel) }
+        h.iterator.map { case (_, c2) => (qid, c2) }
+      }.toDF("qid", "cand_id")
+
+    // exact re-rank: two equi-joins (candidate vectors, query vectors),
+    // then a per-query rank over <= rerank rows — the window partition
+    // is k-bounded, never corpus-sized
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score"), col("cid"))
+    candPairs
+      .join(candidates.select(col("id").as("cand_id"), col("vec").as("cv")),
+        "cand_id")
+      .join(queries.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+      .select(col("qid"), col("cand_id").as("cid"),
+        round(floatVecDot(col("cv"), col("qv")), 6).as("score"))
+      .where(!isnan(col("score")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("score"), col("rk"))
+  }
 }

@@ -476,6 +476,47 @@ class OpsSpec extends SparkSpec {
     assert(indexed == exact, "pre-assigned join must be exact")
   }
 
+  test("IVF-PQ knn join: exact at full probe + corpus rerank, recall-gated at partial rerank") {
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    val packed = emb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+    val centsArr = emb.filter($"vec_id" >= 50 && $"vec_id" < 58).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = VectorQuant.ivfResiduals(packed, centsArr).persist()
+    val books = VectorQuant.pqTrain(res.select($"id", $"rvec".as("vec")),
+      m = 16, ncodes = 32, sampleMod = 1, iters = 2)
+    val codes = VectorQuant.ivfPqEncode(res, books)
+    val queries = packed.filter($"id" < 20)
+    val exact = SimilaritySearch.knnJoin(emb.filter($"vec_id" < 20), emb, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // full probe + corpus-sized rerank: the ADC stage only enumerates;
+    // the exact re-rank makes the output equal the brute-force join
+    // whatever the codebooks learned
+    val full = VectorQuant.knnJoinIvfPq(queries, codes, centsArr, books,
+        packed, k = 5, nProbe = 8, rerank = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(full == exact, "full probe + full rerank must be exact")
+    // a tiny table cache (forced evictions + recomputes) changes nothing
+    val evicted = VectorQuant.knnJoinIvfPq(queries, codes, centsArr, books,
+        packed, k = 5, nProbe = 8, rerank = 100000, tableCacheSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(evicted == exact, "LRU eviction must be result-invariant")
+    // partial rerank: the ADC pre-filter's candidate set still recovers
+    // most true neighbors before the exact re-rank
+    val approx = VectorQuant.knnJoinIvfPq(queries, codes, centsArr, books,
+        packed, k = 5, nProbe = 8, rerank = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(r => (r._1, r._2))
+    val recall = approx.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"IVF-PQ knn join recall $recall")
+    res.unpersist()
+  }
+
   test("packed IVF paths drop NaN vectors instead of emitting bogus centroids") {
     import spark.implicits._
     import graft.functions.FloatVecDot
