@@ -193,6 +193,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // PII redaction over a corpus with synthetic emails/phones/IPs
+    // injected identically in both engines (the clean synthetic text
+    // carries none); every doc_id % 3 == 0 row stays PII-free so the
+    // no-match path is exercised too
+    "x13_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        when(pmod($"doc_id", lit(3)) === 0, $"text").otherwise(concat(
+          $"text", lit(" contact u"), $"doc_id".cast("string"),
+          lit("@mail.example.com or 555-"),
+          lpad(pmod($"doc_id", lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod($"doc_id", lit(256)).cast("string"),
+          lit(".7 end"))).as("txt"))
+      graft.ops.TextAnalysis.piiRedact(aug, "txt").orderBy($"doc_id")
+    }),
+
+    // bigram-LM perplexity quality scoring (CCNet-style): the model is
+    // trained on the corpus itself, so the whole train+score pipeline
+    // is under the oracle
+    "x14_ngram_ppl" -> ((s, dir) =>
+      graft.ops.TextAnalysis.ngramPerplexity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
     // and the vector top-k (rank-based, so engine-exact; doc_id ==
     // vec_id on the synthetic corpus)
@@ -361,6 +385,17 @@ object SparkEntry {
           docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
           k = 3, threshold = 0.5)
         .orderBy($"doc_id")
+    }),
+
+    // C4-style line dedup over multi-line docs synthesized identically
+    // in both engines: a corpus-wide boilerplate line, a line shared by
+    // each doc_id % 7 cohort, and the doc's own text
+    "d10_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        concat(lit("common header boilerplate\ngroup "),
+          pmod($"doc_id", lit(7)).cast("string"), lit("\n"), $"text").as("txt"))
+      graft.ops.Dedup.lineDedup(aug, "txt").orderBy($"doc_id")
     }),
 
     // G3 semantic dedup: similarity pairs → connected components → keep
@@ -1654,6 +1689,49 @@ object SparkEntry {
          FROM good JOIN rules USING (doc_id) JOIN rep USING (doc_id)
          ORDER BY doc_id""",
 
+    "x13_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' contact u' || doc_id || '@mail.example.com or 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' from 10.0.' || (doc_id % 256) || '.7 end'
+             END AS txt
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS red,
+           len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b'))
+             + len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
+         FROM aug ORDER BY doc_id""",
+
+    "x14_ngram_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         v AS (SELECT count(DISTINCT t)::DOUBLE AS vs
+               FROM (SELECT unnest(a) AS t FROM toks)),
+         bg AS (
+           SELECT t.doc_id, t.a[r.i] AS w1, t.a[r.i + 1] AS w2
+           FROM toks t, LATERAL (SELECT unnest(range(1, len(t.a))) AS i) r),
+         cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+         cu AS (SELECT w1, count(*) AS nu FROM bg GROUP BY w1),
+         lp AS (
+           SELECT bg.doc_id, ln((cb.nb + 1.0) / (cu.nu + 1.0 * v.vs)) AS logp
+           FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                        round(exp(-avg(logp)), 4) AS ppl
+                 FROM lp GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+                coalesce(agg.ppl, 0.0) AS ppl
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
+
     "b3_hybrid_rrf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1829,6 +1907,33 @@ object SparkEntry {
          WHERE b.bj >= 0.5
          GROUP BY j.doc_id, b.bj
          ORDER BY j.doc_id""",
+
+    "d10_line_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id, 'common header boilerplate' || chr(10) || 'group '
+                  || (doc_id % 7) || chr(10) || text AS txt
+           FROM documents),
+         lines0 AS (
+           SELECT a.doc_id, r.j - 1 AS pos,
+                  list_extract(string_split(a.txt, chr(10)), r.j) AS line
+           FROM aug a, LATERAL (SELECT unnest(range(1,
+                  len(string_split(a.txt, chr(10))) + 1)) AS j) r),
+         lines AS (SELECT * FROM lines0 WHERE trim(line) <> ''),
+         keep AS (
+           SELECT doc_id, pos, line,
+                  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+           FROM lines),
+         kept AS (SELECT * FROM keep WHERE rn = 1),
+         nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+         reb AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(nl.n_lines, 0) AS n_lines,
+                coalesce(reb.n_kept, 0) AS n_kept,
+                coalesce(reb.text_dedup, '') AS text_dedup
+         FROM documents d LEFT JOIN nl USING (doc_id) LEFT JOIN reb USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "d6_semantic_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

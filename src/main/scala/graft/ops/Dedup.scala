@@ -660,4 +660,49 @@ object Dedup {
         .select(col("id1"), col("id2"), col("score").as("cos"))
     }
   }
+
+  /** C4-style corpus-level LINE dedup: every distinct non-blank line
+    * keeps only its FIRST occurrence (by doc_id, then position within
+    * the doc); later repeats — boilerplate headers, navigation chrome,
+    * license blocks — are dropped and each document is reassembled from
+    * its surviving lines in original order.
+    *
+    * Scale shape: the keeper per line is a `groupBy(line).agg(min(...))`
+    * — map-side partial min, so a boilerplate line occurring in half the
+    * corpus costs one row per map partition in the shuffle, NOT a
+    * skewed window partition holding every occurrence. The keeper set
+    * then semi-joins back against the exploded lines. Reassembly is a
+    * per-doc sort of an already-small surviving-line array.
+    *
+    * Output: (doc_id, n_lines, n_kept, text_dedup) — `text_dedup` is
+    * empty ("") for a document whose every line lost its race.
+    */
+  def lineDedup(docs: DataFrame, textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), sepRe)))
+      .withColumnRenamed("col", "line")
+      .where(trim(col("line")) =!= "")
+    // first occurrence of each line corpus-wide: lexicographic min of
+    // the (doc_id, pos) struct — a partial-aggregable keeper election
+    val keepers = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("doc_id"),
+        col("w.pos").as("pos"))
+    val kept = lines.join(keepers, Seq("line", "doc_id", "pos"),
+      "left_semi")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), sep).as("text_dedup"))
+    docs.select(col("doc_id"),
+        size(filter(split(col(textCol), sepRe), l => trim(l) =!= ""))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

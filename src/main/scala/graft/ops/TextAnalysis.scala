@@ -243,4 +243,91 @@ object TextAnalysis {
       md5(canon).as("fp_md5"),
       hash60(canon).as("fp60"))
   }
+
+  /** Default PII patterns: (category, regex, replacement token). The
+    * regexes stay inside the portable intersection of Java regex and
+    * RE2 (character classes, bounded repetition, ASCII `\b` — no
+    * lookaround), so an external auditor can re-run them in any engine.
+    */
+  val defaultPiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+      "[EMAIL]"),
+    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "[PHONE]"),
+    ("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "[IP]"))
+
+  /** PII redaction — the masking stage every published curation pipeline
+    * runs before training (emails / phone numbers / IP addresses here;
+    * the pattern table is caller-extensible). Patterns apply in order,
+    * each replacing ALL its matches with the category token; per-category
+    * match counts are taken on the ORIGINAL text so the audit columns are
+    * independent of application order.
+    *
+    * Scale shape: a narrow per-row map of codegen'd `regexp_replace` /
+    * `regexp_extract_all` — no shuffle, no UDF; safe directly behind a
+    * 100 TB scan.
+    *
+    * Output: (doc_id, red, n_<category>..., n_pii).
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text",
+      patterns: Seq[(String, String, String)] = defaultPiiPatterns)
+      : DataFrame = {
+    require(patterns.nonEmpty, "piiRedact: no patterns")
+    val red = patterns.foldLeft(col(textCol)) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+    val counts = patterns.map { case (cat, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("long").as(s"n_$cat")
+    }
+    docs.select((col("doc_id") +: red.as("red") +: counts): _*)
+      .withColumn("n_pii",
+        patterns.map { case (cat, _, _) => col(s"n_$cat") }.reduce(_ + _))
+  }
+
+  /** CCNet-style n-gram LM perplexity scoring: train an add-alpha
+    * smoothed BIGRAM model on the corpus itself, score every document
+    * by perplexity under it — the classic "does this read like the
+    * corpus" quality filter (low = fluent/typical, high = noise), run
+    * before training-data selection. `p(w2|w1) = (c(w1,w2) + alpha) /
+    * (c(w1·) + alpha·V)`, `ppl = exp(-mean ln p)` over the doc's
+    * bigrams.
+    *
+    * Scale shape: two count aggregations over the exploded bigram
+    * stream (map-side combinable), rejoined to the stream by bigram /
+    * context key — all declarative, so Catalyst broadcasts the count
+    * tables when the vocabulary is small and shuffle-joins otherwise;
+    * nothing touches the driver. The vocabulary size enters as a
+    * broadcast one-row aggregate, not a collected scalar.
+    *
+    * Output: (doc_id, n_bigrams, ppl) — ppl rounded to 4 dp, 0.0 for
+    * docs with fewer than two tokens.
+    */
+  def ngramPerplexity(docs: DataFrame, textCol: String = "text",
+      alpha: Double = 1.0, unicode: Boolean = false): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val arr = if (unicode) tokensUnicode(col(textCol)) else tokens(col(textCol))
+    val toks = docs.select(col("doc_id"), arr.as("a"))
+    val vdf = toks.select(explode(col("a")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("vs"))
+    val bg = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("a"), lit(1), size(col("a")) - 1).as("w1"),
+        slice(col("a"), lit(2), size(col("a")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("nu"))
+    val agg = bg
+      .join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(vdf))
+      .select(col("doc_id"),
+        log((col("nb") + alpha) / (col("nu") + col("vs") * alpha))
+          .as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(col("logp"))), 4).as("ppl"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ppl"), lit(0.0)).as("ppl"))
+  }
 }

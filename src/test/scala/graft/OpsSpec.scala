@@ -476,6 +476,50 @@ class OpsSpec extends SparkSpec {
     assert(indexed == exact, "pre-assigned join must be exact")
   }
 
+  test("bucketed candidate table: exact results, candidate side exchange-free") {
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    val queries = emb.filter($"vec_id" < 5)
+    val cents = emb.filter($"vec_id" >= 5 && $"vec_id" < 13)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val packedEmb = emb.select($"vec_id".as("id"),
+      floatVecPack($"embedding").as("vec"))
+    val packedCents = cents.select($"cid", floatVecPack($"cvec").as("cvec"))
+    val pq = queries.select($"vec_id".as("id"),
+      floatVecPack($"embedding").as("vec"))
+
+    SimilaritySearch.writeAssignedBucketed(packedEmb, packedCents,
+      "knn_bucketed_spec", buckets = 4)
+    val exact = SimilaritySearch.knnJoin(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val bucketedDf = SimilaritySearch.knnJoinIvfBucketed(pq,
+      "knn_bucketed_spec", packedCents, k = 5, nProbe = 8)
+    val bres = bucketedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(bres == exact, "bucketed join must be exact")
+
+    // same rows through a PLAIN parquet round trip (no bucketing
+    // metadata): the only plan difference must be one extra Exchange —
+    // the candidate-side shuffle the bucketed layout amortizes away
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("knn-plain").toString
+    spark.table("knn_bucketed_spec").write.mode("overwrite").parquet(plainDir)
+    val plainDf = SimilaritySearch.knnJoinIvfAssigned(pq,
+      spark.read.parquet(plainDir), packedCents, k = 5, nProbe = 8)
+    val pres = plainDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(pres == exact)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "(?<!Broadcast)Exchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val (be, pe) = (exchanges(bucketedDf), exchanges(plainDf))
+    assert(be < pe,
+      s"bucketed plan should save the candidate-side Exchange (bucketed=$be plain=$pe)")
+  }
+
   test("IVF-PQ knn join: exact at full probe + corpus rerank, recall-gated at partial rerank") {
     import spark.implicits._
     import graft.functions.FloatVecPack.floatVecPack
@@ -968,5 +1012,59 @@ class OpsSpec extends SparkSpec {
       k = 10, nProbe = 2)
     assert(partial.count() == 10)
     res.unpersist(); codes.unpersist()
+  }
+
+  test("piiRedact masks emails/phones/IPs and counts per category") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a@b.org then b.c-d@sub.example.co.uk done"),
+      (2L, "call 555-123-4567 or 555-000-1111 from 192.168.0.1"),
+      (3L, "clean text no pii at all"),
+      (4L, "edge 1234-567-8901 phone-ish and 300.300.300.300 ip-ish"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getString(1) == "mail [EMAIL] then [EMAIL] done")
+    assert(r(1).getLong(2) == 2 && r(1).getLong(5) == 2)
+    assert(r(2).getString(1) == "call [PHONE] or [PHONE] from [IP]")
+    assert(r(2).getLong(3) == 2 && r(2).getLong(4) == 1)
+    assert(r(3).getString(1) == "clean text no pii at all")
+    assert(r(3).getLong(5) == 0)
+    // \b keeps the 4-3-4 digit run unmasked; the naive IPv4 class is
+    // format-, not range-validating (documented trade)
+    assert(r(4).getString(1).contains("1234-567-8901"))
+    assert(r(4).getString(1).contains("[IP]"))
+  }
+
+  test("ngramPerplexity matches the hand-computed smoothed bigram model") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    // V = 3; c(a,b)=3, c(b,a)=1; c(a.)=3, c(b.)=1
+    // p(b|a) = 4/6, p(a|b) = 2/4
+    // doc1: ppl = (2/3 * 1/2 * 2/3)^(-1/3) = 4.5^(1/3) = 1.6510
+    // doc2: ppl = (2/3)^(-1) = 1.5;  doc3: no bigrams -> (0, 0.0)
+    val r = TextAnalysis.ngramPerplexity(d).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((3L, 1.651)))
+    assert(r(2L) == ((1L, 1.5)))
+    assert(r(3L) == ((0L, 0.0)))
+  }
+
+  test("lineDedup keeps first occurrence corpus-wide, reassembles in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "header\nalpha\nbody one"),
+      (2L, "header\n\nbody two\nalpha"),
+      (3L, "header\nalpha"), // every line already seen -> empty doc
+      (4L, "  \nbody four"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(d).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(r(1L) == ((3L, 3L, "header\nalpha\nbody one")))
+    assert(r(2L) == ((3L, 1L, "body two"))) // blank line not counted
+    assert(r(3L) == ((2L, 0L, "")))
+    assert(r(4L) == ((1L, 1L, "body four")))
   }
 }
