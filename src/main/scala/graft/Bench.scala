@@ -34,6 +34,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table points write through the catalog; keep the
+      // warehouse off the repo tree
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -185,6 +189,22 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
       preAssigned.unpersist()
+
+      // the same join over a ccid-BUCKETED catalog table: the scan
+      // reports HashPartitioning(ccid), so the per-call join shuffles
+      // ONLY the probe side — the corpus's packed vectors are laid out
+      // once at index-build time (outside the timer) and never cross
+      // an exchange again. The delta vs svs_knn_join_indexed_1m is the
+      // candidate-side exchange, measured.
+      spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
+      graft.ops.SimilaritySearch.writeAssignedBucketed(corpus1m, cents,
+        "graft_bench_knn_bucketed", buckets = cpus.toInt)
+      results("svs_knn_join_bucketed_1m") = timedMedian3 {
+        graft.ops.SimilaritySearch.knnJoinIvfBucketed(
+          queries10k, "graft_bench_knn_bucketed", cents, k = 10, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
       queries10k.unpersist()
 
       // compressed-tier points over the same 1M × d1536 corpus — the
@@ -317,7 +337,8 @@ object Bench {
       "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
       "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
       "svs_knn_join_1m" -> "IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256): both sides shuffle on centroid id, packed kernels end-to-end; no published counterpart (the reference retrieves one query at a time)",
-      "svs_knn_join_indexed_1m" -> "the same 10k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn_join_1m); the candidates' packed vectors still cross the join exchange per call — a cid-bucketed assigned table is what would amortize that shuffle too",
+      "svs_knn_join_indexed_1m" -> "the same 10k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn_join_1m); the candidates' packed vectors still cross the join exchange per call",
+      "svs_knn_join_bucketed_1m" -> "the same join over a ccid-BUCKETED catalog table: the scan reports HashPartitioning(ccid) so only the probe side shuffles per call; the delta vs svs_knn_join_indexed_1m is the measured candidate-side exchange the bucketed layout amortizes",
       "svs_knn_join_pq_1m" -> "the same 10k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate",
       "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)"
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

@@ -274,6 +274,57 @@ object SimilaritySearch {
     knnJoinIvfAssignedImpl(queries, assigned, cents, k, nProbe, saltShards)
   }
 
+  /** Persist the IVF-assigned candidate table `(ccid, cand_id, cv)` as
+    * a catalog table BUCKETED by `ccid`. [[knnJoinIvfAssigned]] already
+    * amortizes the per-call ASSIGNMENT pass, but the candidate rows —
+    * the corpus's packed vectors, by far the heavier join side — still
+    * cross a shuffle exchange on every call because a plain parquet
+    * scan carries no partitioning guarantee. A bucketed table scan
+    * reports `HashPartitioning(ccid, buckets)` to the planner, so the
+    * per-call join exchanges ONLY the probe side (queries × nProbe
+    * rows): the 100 TB corpus is laid out once at index-build time and
+    * never re-shuffled. Keep `buckets` at (a multiple of) the cluster's
+    * shuffle parallelism so the probe-side exchange matches it.
+    */
+  def writeAssignedBucketed(candidates: DataFrame, centroids: DataFrame,
+      table: String, buckets: Int = 32): Unit = {
+    import graft.functions.FloatVecDot
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cents0 = centroids
+      .select(col("cid"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
+      .sortBy(_._1)
+    require(cents0.nonEmpty, "writeAssignedBucketed: no centroids")
+    val bc0 = spark.sparkContext.broadcast(cents0)
+    candidates.select(col("id"), col("vec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bc0.value
+        it.flatMap { case (id, vb) =>
+          val best = argmaxCid(cs, FloatVecDot.unpack(vb))
+          if (best < 0L) None else Some((best, id, vb))
+        }
+      }.toDF("ccid", "cand_id", "cv")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "ccid")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** The knn join over a [[writeAssignedBucketed]] table: identical
+    * results to [[knnJoinIvfAssigned]], but the candidate side enters
+    * the join exchange-free (KnnJoinSpec asserts the plan has exactly
+    * one fewer Exchange). Salting is intentionally unavailable here —
+    * a salted key would defeat the bucketing; skewed lists should pick
+    * a larger `buckets` at write time instead.
+    */
+  def knnJoinIvfBucketed(queries: DataFrame, table: String,
+      centroids: DataFrame, k: Int, nProbe: Int): DataFrame =
+    knnJoinIvfAssigned(queries, queries.sparkSession.table(table),
+      centroids, k, nProbe)
+
   private def knnJoinIvfAssignedImpl(queries: DataFrame,
       assigned: DataFrame, cents: Array[(Long, Array[Float])],
       k: Int, nProbe: Int, saltShards: Int): DataFrame = {

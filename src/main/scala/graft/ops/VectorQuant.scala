@@ -457,11 +457,13 @@ object VectorQuant {
     * probe/rerank it is the approximate trade documented for the other
     * compressed tiers (recall spec-gated).
     *
-    * The per-query ADC lookup table (m × ncodes doubles) is computed
-    * at most once per (query, partition) through a bounded LRU
-    * (`tableCacheSize` queries, ~200 KB each at m=96/ncodes=256) —
-    * never broadcast, never shuffled; the probe stage ships only the
-    * packed query vector. Output matches [[SimilaritySearch.knnJoin]]:
+    * The per-query ADC lookup table (m × ncodes doubles, ~200 KB at
+    * m=96/ncodes=256) is computed once per PROBE ROW — the join streams
+    * probe rows against build-side codes, so a probe row's matched
+    * codes arrive contiguously and the bounded LRU (`tableCacheSize`
+    * queries) always hits within the block; tables are never broadcast,
+    * never shuffled, and the probe stage ships only the packed query
+    * vector. Output matches [[SimilaritySearch.knnJoin]]:
     * (qid, cid, score, rk) with (score desc, cid asc) ties.
     *
     * @param queries    (id LONG, vec BINARY packed f32)
@@ -520,11 +522,21 @@ object VectorQuant {
         }
       }.toDF("qid", "qv", "cid", "qc")
 
-    // ADC scoring behind the cid equi-join; shuffle-hash hint so the
-    // (heavier) codes stream is never sorted
-    val joined = probes.hint("shuffle_hash")
+    // ADC scoring behind the cid equi-join. The shuffle-hash hint sits
+    // on the CODES side so codes are the BUILD side and probes the
+    // streamed side: the joined iterator then yields each probe row's
+    // matched codes CONTIGUOUSLY, so the per-query lookup table is
+    // computed once per probe row (~nProbe per query corpus-wide) and
+    // the LRU below always hits within a block. With probes as the
+    // build side the iteration order interleaves queries per code row
+    // and the table cache thrashes — recomputing a m×ncodes×dsub-flop
+    // table per PAIR, ~100× the ADC work itself. Build-side memory is
+    // the partition's codes (~rows/partitions × (code bytes + 16)); at
+    // corpus scales where that outgrows executor memory, raise the
+    // shuffle partition count.
+    val joined = probes
       .join(codes.select(col("cid").as("ccid"), col("id").as("cand_id"),
-        col("code")), col("cid") === col("ccid"))
+        col("code")).hint("shuffle_hash"), col("cid") === col("ccid"))
       .select(col("qid"), col("qv"), col("qc"), col("cand_id"), col("code"))
       .as[(Long, Array[Byte], Double, Long, Array[Byte])]
 
