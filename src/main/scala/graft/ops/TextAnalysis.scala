@@ -284,6 +284,28 @@ object TextAnalysis {
         patterns.map { case (cat, _, _) => col(s"n_$cat") }.reduce(_ + _))
   }
 
+  /** Per-source (domain-level) corpus statistics — the aggregation
+    * behind RefinedWeb-style source filtering: document count, mean
+    * heuristic quality, and exact-duplicate count per source, ready
+    * for a threshold decision over whole domains rather than single
+    * documents. One groupBy over per-doc narrow maps — partial
+    * aggregation keeps the shuffle at #sources × #map-partitions rows.
+    *
+    * Output: (source, n_docs, mean_quality, n_dup_docs).
+    */
+  def sourceStats(docs: DataFrame, stopwords: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val q = qualityScore(docs, stopwords, textCol)
+    val fp = fingerprint(docs, textCol)
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .join(fp.select(col("doc_id"), col("fp_md5")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 6).as("mean_quality"),
+        (count(lit(1)) - countDistinct(col("fp_md5"))).as("n_dup_docs"))
+  }
+
   /** CCNet-style n-gram LM perplexity scoring: train an add-alpha
     * smoothed BIGRAM model on the corpus itself, score every document
     * by perplexity under it — the classic "does this read like the

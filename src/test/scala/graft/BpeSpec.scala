@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Bpe
+
+/** BPE merge learning + encoding against the hand-computed example
+  * corpus of the BPE paper's genre (low/lower/newest/widest).
+  */
+class BpeSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest"))
+      .toDF("doc_id", "text")
+  }
+
+  test("bpeTrain learns the hand-computed merges in deterministic order") {
+    // word freqs: low:5 lower:2 newest:6 widest:3
+    // pair counts round 1: (e,s)=9 (s,t)=9 (t,</w>)=9 (w,e)=8 (l,o)=7
+    //   (o,w)=7 ... -> lexicographic tie-break picks (e,s)
+    // round 2: (es,t)=9 (t,</w>)=9 -> (es,t); round 3: (est,</w>)=9
+    // round 4: (l,o)=7 beats (o,w)=7 on left asc; (w,e) fell to 2
+    val m = Bpe.bpeTrain(corpus, numMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (0, "e", "s", 9L),
+      (1, "es", "t", 9L),
+      (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L)))
+  }
+
+  test("bpeTrain stops early when the vocabulary is fully merged") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // a+b, ab+</w> — then nothing is left to merge
+    val m = Bpe.bpeTrain(tiny, numMerges = 10).collect()
+    assert(m.length == 2)
+  }
+
+  test("bpeEncode applies merges greedily by rank") {
+    import spark.implicits._
+    val merges = Bpe.bpeTrain(corpus, numMerges = 4)
+    // "lowest": l o w e s t </w> -> es -> est -> est</w> -> lo
+    val enc = Bpe.bpeEncode(
+      Seq((9L, "lowest low")).toDF("doc_id", "text"), merges)
+      .collect().head
+    assert(enc.getSeq[String](1) ==
+      Seq("lo", "w", "est</w>", "lo", "w", "</w>"))
+    assert(enc.getLong(2) == 6L)
+  }
+}
