@@ -197,6 +197,11 @@ object Bench {
       // an exchange again. The delta vs svs_knn_join_indexed_1m is the
       // candidate-side exchange, measured.
       spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
+      // a killed prior run can leave the managed-table dir behind with
+      // no catalog entry; a stale non-empty location fails the create
+      KbStoreCleanup.delete(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:") + "/graft_bench_knn_bucketed")
       graft.ops.SimilaritySearch.writeAssignedBucketed(corpus1m, cents,
         "graft_bench_knn_bucketed", buckets = cpus.toInt)
       results("svs_knn_join_bucketed_1m") = timedMedian3 {
@@ -280,8 +285,7 @@ object Bench {
       queriesPq.count()
       results("svs_knn_join_pq_1m") = timedMedian3 {
         graft.ops.VectorQuant.knnJoinIvfPq(queriesPq, ivfpqCodes,
-          centsArr, rbooks, corpus1m, k = 10, nProbe = 4, rerank = 50,
-          tableCacheSize = 256)
+          centsArr, rbooks, corpus1m, k = 10, nProbe = 4, rerank = 50)
           .write.format("noop").mode("overwrite").save()
       }
       queriesPq.unpersist()

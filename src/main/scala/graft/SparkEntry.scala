@@ -210,6 +210,27 @@ object SparkEntry {
       graft.ops.TextAnalysis.piiRedact(aug, "txt").orderBy($"doc_id")
     }),
 
+    // per-source (domain-level) aggregation for RefinedWeb-style source
+    // filtering; exact duplicates injected deterministically in both
+    // engines (the corpus itself has none at this sf)
+    "x16_source_stats" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"source", $"text")
+      val aug = d.unionByName(
+        d.filter(pmod($"doc_id", lit(10)) === 0)
+          .withColumn("doc_id", $"doc_id" + 10000L))
+      graft.ops.TextAnalysis.sourceStats(aug, Seq("the", "a"))
+        .orderBy($"source")
+    }),
+
+    // BPE merge learning over the corpus (tokenizer training). No SQL
+    // oracle — the merge loop is iterative — so the driver records the
+    // rows-only check; determinism and hand-computed merges are pinned
+    // by BpeSpec
+    "x15_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 12)
+        .orderBy(col("rank"))),
+
     // bigram-LM perplexity quality scoring (CCNet-style): the model is
     // trained on the corpus itself, so the whole train+score pipeline
     // is under the oracle
@@ -1711,6 +1732,34 @@ object SparkEntry {
              + len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b'))
              + len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
          FROM aug ORDER BY doc_id""",
+
+    "x16_source_stats" ->
+      """WITH aug AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, source, text FROM documents
+           WHERE doc_id % 10 = 0),
+         u AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::DOUBLE AS nt,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE AS nu,
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a']))::DOUBLE AS ns
+           FROM aug),
+         q AS (
+           SELECT doc_id,
+                  round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
+                        + (ns / nu) * 0.2, 6) AS quality
+           FROM u),
+         fp AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+           FROM aug)
+         SELECT d.source, count(*) AS n_docs,
+                round(avg(q.quality), 6) AS mean_quality,
+                count(*) - count(DISTINCT fp.fp_md5) AS n_dup_docs
+         FROM aug d JOIN q USING (doc_id) JOIN fp USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
 
     "x14_ngram_ppl" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

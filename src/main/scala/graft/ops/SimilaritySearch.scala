@@ -248,7 +248,7 @@ object SimilaritySearch {
           if (best < 0L) None else Some((best, id, vb))
         }
       }.toDF("ccid", "cand_id", "cv")
-    knnJoinIvfAssignedImpl(queries, assigned, cents0, k, nProbe, saltShards)
+    knnJoinIvfBlockedImpl(queries, assigned, cents0, k, nProbe, saltShards)
   }
 
   /** The probe+join core over a PRE-ASSIGNED candidate table
@@ -259,9 +259,20 @@ object SimilaritySearch {
     * one-time assignment pass over the corpus is amortized into index
     * maintenance instead of being paid per join.
     */
+  /** @param blocked selects the pair-enumeration core: `true` (default)
+    *   runs the tagged-union cid-block kernel — NO per-pair row ever
+    *   materializes, so the d-sized vector blob is deserialized once
+    *   per row, not once per pair (the equi-join formulation copies the
+    *   6 KB blob into every joined row: ~queries×nProbe×listSize×d×4
+    *   bytes of pure memcpy at scale, the measured wall-clock dominator
+    *   of the 10k×1M bench shape). `false` keeps the relational
+    *   shuffle-hash-join core — the form that composes with a
+    *   ccid-bucketed candidate table's exchange-free scan
+    *   ([[knnJoinIvfBucketed]]).
+    */
   def knnJoinIvfAssigned(queries: DataFrame, assigned: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int,
-      saltShards: Int = 1): DataFrame = {
+      saltShards: Int = 1, blocked: Boolean = true): DataFrame = {
     import graft.functions.FloatVecDot
     val cents = centroids
       .select(col("cid"), col("cvec"))
@@ -271,7 +282,182 @@ object SimilaritySearch {
     if (cents.isEmpty)
       return queries.select(col("id").as("qid"), lit(0L).as("cid"),
         lit(0.0).as("score"), lit(0).as("rk")).limit(0)
-    knnJoinIvfAssignedImpl(queries, assigned, cents, k, nProbe, saltShards)
+    if (blocked) knnJoinIvfBlockedImpl(queries, assigned, cents, k, nProbe, saltShards)
+    else knnJoinIvfAssignedImpl(queries, assigned, cents, k, nProbe, saltShards)
+  }
+
+  /** Top-`nProbe` centroid ranks per packed query: (qid, qv, cid, qc)
+    * with qc = the exact q·c dot the probe starts from. Selection is
+    * insertion into a descending array with strict `>`, so ties keep
+    * the smaller cid (centroids iterate in ascending cid order); a
+    * NaN-component query fills no slots and emits nothing.
+    */
+  private[ops] def probeRanks(queries: DataFrame,
+      cents: Array[(Long, Array[Float])], nProbe: Int): DataFrame = {
+    import graft.functions.FloatVecDot
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val np = math.min(nProbe, cs.length)
+        it.flatMap { case (qid, qb) =>
+          val v = FloatVecDot.unpack(qb)
+          val topC = new Array[Long](np)
+          val topS = new Array[Double](np)
+          java.util.Arrays.fill(topS, Double.NegativeInfinity)
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)._2
+            var s = 0.0
+            var i = 0
+            val n = math.min(v.length, cv.length)
+            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            if (s > topS(np - 1)) {
+              var j = np - 1
+              while (j > 0 && s > topS(j - 1)) {
+                topS(j) = topS(j - 1); topC(j) = topC(j - 1); j -= 1
+              }
+              topS(j) = s; topC(j) = cs(ci)._1
+            }
+            ci += 1
+          }
+          val filled = topS.count(_ > Double.NegativeInfinity)
+          (0 until filled).iterator.map(j => (qid, qb, topC(j), topS(j)))
+        }
+      }.toDF("qid", "qv", "cid", "qc")
+  }
+
+  /** Replicate Spark SQL's `round(x, 6)` for doubles (HALF_UP over the
+    * canonical decimal form) so kernel-side scores are bit-identical to
+    * the `round(floatVecDot(...), 6)` expression the relational cores
+    * and the oracles compute.
+    */
+  private[ops] def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** f32 dot of a packed blob against a pre-decoded float array —
+    * value-identical to [[graft.functions.FloatVecDot.dot]] (same
+    * f32 products, same ascending-index double accumulation, same
+    * truncate-to-shorter semantics).
+    */
+  private[ops] def dotPackedFloats(a: Array[Byte], q: Array[Float]): Double = {
+    val n = math.min(a.length & ~3, q.length * 4)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = java.lang.Float.intBitsToFloat(
+        (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8) |
+          ((a(i + 2) & 0xff) << 16) | ((a(i + 3) & 0xff) << 24))
+      acc += xa.toDouble * q(i >> 2).toDouble
+      i += 4
+    }
+    acc
+  }
+
+  /** The tagged-union cid-block pair kernel. Probes and candidates
+    * union into one (cid, salt, tag, id, vec) stream, repartition by
+    * (cid, salt) and sort within partitions by (cid, salt, tag) — so
+    * each block delivers its probe rows FIRST, then its candidates.
+    * The kernel buffers the block's decoded query vectors (the small
+    * side: queries × nProbe / nlist rows per block), then scores each
+    * candidate against all of them as it streams past: the pair space
+    * is enumerated inside the loop, never materialized as rows, so the
+    * only per-pair cost is the fused multiply-add itself. Per-query
+    * top-k via bounded heaps, partition-local then merged — identical
+    * selection and tie rules to the relational core.
+    *
+    * Shuffle volume per call: candidates cross once (id + blob per
+    * row), probes once (×saltShards). Block buffer memory:
+    * (queries × nProbe / nlist) × d × 4 bytes — for astronomically
+    * large query sides split the query set across calls or raise
+    * nlist.
+    */
+  private def knnJoinIvfBlockedImpl(queries: DataFrame,
+      assigned: DataFrame, cents: Array[(Long, Array[Float])],
+      k: Int, nProbe: Int, saltShards: Int): DataFrame = {
+    import graft.functions.FloatVecDot
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(saltShards >= 1, s"saltShards must be >= 1, got $saltShards")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probes = probeRanks(queries, cents, nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+
+    val pr =
+      if (saltShards == 1) probes.withColumn("salt", lit(0))
+      else probes.crossJoin(
+        spark.range(saltShards).select(col("id").cast("int").as("salt")))
+    val ca =
+      if (saltShards == 1) assigned.withColumn("salt", lit(0))
+      else assigned.withColumn("salt",
+        pmod(hash(col("cand_id")), lit(saltShards)).cast("int"))
+    val u = pr.select(col("cid"), col("salt"), lit(0).as("tag"),
+        col("qid").as("id"), col("qv").as("vec"))
+      .unionByName(ca.select(col("ccid").as("cid"), col("salt"),
+        lit(1).as("tag"), col("cand_id").as("id"), col("cv").as("vec")))
+    val arranged = u.repartition(col("cid"), col("salt"))
+      .sortWithinPartitions(col("cid"), col("salt"), col("tag"))
+      .as[(Long, Int, Int, Long, Array[Byte])]
+
+    val worstFirst = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c1 = java.lang.Double.compare(b._1, a._1)
+        if (c1 != 0) c1 else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    def push(h: scala.collection.mutable.PriorityQueue[(Double, Long)],
+        s: Double, c2: Long): Unit = {
+      if (h.size < k) h.enqueue((s, c2))
+      else if (worstFirst.compare((s, c2), h.head) < 0) {
+        h.dequeue(); h.enqueue((s, c2))
+      }
+    }
+    val partial = arranged.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      var curCid = Long.MinValue
+      var curSalt = Int.MinValue
+      val blockQ = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Float])]
+      it.foreach { case (cid, salt, tag, id, vec) =>
+        if (cid != curCid || salt != curSalt) {
+          blockQ.clear(); curCid = cid; curSalt = salt
+        }
+        if (tag == 0) blockQ += ((id, FloatVecDot.unpack(vec)))
+        else if (blockQ.nonEmpty) {
+          var j = 0
+          while (j < blockQ.length) {
+            val s = round6(dotPackedFloats(vec, blockQ(j)._2))
+            // NaN-component candidates score NaN: dropped (matches the
+            // assignment path, which never admits them)
+            if (!java.lang.Double.isNaN(s))
+              push(heaps.getOrElseUpdate(blockQ(j)._1,
+                scala.collection.mutable.PriorityQueue.empty(worstFirst)),
+                s, id)
+            j += 1
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (s, c2) => (qid, c2, s) }
+      }
+    }
+    partial.groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val h = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        rows.foreach { case (_, c2, s) => push(h, s, c2) }
+        val best: Seq[(Double, Long)] = h.dequeueAll.reverse
+        best.iterator.zipWithIndex.map {
+          case ((s, c2), i) => (qid, c2, s, i + 1)
+        }
+      }
+      .toDF("qid", "cid", "score", "rk")
   }
 
   /** Persist the IVF-assigned candidate table `(ccid, cand_id, cv)` as
@@ -314,16 +500,19 @@ object SimilaritySearch {
   }
 
   /** The knn join over a [[writeAssignedBucketed]] table: identical
-    * results to [[knnJoinIvfAssigned]], but the candidate side enters
-    * the join exchange-free (KnnJoinSpec asserts the plan has exactly
-    * one fewer Exchange). Salting is intentionally unavailable here —
-    * a salted key would defeat the bucketing; skewed lists should pick
-    * a larger `buckets` at write time instead.
+    * results to [[knnJoinIvfAssigned]], through the RELATIONAL core —
+    * the one formulation whose candidate side can consume the bucketed
+    * scan's `HashPartitioning` and enter the join exchange-free (the
+    * blocked kernel's explicit repartition would re-shuffle the table
+    * regardless of layout; a bucket-aware custom scan could marry the
+    * two, at the cost of a custom SparkPlan). Salting is intentionally
+    * unavailable here — a salted key would defeat the bucketing; skewed
+    * lists should pick a larger `buckets` at write time instead.
     */
   def knnJoinIvfBucketed(queries: DataFrame, table: String,
       centroids: DataFrame, k: Int, nProbe: Int): DataFrame =
     knnJoinIvfAssigned(queries, queries.sparkSession.table(table),
-      centroids, k, nProbe)
+      centroids, k, nProbe, blocked = false)
 
   private def knnJoinIvfAssignedImpl(queries: DataFrame,
       assigned: DataFrame, cents: Array[(Long, Array[Float])],
@@ -335,44 +524,11 @@ object SimilaritySearch {
     require(saltShards >= 1, s"saltShards must be >= 1, got $saltShards")
     val spark = queries.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cents)
 
     // queries: decode once, rank all centroids, keep the top nProbe by
-    // (pscore desc, cid asc) — insertion selection; strict > keeps the
-    // smaller cid ahead on ties (centroids iterate in ascending order)
-    val probes = queries
-      .select(col("id"), col("vec"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        val np = math.min(nProbe, cs.length)
-        it.flatMap { case (qid, qb) =>
-          val v = FloatVecDot.unpack(qb)
-          val topC = new Array[Long](np)
-          val topS = new Array[Double](np)
-          java.util.Arrays.fill(topS, Double.NegativeInfinity)
-          var ci = 0
-          while (ci < cs.length) {
-            val cv = cs(ci)._2
-            var s = 0.0
-            var i = 0
-            val n = math.min(v.length, cv.length)
-            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
-            if (s > topS(np - 1)) {
-              var j = np - 1
-              while (j > 0 && s > topS(j - 1)) {
-                topS(j) = topS(j - 1); topC(j) = topC(j - 1); j -= 1
-              }
-              topS(j) = s; topC(j) = cs(ci)._1
-            }
-            ci += 1
-          }
-          // emit only filled slots: a NaN-component query fills none
-          // (NaN never satisfies >) and must not emit default cid 0
-          val filled = topS.count(_ > Double.NegativeInfinity)
-          (0 until filled).iterator.map(j => (qid, qb, topC(j)))
-        }
-      }.toDF("qid", "qv", "cid")
+    // (pscore desc, cid asc) — the shared [[probeRanks]] kernel
+    val probes = probeRanks(queries, cents, nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
 
     // no dedup needed: each candidate belongs to exactly one centroid
     // and each query probes distinct centroids, so (qid, cand) is

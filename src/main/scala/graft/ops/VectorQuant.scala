@@ -458,12 +458,11 @@ object VectorQuant {
     * compressed tiers (recall spec-gated).
     *
     * The per-query ADC lookup table (m × ncodes doubles, ~200 KB at
-    * m=96/ncodes=256) is computed once per PROBE ROW — the join streams
-    * probe rows against build-side codes, so a probe row's matched
-    * codes arrive contiguously and the bounded LRU (`tableCacheSize`
-    * queries) always hits within the block; tables are never broadcast,
-    * never shuffled, and the probe stage ships only the packed query
-    * vector. Output matches [[SimilaritySearch.knnJoin]]:
+    * m=96/ncodes=256) is computed once per PROBE ROW, inside the
+    * tagged-union cid-block kernel (probes sort before their list's
+    * codes in each co-partitioned block); tables are never broadcast,
+    * never shuffled, and no per-pair row ever materializes. Output
+    * matches [[SimilaritySearch.knnJoin]]:
     * (qid, cid, score, rk) with (score desc, cid asc) ties.
     *
     * @param queries    (id LONG, vec BINARY packed f32)
@@ -473,8 +472,8 @@ object VectorQuant {
     */
   def knnJoinIvfPq(queries: DataFrame, codes: DataFrame,
       cents: Array[(Long, Array[Float])], books: Codebooks,
-      candidates: DataFrame, k: Int, nProbe: Int, rerank: Int,
-      tableCacheSize: Int = 1024): DataFrame = {
+      candidates: DataFrame, k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
     require(cents.nonEmpty, "knnJoinIvfPq: no centroids")
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
@@ -486,59 +485,30 @@ object VectorQuant {
     val m = books.length
     val dsub = books(0)(0).length
     val sorted = cents.sortBy(_._1)
-    val bcC = spark.sparkContext.broadcast(sorted)
     val bcB = spark.sparkContext.broadcast(books)
 
     // probes: top-nProbe lists per query by q·c (desc, cid asc ties),
     // carrying the exact q·c offset the ADC score starts from
-    val probes = queries.select(col("id"), col("vec"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val cs = bcC.value
-        val np = math.min(nProbe, cs.length)
-        it.flatMap { case (qid, qb) =>
-          val v = FloatVecDot.unpack(qb)
-          val topC = new Array[Long](np)
-          val topS = new Array[Double](np)
-          java.util.Arrays.fill(topS, Double.NegativeInfinity)
-          var ci = 0
-          while (ci < cs.length) {
-            val cv = cs(ci)._2
-            var s = 0.0
-            var i = 0
-            val n = math.min(v.length, cv.length)
-            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
-            if (s > topS(np - 1)) {
-              var j = np - 1
-              while (j > 0 && s > topS(j - 1)) {
-                topS(j) = topS(j - 1); topC(j) = topC(j - 1); j -= 1
-              }
-              topS(j) = s; topC(j) = cs(ci)._1
-            }
-            ci += 1
-          }
-          val filled = topS.count(_ > Double.NegativeInfinity)
-          (0 until filled).iterator.map(j => (qid, qb, topC(j), topS(j)))
-        }
-      }.toDF("qid", "qv", "cid", "qc")
+    val probes = SimilaritySearch.probeRanks(queries, sorted, nProbe)
 
-    // ADC scoring behind the cid equi-join. The shuffle-hash hint sits
-    // on the CODES side so codes are the BUILD side and probes the
-    // streamed side: the joined iterator then yields each probe row's
-    // matched codes CONTIGUOUSLY, so the per-query lookup table is
-    // computed once per probe row (~nProbe per query corpus-wide) and
-    // the LRU below always hits within a block. With probes as the
-    // build side the iteration order interleaves queries per code row
-    // and the table cache thrashes — recomputing a m×ncodes×dsub-flop
-    // table per PAIR, ~100× the ADC work itself. Build-side memory is
-    // the partition's codes (~rows/partitions × (code bytes + 16)); at
-    // corpus scales where that outgrows executor memory, raise the
-    // shuffle partition count.
-    val joined = probes
-      .join(codes.select(col("cid").as("ccid"), col("id").as("cand_id"),
-        col("code")).hint("shuffle_hash"), col("cid") === col("ccid"))
-      .select(col("qid"), col("qv"), col("qc"), col("cand_id"), col("code"))
-      .as[(Long, Array[Byte], Double, Long, Array[Byte])]
+    // ADC scoring through the tagged-union cid-block kernel (the same
+    // shape as the raw-vector blocked knn join): probes and codes union
+    // into one stream, repartition by cid, probes sort FIRST within
+    // each block. The kernel builds each block probe's m×ncodes lookup
+    // table once, then streams the block's codes past all of them — the
+    // pair space is enumerated inside the loop, never materialized as
+    // rows (an equi-join formulation copies the packed query vector
+    // into every joined row: ~pairs × d × 4 bytes of memcpy dominating
+    // the ADC arithmetic ~16×). Block buffer memory: probes-per-list ×
+    // m × ncodes × 8 bytes; split giant query sets across calls if
+    // that outgrows executor memory.
+    val u = probes.select(col("cid"), lit(0).as("tag"),
+        col("qid").as("id"), col("qv").as("vec"), col("qc"))
+      .unionByName(codes.select(col("cid"), lit(1).as("tag"),
+        col("id"), col("code").as("vec"), lit(0.0).as("qc")))
+    val arranged = u.repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("tag"))
+      .as[(Long, Int, Long, Array[Byte], Double)]
 
     val sel = math.max(k, rerank)
     val worstFirst = new Ordering[(Double, Long)] {
@@ -554,23 +524,19 @@ object VectorQuant {
         h.dequeue(); h.enqueue((s, c2))
       }
     }
-    val partial = joined.mapPartitions { it =>
+    val partial = arranged.mapPartitions { it =>
       val bs = bcB.value
-      // bounded LRU of per-query lookup tables: evicted queries simply
-      // recompute (corpus order is arbitrary, so hot queries stay)
-      val tables = new java.util.LinkedHashMap[Long, Array[Array[Double]]](
-        16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[Long, Array[Array[Double]]]): Boolean =
-          size() > tableCacheSize
-      }
       val heaps = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      it.foreach { case (qid, qb, qc, cand, code) =>
-        var t = tables.get(qid)
-        if (t == null) {
-          val q = FloatVecDot.unpack(qb)
-          t = Array.tabulate(m) { s =>
+      var curCid = Long.MinValue
+      // block probe state: (qid, qc offset, ADC lookup table)
+      val blockQ = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Array[Array[Double]])]
+      it.foreach { case (cid, tag, id, vec, qc) =>
+        if (cid != curCid) { blockQ.clear(); curCid = cid }
+        if (tag == 0) {
+          val q = FloatVecDot.unpack(vec)
+          val t = Array.tabulate(m) { s =>
             bs(s).map { c =>
               var acc = 0.0
               var i = 0
@@ -580,14 +546,20 @@ object VectorQuant {
               acc
             }
           }
-          tables.put(qid, t)
+          blockQ += ((id, qc, t))
+        } else if (blockQ.nonEmpty) {
+          var j = 0
+          while (j < blockQ.length) {
+            val (qid, off, t) = blockQ(j)
+            var adc = off
+            var si = 0
+            while (si < m) { adc += t(si)(vec(si) & 0xff); si += 1 }
+            push(heaps.getOrElseUpdate(qid,
+              scala.collection.mutable.PriorityQueue.empty(worstFirst)),
+              adc, id, sel)
+            j += 1
+          }
         }
-        var adc = qc
-        var si = 0
-        while (si < m) { adc += t(si)(code(si) & 0xff); si += 1 }
-        push(heaps.getOrElseUpdate(qid,
-          scala.collection.mutable.PriorityQueue.empty(worstFirst)),
-          adc, cand, sel)
       }
       heaps.iterator.flatMap { case (qid, h) =>
         h.iterator.map { case (s, c2) => (qid, c2, s) }

@@ -501,13 +501,15 @@ class OpsSpec extends SparkSpec {
     assert(bres == exact, "bucketed join must be exact")
 
     // same rows through a PLAIN parquet round trip (no bucketing
-    // metadata): the only plan difference must be one extra Exchange —
-    // the candidate-side shuffle the bucketed layout amortizes away
+    // metadata) and the same RELATIONAL core (blocked = false): the
+    // only plan difference must be the extra candidate-side Exchange
+    // the bucketed layout amortizes away
     val plainDir = java.nio.file.Files
       .createTempDirectory("knn-plain").toString
     spark.table("knn_bucketed_spec").write.mode("overwrite").parquet(plainDir)
     val plainDf = SimilaritySearch.knnJoinIvfAssigned(pq,
-      spark.read.parquet(plainDir), packedCents, k = 5, nProbe = 8)
+      spark.read.parquet(plainDir), packedCents, k = 5, nProbe = 8,
+      blocked = false)
     val pres = plainDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSet
@@ -543,13 +545,6 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSet
     assert(full == exact, "full probe + full rerank must be exact")
-    // a tiny table cache (forced evictions + recomputes) changes nothing
-    val evicted = VectorQuant.knnJoinIvfPq(queries, codes, centsArr, books,
-        packed, k = 5, nProbe = 8, rerank = 100000, tableCacheSize = 2)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-      .toSet
-    assert(evicted == exact, "LRU eviction must be result-invariant")
     // partial rerank: the ADC pre-filter's candidate set still recovers
     // most true neighbors before the exact re-rank
     val approx = VectorQuant.knnJoinIvfPq(queries, codes, centsArr, books,
@@ -1034,6 +1029,20 @@ class OpsSpec extends SparkSpec {
     // format-, not range-validating (documented trade)
     assert(r(4).getString(1).contains("1234-567-8901"))
     assert(r(4).getString(1).contains("[IP]"))
+  }
+
+  test("sourceStats aggregates count, mean quality, and dup count per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "the a b"),
+      (2L, "s1", "the a b"), // exact dup of doc 1
+      (3L, "s1", "something else entirely"),
+      (4L, "s2", "unique text here"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.sourceStats(d, Seq("the", "a")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(3))).toMap
+    assert(r("s1") == ((3L, 1L)))
+    assert(r("s2") == ((1L, 0L)))
   }
 
   test("ngramPerplexity matches the hand-computed smoothed bigram model") {

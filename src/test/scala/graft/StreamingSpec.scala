@@ -377,4 +377,27 @@ class StreamingSpec extends SparkSpec {
     assert(kb.retrieve("anything", 1, p).nonEmpty)
     kb.close()
   }
+
+  test("stateless curation ops run unchanged on a stream (pii redact + quality)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // piiRedact and gopherQuality are narrow per-row maps, so the SAME
+    // DataFrame transformations apply to a streaming source with no
+    // operator changes — the property this test pins
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq(
+      (1L, "the quick brown fox mails a@b.co and calls 555-123-4567"),
+      (2L, "clean well formed text with the usual words in it")))
+    val red = graft.ops.TextAnalysis.piiRedact(
+      stream.toDF().toDF("doc_id", "text"))
+    val q = red.writeStream.outputMode("append")
+      .format("memory").queryName("pii_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("pii_out").orderBy($"doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1).contains("[EMAIL]") &&
+      out(0).getString(1).contains("[PHONE]"))
+    assert(out(0).getLong(5) == 2 && out(1).getLong(5) == 0)
+  }
 }
