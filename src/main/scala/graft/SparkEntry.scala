@@ -238,6 +238,62 @@ object SparkEntry {
       graft.ops.TextAnalysis.ngramPerplexity(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // canonical text normalization (NFC + lowercase + whitespace
+    // collapse) over a corpus augmented with decomposed combining
+    // characters and ragged spacing — injected identically in both
+    // engines (the clean synthetic text is already canonical)
+    "x17_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        when(pmod($"doc_id", lit(3)) === 0, $"text").otherwise(concat(
+          lit("Cafe\u0301  "), upper(substring($"text", 1, 10)),
+          lit("\t"), $"text", lit("  "))).as("txt"))
+      graft.ops.TextAnalysis.normalizeText(aug, "txt").orderBy($"doc_id")
+    }),
+
+    // length-bucketed batch assignment (padding-waste minimization for
+    // variable-length training sequences)
+    "x18_length_batches" -> ((s, dir) =>
+      graft.ops.TextAnalysis.batchByLength(t(s, dir, "documents"),
+          batchSize = 16, bucketTokens = 32)
+        .orderBy(col("doc_id"))),
+
+    // exact-count deterministic stratified sampling (per-language) —
+    // reproducible across engines, unlike sampleBy's Bernoulli draw
+    "d11_stratified_sample" -> ((s, dir) =>
+      graft.ops.TextAnalysis.stratifiedSample(
+          t(s, dir, "documents"), "lang", n = 25)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic train/val/test split assignment: membership is a
+    // pure function of the key, so appends never migrate rows between
+    // splits
+    "d12_split_assign" -> ((s, dir) =>
+      graft.ops.TextAnalysis.assignSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .orderBy(col("doc_id"))),
+
+    // MMR-diversified retrieval (redundancy-penalized rerank of the
+    // vector top-m). No SQL oracle — the greedy selection is iterative
+    // — so the driver records the rows-only check; hand-computed
+    // selection order and the near-dup-displacement property are pinned
+    // by OpsSpec
+    "k4_mmr_rerank" -> ((s, dir) =>
+      graft.ops.SimilaritySearch.mmrRerank(t(s, dir, "embeddings"),
+          queryVecId = 2L, k = 10, lambdaRel = 0.7, m = 50)
+        .orderBy(col("mmr_rank"))),
+
+    // spherical k-means corpus clustering (deterministic seeds + Lloyd
+    // refinement). No SQL oracle — iterative — rows-only check here;
+    // determinism, partition coverage, and label purity are pinned by
+    // OpsSpec
+    "c1_clusters" -> ((s, dir) =>
+      graft.ops.SimilaritySearch.clusterDocs(t(s, dir, "embeddings"),
+          k = 10, iters = 3)
+        .orderBy(col("vec_id"))),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
     // and the vector top-k (rank-based, so engine-exact; doc_id ==
     // vec_id on the synthetic corpus)
@@ -1780,6 +1836,58 @@ object SparkEntry {
                 coalesce(agg.ppl, 0.0) AS ppl
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "x17_normalize" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text
+                       ELSE 'Cafe' || chr(769) || '  '
+                            || upper(substr(text, 1, 10)) || chr(9)
+                            || text || '  ' END AS txt
+           FROM documents),
+         n AS (
+           SELECT doc_id, txt,
+                  trim(regexp_replace(lower(nfc_normalize(txt)),
+                                      '\s+', ' ', 'g')) AS norm
+           FROM aug)
+         SELECT doc_id, norm, (norm <> txt) AS changed
+         FROM n ORDER BY doc_id""",
+
+    "x18_length_batches" ->
+      """WITH u AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+                  row_number() OVER (PARTITION BY n_tokens // 32
+                    ORDER BY ('0x' || substr(md5(doc_id || ':lb'), 1, 15))::BIGINT,
+                             doc_id) - 1 AS rn
+           FROM u)
+         SELECT doc_id, n_tokens, bucket,
+                rn // 16 AS batch_idx, rn % 16 AS pos_in_batch
+         FROM b ORDER BY doc_id""",
+
+    "d11_stratified_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(doc_id || ':strat'), 1, 15))::BIGINT,
+                             doc_id) AS sample_rank
+           FROM documents)
+         SELECT doc_id, lang, sample_rank
+         FROM r WHERE sample_rank <= 25 ORDER BY doc_id""",
+
+    "d12_split_assign" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(doc_id || ':split'), 1, 15))::BIGINT % 100
+                    AS split_bucket
+           FROM documents)
+         SELECT doc_id, lang, split_bucket,
+                CASE WHEN split_bucket < 80 THEN 'train'
+                     WHEN split_bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
 
     "b3_hybrid_rrf" ->
       """WITH toks AS (

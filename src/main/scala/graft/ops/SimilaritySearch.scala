@@ -742,4 +742,108 @@ object SimilaritySearch {
     }
     cents
   }
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98): greedily select the candidate maximizing
+    * `lambdaRel·sim(q,d) − (1−lambdaRel)·max_{s∈selected} sim(d,s)` —
+    * the standard redundancy-penalized rerank that keeps a near-dup of
+    * an already-selected hit from wasting a result slot.
+    *
+    * Scale shape: the distributed part is the candidate top-`m` (one
+    * corpus scan + TakeOrderedAndProject, same plan as [[topK]]); the
+    * greedy loop is O(k·m) dots over the m collected candidates — a
+    * k-bounded driver-side result assembly, the same contract as the
+    * store's retrieve facades. At 100 TB only m rows ever leave the
+    * executors.
+    *
+    * Output: (vec_id, score, mmr_score, mmr_rank), mmr_rank 1..k in
+    * selection order. The query vector itself is excluded.
+    */
+  def mmrRerank(emb: DataFrame, queryVecId: Long, k: Int,
+      lambdaRel: Double = 0.7, m: Int = 100): DataFrame = {
+    require(k > 0 && m >= k, s"need 0 < k <= m: k=$k m=$m")
+    require(lambdaRel >= 0.0 && lambdaRel <= 1.0, s"lambdaRel: $lambdaRel")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = emb.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"))
+    val cand = emb.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        round(dot(asDouble(col("embedding")), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(m)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val n = cand.length
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val picked = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity) // vs selected set
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val pen = if (step == 0) 0.0 else (1.0 - lambdaRel) * maxSim(i)
+          val s = lambdaRel * cand(i)._3 - pen
+          // strict > with ascending vec_id scan = smaller id wins ties
+          if (s > bestScore) { bestScore = s; best = i }
+        }
+        i += 1
+      }
+      val (bid, bv, bscore) = cand(best)
+      picked(best) = true
+      chosen += ((bid, bscore, math.rint(bestScore * 1e6) / 1e6))
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          var s = 0.0
+          var j = 0
+          val d = math.min(bv.length, cand(i)._2.length)
+          while (j < d) { s += bv(j) * cand(i)._2(j); j += 1 }
+          if (s > maxSim(i)) maxSim(i) = s
+        }
+        i += 1
+      }
+      step += 1
+    }
+    chosen.zipWithIndex
+      .map { case ((id, sc, ms), r) => (id, sc, ms, (r + 1).toLong) }
+      .toSeq.toDF("vec_id", "score", "mmr_score", "mmr_rank")
+  }
+
+  /** Spherical k-means document clustering — the corpus-organization /
+    * SemDeDup-style curation step: deterministic seeds (the first `k`
+    * vectors by id, projected through [[kmeansCentroids]] Lloyd
+    * refinement), then every vector assigned to its argmax-dot centroid
+    * with its similarity. Deterministic given (corpus, k, iters) — no
+    * RNG — so re-runs and engines agree.
+    *
+    * Scale shape: each Lloyd round is a broadcast argmax + narrow
+    * mean-aggregation ([[kmeansCentroids]]); the final assignment is the
+    * same broadcast argmax plus one broadcast hash join against the k
+    * centroids for the similarity column. Nothing but the k×d centroid
+    * set ever reaches the driver.
+    *
+    * Output: (vec_id, cid, sim) — sim rounded to 6 dp.
+    */
+  def clusterDocs(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seeds = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), asDouble(col("embedding")).as("cvec"))
+      .collect() // k rows — the centroid set is tiny by definition
+      .sortBy(r => r.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+      .toSeq.toDF("cid", "cvec")
+    val cents = kmeansCentroids(emb, seeds, iters)
+    ivfAssign(emb, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        round(dot(asDouble(col("embedding")), col("cvec")), 6).as("sim"))
+  }
 }

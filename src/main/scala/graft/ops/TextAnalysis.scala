@@ -352,4 +352,98 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("ppl"), lit(0.0)).as("ppl"))
   }
+
+  /** Canonical text normalization — the first stage of every web-scale
+    * ingest pipeline: Unicode NFC composition (via the codegen'd
+    * [[graft.functions.NfcNormalize]] expression), lower-casing, and
+    * whitespace collapse/trim. Everything downstream (fingerprints,
+    * shingles, token stats) then sees one canonical form, so visually
+    * identical documents that differ only in combining-character
+    * encoding or spacing dedup together.
+    *
+    * A narrow per-row map of codegen'd expressions — no shuffle, no UDF.
+    * Output: (doc_id, norm, changed).
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      lower(graft.functions.NfcNormalize.nfc(col(textCol))), "\\s+", " "))
+    docs.select(col("doc_id"), norm.as("norm"),
+      (norm =!= col(textCol)).as("changed"))
+  }
+
+  /** Deterministic stratified sampling: EXACTLY `min(n, |stratum|)` rows
+    * per stratum, chosen by md5-derived hash order (so the sample is
+    * reproducible across runs and engines, unlike `sampleBy`'s
+    * per-fraction Bernoulli draw which can't hit an exact count).
+    *
+    * Scale shape: one window rank per stratum — the partition key bounds
+    * every sort, so no global order exists; skew is bounded by the
+    * largest stratum, the same bound any per-stratum operation has.
+    * Output: input columns + sample_rank (1-based within stratum).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, n: Int,
+      keyCol: String = "doc_id", salt: String = "strat"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"n must be positive: $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hash60(concat(col(keyCol).cast("string"), lit(":" + salt))),
+        col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= n)
+  }
+
+  /** Deterministic train/val/test split assignment: each row's
+    * md5-derived bucket (0-99) maps through the cumulative `weights`
+    * (label, pct) list — e.g. `Seq("train"->80, "val"->10, "test"->10)`.
+    * Hash-keyed, so membership is a pure function of the key: re-runs,
+    * engines, and incremental appends all agree, and a document can
+    * never migrate between splits as the corpus grows (the property
+    * random splits lack).
+    *
+    * A narrow map — no shuffle, no RNG state. Output: input columns +
+    * split_bucket + split.
+    */
+  def assignSplit(df: DataFrame, weights: Seq[(String, Int)],
+      keyCol: String = "doc_id", salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      s"split weights must sum to 100: $weights")
+    val bucket = pmod(
+      hash60(concat(col(keyCol).cast("string"), lit(":" + salt))), lit(100L))
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val label = weights.zip(bounds).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), hi), acc) =>
+      when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split_bucket", bucket).withColumn("split", label)
+  }
+
+  /** Length-bucketed batch assignment — the "bucket by sequence length,
+    * then batch within bucket" step that minimizes padding waste when
+    * training on variable-length documents: documents with token counts
+    * in the same `bucketTokens`-wide band go to the same bucket; within
+    * a bucket, hash order assigns batch index and position
+    * deterministically. Padding cost per batch is bounded by
+    * `bucketTokens - 1` tokens per sequence by construction.
+    *
+    * Same scale shape as [[stratifiedSample]]: one window rank per
+    * bucket, partition-bounded sort, no global order.
+    * Output: (keyCol, n_tokens, bucket, batch_idx, pos_in_batch).
+    */
+  def batchByLength(docs: DataFrame, batchSize: Int,
+      bucketTokens: Int = 64, textCol: String = "text",
+      keyCol: String = "doc_id", unicode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize > 0 && bucketTokens > 0,
+      s"batchSize and bucketTokens must be positive: $batchSize, $bucketTokens")
+    val toks = if (unicode) tokensUnicode(col(textCol)) else tokens(col(textCol))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(hash60(concat(col(keyCol).cast("string"), lit(":lb"))),
+        col(keyCol))
+    docs.select(col(keyCol), size(toks).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketTokens"))
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .select(col(keyCol), col("n_tokens"), col("bucket"),
+        expr(s"rn div $batchSize").as("batch_idx"),
+        expr(s"rn % $batchSize").as("pos_in_batch"))
+  }
 }
