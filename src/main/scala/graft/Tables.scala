@@ -9,10 +9,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session configs every graft SparkSession needs. `events.parquet`
-    * carries TIMESTAMP(NANOS) which Spark only reads as long via the
-    * legacy flag; we convert back to a microsecond timestamp in [[t]],
-    * matching DuckDB's ns→us truncation.
+  /** Session configs every graft SparkSession needs. Some testdata
+    * generations write `events.ts` as TIMESTAMP(NANOS), which Spark
+    * only reads as long via the legacy flag; [[t]] converts either
+    * encoding to a microsecond TimestampType, matching DuckDB's
+    * ns→us truncation.
     */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
@@ -20,10 +21,17 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // `ts div 1000`: integer division — epoch-nanos (~1.7e18) would lose
-    // precision through double division (floor(ts/1000) is wrong by ±1us).
+    // Two generations of events.parquet exist: epoch-nanos as long
+    // (needs `ts div 1000` — integer division, since double division
+    // of ~1.7e18 loses ±1us) and native timestamp[us] (read as NTZ;
+    // cast to TimestampType under the UTC session so downstream
+    // operators and the DuckDB oracle see identical instants).
     val typed = if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     else df
     // The corpus tables at test SFs are single-digit-MB parquet files
     // that bin-pack into ONE scan task, serializing every downstream
