@@ -11,12 +11,13 @@ import graft.functions.FloatVecDot
   * (the 6 GB-per-call shuffle), and what does that save at 1M × d1536?
   * Run: `sbt "runMain graft.ProfileKnnIdx"`.
   *
-  * FINDING (round 6, local[32]): ~5% (129.0 s → 122.6 s). The join's
-  * wall-clock is dominated by scoring the ~1.5e8 candidate pairs
-  * (≈2.4e11 flops through FloatVecDot) and the heap top-k, not by the
-  * candidate exchange, so a cid-bucketed layout is not the next lever
-  * at this probe depth — fewer probed candidates (smaller nProbe,
-  * compressed ADC pre-filter) is.
+  * FINDING (round 6, local[32]): with the scalar dot kernel the
+  * partitioned layout saved ~5% (129.0 s → 122.6 s) — scoring the
+  * ~1.5e8 candidate pairs dominated. After the SIMD kernels
+  * (graft.functions.VecKernels) the same run is 31.3 s → 23.3 s:
+  * scoring shrank ~5× and the candidate exchange is now a visible
+  * 26%, so the cid-bucketed layout (knnJoinIvfBucketed) is worth
+  * taking alongside the kernel win.
   */
 object ProfileKnnIdx {
   private final val Dim = 1536

@@ -55,25 +55,12 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 object FloatVecDot {
 
-  /** The scalar kernel the generated code calls: little-endian f32
-    * pairwise product, double accumulate. JIT-vectorizable tight loop.
+  /** The kernel the generated code calls: little-endian f32 pairwise
+    * product, f64 accumulate. Dispatches to the SIMD (Panama) or
+    * VarHandle-scalar implementation in [[VecKernels]] — see there for
+    * the accumulation-order contract.
     */
-  def dot(a: Array[Byte], b: Array[Byte]): Double = {
-    val n = math.min(a.length, b.length) & ~3
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xa = java.lang.Float.intBitsToFloat(
-        (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8) |
-          ((a(i + 2) & 0xff) << 16) | ((a(i + 3) & 0xff) << 24))
-      val xb = java.lang.Float.intBitsToFloat(
-        (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-          ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24))
-      acc += xa.toDouble * xb.toDouble
-      i += 4
-    }
-    acc
-  }
+  def dot(a: Array[Byte], b: Array[Byte]): Double = VecKernels.dot(a, b)
 
   /** Pack a float array into the little-endian blob form (the reference's
     * `embedding_to_bytes`, `embeddings/util.py:15-16`).

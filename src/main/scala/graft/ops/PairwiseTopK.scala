@@ -78,12 +78,8 @@ object PairwiseTopK {
   }
 
   private def dot(a: Array[Float], ao: Int, b: Array[Float], bo: Int,
-      dim: Int): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < dim) { acc += a(ao + i).toDouble * b(bo + i).toDouble; i += 1 }
-    acc
-  }
+      dim: Int): Double =
+    graft.functions.VecKernels.dotFloatsAt(a, ao, b, bo, dim)
 
   /** Exact top-k pairs over (id LONG, vec BINARY packed f32).
     *

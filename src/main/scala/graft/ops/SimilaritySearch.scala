@@ -114,11 +114,7 @@ object SimilaritySearch {
     var bestS = Double.NegativeInfinity
     var ci = 0
     while (ci < cs.length) {
-      val cv = cs(ci)._2
-      var s = 0.0
-      var i = 0
-      val n = math.min(v.length, cv.length)
-      while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+      val s = graft.functions.VecKernels.dotFloats(v, cs(ci)._2)
       if (s > bestS) { bestS = s; best = cs(ci)._1 }
       ci += 1
     }
@@ -310,11 +306,7 @@ object SimilaritySearch {
           java.util.Arrays.fill(topS, Double.NegativeInfinity)
           var ci = 0
           while (ci < cs.length) {
-            val cv = cs(ci)._2
-            var s = 0.0
-            var i = 0
-            val n = math.min(v.length, cv.length)
-            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            val s = graft.functions.VecKernels.dotFloats(v, cs(ci)._2)
             if (s > topS(np - 1)) {
               var j = np - 1
               while (j > 0 && s > topS(j - 1)) {
@@ -341,23 +333,12 @@ object SimilaritySearch {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** f32 dot of a packed blob against a pre-decoded float array —
-    * value-identical to [[graft.functions.FloatVecDot.dot]] (same
-    * f32 products, same ascending-index double accumulation, same
-    * truncate-to-shorter semantics).
+    * value-identical to [[graft.functions.FloatVecDot.dot]] (same f32
+    * products, same lane scheme and accumulation order; see
+    * [[graft.functions.VecKernels]] for the contract).
     */
-  private[ops] def dotPackedFloats(a: Array[Byte], q: Array[Float]): Double = {
-    val n = math.min(a.length & ~3, q.length * 4)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xa = java.lang.Float.intBitsToFloat(
-        (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8) |
-          ((a(i + 2) & 0xff) << 16) | ((a(i + 3) & 0xff) << 24))
-      acc += xa.toDouble * q(i >> 2).toDouble
-      i += 4
-    }
-    acc
-  }
+  private[ops] def dotPackedFloats(a: Array[Byte], q: Array[Float]): Double =
+    graft.functions.VecKernels.dotPacked(a, q)
 
   /** The tagged-union cid-block pair kernel. Probes and candidates
     * union into one (cid, salt, tag, id, vec) stream, repartition by
@@ -672,11 +653,7 @@ object SimilaritySearch {
           var bestS = Double.NegativeInfinity
           var ci = 0
           while (ci < k) {
-            val cv = cs(ci)._2
-            var s = 0.0
-            var i = 0
-            val n = math.min(v.length, cv.length)
-            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            val s = graft.functions.VecKernels.dotFloats(v, cs(ci)._2)
             if (s > bestS) { bestS = s; best = ci }
             ci += 1
           }

@@ -74,7 +74,10 @@ final class VectorIndex private (
   def topK(query: Array[Float], k: Int): Seq[(Long, Double)] = {
     if (k <= 0) return Seq.empty
     val d = dim
-    val q = query
+    // the row kernel reads exactly q.length floats from each matrix
+    // row, so clamp a longer query to the index dim (the old scalar
+    // loop's behavior); shorter queries truncate the product either way
+    val q = if (query.length > d) java.util.Arrays.copyOf(query, d) else query
     val scanPartition: Iterator[(Array[Long], Array[Byte])] =>
         Iterator[Array[(Double, Long)]] = { it =>
       // bounded min-heap of (score, id)
@@ -84,16 +87,8 @@ final class VectorIndex private (
         val n = ids.length
         var r = 0
         while (r < n) {
-          var acc = 0.0
-          val base = r * d * 4
-          var i = 0
-          while (i < d) {
-            val o = base + i * 4
-            val bits = (mat(o) & 0xff) | ((mat(o + 1) & 0xff) << 8) |
-              ((mat(o + 2) & 0xff) << 16) | ((mat(o + 3) & 0xff) << 24)
-            acc += java.lang.Float.intBitsToFloat(bits).toDouble * q(i)
-            i += 1
-          }
+          // SIMD matrix·vector row: q.length == d by construction
+          val acc = graft.functions.VecKernels.dotPackedAt(mat, r * d * 4, q)
           val cand = (acc, ids(r))
           if (heap.size < k) heap.add(cand)
           else if (VectorIndex.heapOrder.compare(cand, heap.peek()) > 0) {

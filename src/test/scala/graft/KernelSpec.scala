@@ -92,6 +92,47 @@ class KernelSpec extends SparkSpec {
       - expected) < 1e-9)
   }
 
+  test("VecKernels: simd and scalar agree; dot == dotPacked bit-for-bit") {
+    import graft.functions.{FloatVecDot, VecKernels}
+    val rnd = new scala.util.Random(11)
+    // the forked test JVM adds the incubator module, so simd must be on
+    assert(VecKernels.simdEnabled,
+      "Panama module missing from the test JVM — build.sbt javaOptions regressed")
+    // odd lengths exercise the remainder vector-loop and the scalar tail
+    for (d <- Seq(0, 1, 3, 15, 16, 17, 31, 33, 100, 1536, 1543)) {
+      val a = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      val pa = FloatVecDot.pack(a)
+      val pb = FloatVecDot.pack(b)
+      val seq = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val viaBytes = VecKernels.dot(pa, pb)
+      val viaPacked = VecKernels.dotPacked(pa, b)
+      val scalar = VecKernels.dotScalar(pa, pb)
+      val scalarPacked = VecKernels.dotPackedScalar(pa, b)
+      // bytes×bytes, bytes×floats, and floats×floats are bit-identical
+      // within each impl (same lane scheme)
+      assert(viaBytes == viaPacked, s"simd lane scheme mismatch at d=$d")
+      assert(viaBytes == VecKernels.dotFloats(a, b) || !VecKernels.simdEnabled,
+        s"dotFloats lane scheme mismatch at d=$d")
+      assert(scalar == scalarPacked, s"scalar scheme mismatch at d=$d")
+      assert(scalar == VecKernels.dotFloatsScalar(a, b),
+        s"scalar dotFloats mismatch at d=$d")
+      // and both stay within reordering distance of the sequential sum
+      assert(math.abs(viaBytes - seq) < 1e-9, s"simd drift at d=$d")
+      assert(math.abs(scalar - seq) < 1e-9, s"scalar drift at d=$d")
+      // offset form: row 1 of a two-row matrix [b | a], scored vs b,
+      // is the same pair — must match the bytes×bytes kernel exactly
+      assert(VecKernels.dotPackedAt(pb ++ pa, pb.length, b) == viaBytes,
+        s"dotPackedAt offset mismatch at d=$d")
+    }
+    // truncate-to-shorter semantics (both args, both impls)
+    val x = FloatVecDot.pack(Array(1f, 2f, 3f))
+    val y = FloatVecDot.pack(Array(4f, 5f))
+    assert(VecKernels.dot(x, y) == 14.0 && VecKernels.dot(y, x) == 14.0)
+    assert(VecKernels.dotScalar(x, y) == 14.0)
+    assert(VecKernels.dotPacked(x, Array(4f, 5f)) == 14.0)
+  }
+
   test("SortedOverlapCount: merge count equals array_intersect size") {
     import spark.implicits._
     import graft.functions.SortedOverlapCount.sortedOverlapCount
