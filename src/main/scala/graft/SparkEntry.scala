@@ -475,6 +475,21 @@ object SparkEntry {
       graft.ops.Dedup.lineDedup(aug, "txt").orderBy($"doc_id")
     }),
 
+    // cross-document exact substring dedup (Lee et al. 2022 span
+    // removal): a 10-token preamble injected into 2/3 of the docs
+    // (identically in both engines) guarantees shared ≥8-token windows;
+    // exact-duplicate raw docs exercise whole-document span removal and
+    // the doc_id%3==0 cohort exercises untouched pass-through
+    "d13_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        when(pmod($"doc_id", lit(3)) === 0, $"text").otherwise(concat(
+          lit("shared preamble alpha beta gamma delta epsilon zeta eta theta "),
+          $"text")).as("txt"))
+      graft.ops.Dedup.substringDedup(aug, minTokens = 8, textCol = "txt")
+        .orderBy($"doc_id")
+    }),
+
     // G3 semantic dedup: similarity pairs → connected components → keep
     // one per component (the notebook's sketched graph dedup, real now).
     "d6_semantic_dedup" -> ((s, dir) => {
@@ -2091,6 +2106,71 @@ object SparkEntry {
                 coalesce(reb.text_dedup, '') AS text_dedup
          FROM documents d LEFT JOIN nl USING (doc_id) LEFT JOIN reb USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "d13_substring_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text
+                       ELSE 'shared preamble alpha beta gamma delta epsilon zeta eta theta '
+                            || text END AS txt
+           FROM documents),
+         t AS (SELECT doc_id, txt, string_split(txt, ' ') AS toks FROM aug),
+         w AS (
+           SELECT t.doc_id, r.i - 1 AS start,
+                  array_to_string(t.toks[r.i : r.i + 7], ' ') AS w
+           FROM t, LATERAL (SELECT unnest(range(1, len(t.toks) - 6)) AS i) r
+           WHERE len(t.toks) >= 8),
+         m AS (
+           SELECT doc_id, start FROM (
+             SELECT doc_id, start,
+                    count(*) OVER (PARTITION BY w) AS cnt,
+                    row_number() OVER (PARTITION BY w
+                      ORDER BY doc_id, start) AS rn
+             FROM w) z WHERE cnt > 1 AND rn > 1),
+         g AS (
+           SELECT doc_id, start,
+                  CASE WHEN prev_max IS NULL OR start > prev_max
+                       THEN 1 ELSE 0 END AS new_isl
+           FROM (SELECT doc_id, start,
+                        max(start + 8) OVER (PARTITION BY doc_id
+                          ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+                 FROM m) z),
+         i2 AS (
+           SELECT doc_id, start,
+                  sum(new_isl) OVER (PARTITION BY doc_id
+                    ORDER BY start) AS island
+           FROM g),
+         sp AS (
+           SELECT doc_id, island, min(start) AS s, max(start) + 8 AS e
+           FROM i2 GROUP BY doc_id, island),
+         agg AS (
+           SELECT doc_id, count(*)::BIGINT AS n_spans,
+                  sum(e - s)::BIGINT AS n_dup_tokens
+           FROM sp GROUP BY doc_id),
+         pos AS (
+           SELECT t.doc_id, r.i - 1 AS p, list_extract(t.toks, r.i) AS tok
+           FROM t, LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) r
+           WHERE t.doc_id IN (SELECT doc_id FROM agg)),
+         rem AS (
+           SELECT DISTINCT pos.doc_id, pos.p
+           FROM pos JOIN sp ON sp.doc_id = pos.doc_id
+                           AND pos.p >= sp.s AND pos.p < sp.e),
+         reb AS (
+           SELECT pos.doc_id,
+                  coalesce(string_agg(pos.tok, ' ' ORDER BY pos.p)
+                           FILTER (WHERE rem.p IS NULL), '') AS txt2
+           FROM pos LEFT JOIN rem ON rem.doc_id = pos.doc_id
+                                 AND rem.p = pos.p
+           GROUP BY pos.doc_id)
+         SELECT a2.doc_id,
+                coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
+                coalesce(agg.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+                CASE WHEN agg.doc_id IS NULL THEN a2.txt
+                     ELSE reb.txt2 END AS text_dedup
+         FROM aug a2 LEFT JOIN agg USING (doc_id)
+              LEFT JOIN reb ON reb.doc_id = a2.doc_id
+         ORDER BY a2.doc_id""",
 
     "d6_semantic_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

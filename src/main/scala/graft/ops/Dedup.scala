@@ -705,4 +705,109 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Cross-document exact substring deduplication — the span-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022): every window of `minTokens` consecutive
+    * tokens that occurs more than once in the corpus (across documents
+    * or repeated within one) is a duplicated span; all occurrences
+    * except the canonical first — smallest (doc_id, start) — are
+    * removed, after overlapping marked windows merge into maximal
+    * spans.
+    *
+    * Scale shape (two-phase, in place of the paper's suffix array):
+    *   1. duplicate-window MINING shuffles only `(hash60(window),
+    *      doc_id, start)` — 24 bytes per token position, not the
+    *      L-token window text (which would multiply the corpus ×L
+    *      through the exchange);
+    *   2. candidate rows (positions whose hash key repeats) re-derive
+    *      their window text by joining back through the tokenized docs
+    *      and are grouped on the FULL string, so 60-bit collisions can
+    *      never merge distinct windows — the keeper election and the
+    *      `cnt > 1` test both happen on exact text.
+    * Span merge is a per-document gaps-and-islands window (the
+    * partition key bounds the sort); the rebuild is a narrow per-row
+    * expression. The ×L cost that remains is CPU in phase 1's window
+    * hashing — inherent to the n-gram formulation (a rolling-hash
+    * Expression would shave constants; the suffix-array alternative
+    * trades it for a global sort).
+    *
+    * With `unicode = true` spans are found over [[TextAnalysis
+    * .tokensUnicode]] and the rebuilt text is those tokens — i.e.
+    * punctuation does not survive the rebuild; the default space
+    * tokenizer reproduces the original text exactly outside removed
+    * spans.
+    *
+    * Output: (doc_id, n_spans, n_dup_tokens, text_dedup), one row per
+    * input document (untouched documents pass through with their
+    * original text).
+    */
+  def substringDedup(docs: DataFrame, minTokens: Int,
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val L = minTokens
+    val toksE =
+      if (unicode) TextAnalysis.tokensUnicode(col(textCol))
+      else TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col("doc_id"), col(textCol).as("orig"),
+      toksE.as("toks"))
+
+    // phase 1: 60-bit window keys only (transform keeps the token
+    // array inside one row instead of copying it into every generated
+    // output row)
+    val winH = base.where(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - lit(L)),
+          p => TextAnalysis.hash60(array_join(slice(col("toks"), p + 1, lit(L)), " ")))))
+      .toDF("doc_id", "start", "h")
+    val dupH = winH.groupBy(col("h")).count()
+      .where(col("count") > 1).select(col("h"))
+
+    // phase 2: re-derive window text for candidate positions only and
+    // verify on the full string
+    val candW = winH.join(dupH, "h")
+      .join(base.select(col("doc_id"), col("toks")), "doc_id")
+      .select(col("doc_id"), col("start"),
+        array_join(slice(col("toks"), col("start") + 1, lit(L)), " ").as("w"))
+    val byW = Window.partitionBy(col("w"))
+    val marked = candW
+      .withColumn("cnt", count(lit(1)).over(byW))
+      .withColumn("rn", row_number().over(
+        byW.orderBy(col("doc_id"), col("start"))))
+      .where(col("cnt") > 1 && col("rn") > 1)
+      .select(col("doc_id"), col("start"))
+
+    // merge overlapping windows into maximal spans (gaps and islands)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val spans = marked
+      .withColumn("prev_max", max(col("start") + lit(L)).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("start") > col("prev_max"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_isl")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("s"), (max(col("start")) + lit(L)).as("e"))
+
+    val spansPerDoc = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("n_dup_tokens"))
+
+    base.join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("spans").isNull,
+          // no spans: original text verbatim (tokenizer-independent)
+          col("orig"))
+          .otherwise(array_join(
+            transform(
+              filter(sequence(lit(0), size(col("toks")) - 1),
+                p => !exists(col("spans"),
+                  sp => p >= sp("s") && p < sp("e"))),
+              p => element_at(col("toks"), p + 1)),
+            " ")).as("text_dedup"))
+  }
 }

@@ -1077,6 +1077,31 @@ class OpsSpec extends SparkSpec {
     assert(r(4L) == ((1L, 1L, "body four")))
   }
 
+  test("substringDedup: span removal, keeper election, island merge") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), // canonical first occurrence of the a-b-c run
+      (2L, "x y a b c d z"), // interior shared run -> one span
+      (3L, "a b c d e f"), // exact duplicate -> whole doc removed
+      (4L, "p q r"), // exactly L tokens, unique window -> untouched
+      (5L, "s t"), // shorter than L -> untouched
+      (6L, "m n o m n o m n o"), // within-doc period -> one period kept
+      (7L, "a b c d Q R S x y a b c d")) // two disjoint spans: the
+      // trailing run "x y a b c d" also overlaps doc 2's windows
+      // ("x y a", "y a b"), so the second span starts at x, not a
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDedup(d, minTokens = 3).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(r(1L) == ((0L, 0L, "a b c d e f")))
+    assert(r(2L) == ((1L, 4L, "x y z")))
+    assert(r(3L) == ((1L, 6L, "")))
+    assert(r(4L) == ((0L, 0L, "p q r")))
+    assert(r(5L) == ((0L, 0L, "s t")))
+    assert(r(6L) == ((1L, 6L, "m n o")))
+    assert(r(7L) == ((2L, 10L, "Q R S")))
+  }
+
   test("normalizeText: NFC composition, case fold, whitespace collapse") {
     import spark.implicits._
     val d = Seq(
