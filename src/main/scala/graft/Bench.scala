@@ -204,11 +204,19 @@ object Bench {
           .stripPrefix("file:") + "/graft_bench_knn_bucketed")
       graft.ops.SimilaritySearch.writeAssignedBucketed(corpus1m, cents,
         "graft_bench_knn_bucketed", buckets = cpus.toInt)
+      // cache the bucketed scan (InMemoryRelation keeps the scan's
+      // HashPartitioning, so the no-exchange property survives) — the
+      // indexed point above reads a MEMORY_AND_DISK-persisted frame,
+      // so without this the delta would measure disk IO, not the
+      // exchange elision it exists to isolate
+      spark.catalog.cacheTable("graft_bench_knn_bucketed")
+      spark.table("graft_bench_knn_bucketed").count()
       results("svs_knn_join_bucketed_1m") = timedMedian3 {
         graft.ops.SimilaritySearch.knnJoinIvfBucketed(
           queries10k, "graft_bench_knn_bucketed", cents, k = 10, nProbe = 4)
           .write.format("noop").mode("overwrite").save()
       }
+      spark.catalog.uncacheTable("graft_bench_knn_bucketed")
       spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
       queries10k.unpersist()
 

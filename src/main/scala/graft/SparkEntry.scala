@@ -231,6 +231,19 @@ object SparkEntry {
       graft.ops.Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 12)
         .orderBy(col("rank"))),
 
+    // tokenizer application: greedy lowest-rank BPE encode of the
+    // corpus under the merges x15 learns from it. No SQL oracle — the
+    // merge loop and the greedy encode are iterative — rows-only check
+    // here; hand-computed encodes are pinned by BpeSpec
+    "x19_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.bpeTrain(docs, numMerges = 12)
+      graft.ops.Bpe.bpeEncode(docs, merges)
+        .select(col("doc_id"), col("n_pieces"),
+          array_join(col("pieces"), " ").as("pieces_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // bigram-LM perplexity quality scoring (CCNet-style): the model is
     // trained on the corpus itself, so the whole train+score pipeline
     // is under the oracle

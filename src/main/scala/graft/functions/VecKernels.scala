@@ -79,6 +79,15 @@ object VecKernels {
     if (simdEnabled) VecSimd.dotFloatsAt(a, ao, b, bo, len)
     else dotFloatsAtScalar(a, ao, b, bo, len)
 
+  /** f64 × f32 dot: `v.length` doubles starting at `off` in `hp`
+    * against the float vector `v` (the sign-sketch hyperplane
+    * projection shape). Sign-consumers only — the lane-strided sum
+    * matches the other kernels' contract. Caller guarantees bounds.
+    */
+  def dotDoubleFloatAt(hp: Array[Double], off: Int, v: Array[Float]): Double =
+    if (simdEnabled) VecSimd.dotDoubleFloatAt(hp, off, v)
+    else dotDoubleFloatAtScalar(hp, off, v)
+
   private[graft] def dotScalar(a: Array[Byte], b: Array[Byte]): Double = {
     val n = math.min(a.length, b.length) & ~3
     var acc = 0.0
@@ -124,6 +133,14 @@ object VecKernels {
     var acc = 0.0
     var i = 0
     while (i < len) { acc += a(ao + i).toDouble * b(bo + i).toDouble; i += 1 }
+    acc
+  }
+
+  private[graft] def dotDoubleFloatAtScalar(hp: Array[Double], off: Int,
+      v: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += hp(off + i) * v(i); i += 1 }
     acc
   }
 }
@@ -305,6 +322,41 @@ private[functions] object VecSimd {
       tail += a(ao + j).toDouble * b(bo + j).toDouble
       j += 1
     }
+    acc0.add(acc1).add(acc2.add(acc3)).reduceLanes(VectorOperators.ADD) + tail
+  }
+
+  def dotDoubleFloatAt(hp: Array[Double], off: Int, v: Array[Float]): Double = {
+    val n = v.length
+    var acc0 = DoubleVector.zero(DSP)
+    var acc1 = DoubleVector.zero(DSP)
+    var acc2 = DoubleVector.zero(DSP)
+    var acc3 = DoubleVector.zero(DSP)
+    var j = 0
+    val flanes = FSP.length()
+    val dlanes = DSP.length()
+    while (j + 2 * flanes <= n) {
+      val va = FloatVector.fromArray(FSP, v, j)
+      val vc = FloatVector.fromArray(FSP, v, j + flanes)
+      acc0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+        .fma(DoubleVector.fromArray(DSP, hp, off + j), acc0)
+      acc1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+        .fma(DoubleVector.fromArray(DSP, hp, off + j + dlanes), acc1)
+      acc2 = vc.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+        .fma(DoubleVector.fromArray(DSP, hp, off + j + flanes), acc2)
+      acc3 = vc.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+        .fma(DoubleVector.fromArray(DSP, hp, off + j + flanes + dlanes), acc3)
+      j += 2 * flanes
+    }
+    while (j + flanes <= n) {
+      val va = FloatVector.fromArray(FSP, v, j)
+      acc0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+        .fma(DoubleVector.fromArray(DSP, hp, off + j), acc0)
+      acc1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+        .fma(DoubleVector.fromArray(DSP, hp, off + j + dlanes), acc1)
+      j += flanes
+    }
+    var tail = 0.0
+    while (j < n) { tail += hp(off + j) * v(j).toDouble; j += 1 }
     acc0.add(acc1).add(acc2.add(acc3)).reduceLanes(VectorOperators.ADD) + tail
   }
 

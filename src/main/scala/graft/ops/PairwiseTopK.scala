@@ -227,10 +227,8 @@ object PairwiseTopK {
                 val sk = sks(ri)
                 var j = 0
                 while (j < bitsHere) {
-                  var acc = 0.0
-                  val base = j * dim
-                  var i = 0
-                  while (i < dim) { acc += hp(base + i) * v(i); i += 1 }
+                  val acc = graft.functions.VecKernels
+                    .dotDoubleFloatAt(hp, j * dim, v)
                   if (acc >= 0) {
                     val p = cb + j
                     sk(p / 64) |= (1L << (p % 64))

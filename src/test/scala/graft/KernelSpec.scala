@@ -125,6 +125,18 @@ class KernelSpec extends SparkSpec {
       assert(VecKernels.dotPackedAt(pb ++ pa, pb.length, b) == viaBytes,
         s"dotPackedAt offset mismatch at d=$d")
     }
+    // mixed f64×f32 projection kernel: drift-bounded vs sequential,
+    // offset form addresses the right row
+    for (d <- Seq(0, 1, 15, 16, 17, 1536)) {
+      val hp = Array.fill(2 * d)(rnd.nextGaussian())
+      val v = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      val seqRow1 = (0 until d).map(i => hp(d + i) * v(i).toDouble).sum
+      assert(math.abs(VecKernels.dotDoubleFloatAt(hp, d, v) - seqRow1) < 1e-9,
+        s"dotDoubleFloatAt drift at d=$d")
+      assert(VecKernels.dotDoubleFloatAtScalar(hp, d, v) == seqRow1 ||
+        math.abs(VecKernels.dotDoubleFloatAtScalar(hp, d, v) - seqRow1) < 1e-12,
+        s"scalar dotDoubleFloatAt drift at d=$d")
+    }
     // truncate-to-shorter semantics (both args, both impls)
     val x = FloatVecDot.pack(Array(1f, 2f, 3f))
     val y = FloatVecDot.pack(Array(4f, 5f))
