@@ -148,6 +148,7 @@ object VectorQuant {
       val bc = spark.sparkContext.broadcast(books)
       val (sums, counts) = rows.mapPartitions { it =>
         val bs = bc.value
+        val flats = bs.map(flattenBook)
         val sums = Array.ofDim[Double](m, k, dsub)
         val counts = Array.ofDim[Long](m, k)
         it.foreach { case (_, vb) =>
@@ -161,7 +162,8 @@ object VectorQuant {
           if (!nan) {
             var s = 0
             while (s < m) {
-              val j = nearestCode(bs(s), v, s * dsub, dsub)
+              val fl = flats(s)
+              val j = nearestCodeFlat(fl._1, fl._2, dsub, v, s * dsub)
               val acc = sums(s)(j)
               var i = 0
               while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
@@ -221,6 +223,47 @@ object VectorQuant {
     best
   }
 
+  /** Flatten one subspace codebook to (row-major codewords, per-code
+    * L2 norms) for [[nearestCodeFlat]]'s SIMD argmin form. Built once
+    * per partition — k·dsub floats, trivial against the scan.
+    */
+  private[ops] def flattenBook(book: Array[Array[Float]]): (Array[Float], Array[Double]) = {
+    val k = book.length
+    val dsub = if (k == 0) 0 else book(0).length
+    val flat = new Array[Float](k * dsub)
+    val norms = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      System.arraycopy(book(j), 0, flat, j * dsub, dsub)
+      norms(j) = graft.functions.VecKernels.dotFloats(book(j), book(j))
+      j += 1
+    }
+    (flat, norms)
+  }
+
+  /** SIMD nearest codeword: argmin_j ||v−c_j||² computed as
+    * argmin_j (||c_j||² − 2·v·c_j) over the flattened book, the dot on
+    * [[graft.functions.VecKernels.dotFloatsAt]]. Same strict-< /
+    * ascending-j tie rule as [[nearestCode]]; the expansion changes
+    * rounding at the ~1e-15 scale, which can flip only genuinely
+    * equidistant codewords (the recall gates, not exactness, own this
+    * path). A NaN-component subvector scores NaN against every
+    * codeword and keeps code 0, like the distance form.
+    */
+  private[ops] def nearestCodeFlat(flat: Array[Float], norms: Array[Double],
+      dsub: Int, v: Array[Float], off: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < norms.length) {
+      val d = norms(j) - 2.0 * graft.functions.VecKernels
+        .dotFloatsAt(flat, j * dsub, v, off, dsub)
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
   /** Encode `(id, vec BINARY)` to `(id, code BINARY)` — m bytes per
     * vector (64× compression at d=1536, m=96). One narrow pass over
     * broadcast codebooks.
@@ -234,12 +277,14 @@ object VectorQuant {
     emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val bs = bc.value
+        val flats = bs.map(flattenBook)
         it.map { case (id, vb) =>
           val v = FloatVecDot.unpack(vb)
           val code = new Array[Byte](m)
           var s = 0
           while (s < m) {
-            code(s) = nearestCode(bs(s), v, s * dsub, dsub).toByte
+            val fl = flats(s)
+            code(s) = nearestCodeFlat(fl._1, fl._2, dsub, v, s * dsub).toByte
             s += 1
           }
           (id, code)
@@ -365,12 +410,14 @@ object VectorQuant {
       .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
         val bs = bc.value
+        val flats = bs.map(flattenBook)
         it.map { case (id, cid, vb) =>
           val v = FloatVecDot.unpack(vb)
           val code = new Array[Byte](m)
           var s = 0
           while (s < m) {
-            code(s) = nearestCode(bs(s), v, s * dsub, dsub).toByte
+            val fl = flats(s)
+            code(s) = nearestCodeFlat(fl._1, fl._2, dsub, v, s * dsub).toByte
             s += 1
           }
           (id, cid, code)
@@ -526,6 +573,7 @@ object VectorQuant {
     }
     val partial = arranged.mapPartitions { it =>
       val bs = bcB.value
+      val flats = bs.map(flattenBook)
       val heaps = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
       var curCid = Long.MinValue
@@ -537,7 +585,13 @@ object VectorQuant {
         if (tag == 0) {
           val q = FloatVecDot.unpack(vec)
           val t = Array.tabulate(m) { s =>
-            bs(s).map { c =>
+            // full-width subspaces take the SIMD flat-book path; a
+            // short query's ragged last subspaces keep the bounded loop
+            if ((s + 1) * dsub <= q.length) {
+              val fl = flats(s)
+              Array.tabulate(fl._2.length)(j => graft.functions.VecKernels
+                .dotFloatsAt(fl._1, j * dsub, q, s * dsub, dsub))
+            } else bs(s).map { c =>
               var acc = 0.0
               var i = 0
               while (i < dsub && s * dsub + i < q.length) {
