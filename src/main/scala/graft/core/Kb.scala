@@ -52,6 +52,9 @@ final class Kb private (
   def annIndexState: KbStore.AnnState = store.annIndexState
   def annRetrieve(query: String, n: Int, nProbe: Int = 8): Seq[Retrieval] =
     store.annRetrieve(query, n, checked, nProbe)
+  def knnJoin(queries: org.apache.spark.sql.DataFrame, k: Int,
+      nProbe: Int = 8): org.apache.spark.sql.DataFrame =
+    store.knnJoin(queries, k, nProbe)
 
   // ---- persistent int8 compressed tier (scale extension) ----
   def buildSqIndex(): Unit = store.buildSqIndex()

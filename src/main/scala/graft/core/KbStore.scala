@@ -1004,6 +1004,40 @@ final class KbStore private (
     hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
   }
 
+  /** Batch k-NN JOIN against the persisted ANN index: every row of
+    * `queries` (`id LONG, vec ARRAY<FLOAT>` unit-norm) gets its top-k
+    * neighbors among the store's embedded documents, probing the
+    * STORED assignment table — per-call cost is probe ranking +
+    * candidate scoring + bounded heaps; the corpus-wide assignment
+    * pass is index maintenance, amortized across calls (the
+    * deployment shape `svs_knn_join_indexed_1m` measures by hand).
+    * `nProbe >= nlist` degenerates to the exact join. Output:
+    * (qid, vec_id, score, rk), score rounded to 6 decimals, ties
+    * (score desc, vec_id asc).
+    */
+  def knnJoin(queries: DataFrame, k: Int, nProbe: Int = 8): DataFrame = {
+    require(hasAnnIndex, annIndexState match {
+      case KbStore.AnnStale =>
+        "ANN index is stale: call refreshAnnIndex() to catch it up"
+      case _ => "no ANN index: call buildAnnIndex()"
+    })
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    val centsDf = read(KbStore.IvfCentroidsTable)
+      .select(col("cid"),
+        floatVecPack(col("cvec").cast("array<float>")).as("cvec"))
+    val packedEmb = embeddings.toDF()
+      .select($"id".as("cand_id"), floatVecPack($"vec").as("cv"))
+    val assigned = read(KbStore.IvfAssignTable)
+      .join(packedEmb, col("vec_id") === col("cand_id"))
+      .select(col("cid").as("ccid"), col("cand_id"), col("cv"))
+    val packedQ = queries.select(col("id"),
+      floatVecPack(col("vec")).as("vec"))
+    graft.ops.SimilaritySearch.knnJoinIvfAssigned(
+        packedQ, assigned, centsDf, k, nProbe)
+      .withColumnRenamed("cid", "vec_id")
+  }
+
   // ------------------------------------------------------------------
   // persistent int8 compressed tier (SURVEY §7.5 round 5): the same
   // manifest lifecycle as the ANN index, over 4×-smaller scalar-

@@ -225,6 +225,28 @@ class StoreScaleSpec extends SparkSpec {
       assert(ann3.map(r => (r.doc.emb_id.get, r.score)) == twin)
     }
 
+    // batch knn JOIN through the persisted assignment: at full probe
+    // it equals the exact brute-force join on the same packed vectors
+    locally {
+      import spark.implicits._
+      val queries = kb.embeddings.toDF()
+        .where($"id" <= 10L).select($"id", $"vec")
+      val got = kb.knnJoin(queries, k = 3, nProbe = 8)
+        .orderBy($"qid", $"rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val arrAll = kb.embeddings.toDF()
+        .select($"id".as("vec_id"), $"vec".as("embedding"))
+      val brute = graft.ops.SimilaritySearch.knnJoin(
+          arrAll.where($"vec_id" <= 10L), arrAll, k = 3)
+        .orderBy($"qid", $"rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == brute)
+      // partial probe stays well-formed: k rows per query, ranked
+      val part = kb.knnJoin(queries, k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(part.groupBy(_._1).values.forall(_.size == 3))
+    }
+
     // adding docs leaves the index STALE (assignments still valid) —
     // it refuses to serve until the incremental refresh catches it up
     kb.bulkAddDocs(p)(_.add("another doc"))
