@@ -307,6 +307,32 @@ object SparkEntry {
           k = 10, iters = 3)
         .orderBy(col("vec_id"))),
 
+    // sliding-window chunking with overlap (RAG / context-window prep):
+    // 32-token chunks stepping by 16 — narrow map + explode, output
+    // volume (chunk/stride)× the corpus, no shuffle
+    "c2_chunk_overlap" -> ((s, dir) =>
+      graft.ops.TextAnalysis.chunkOverlap(t(s, dir, "documents"),
+          chunkTokens = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // tokenizer-coverage / OOV-rate stats against the corpus's own
+    // top-25 vocabulary (31 distinct terms exist at this sf, so the
+    // OOV path is genuinely exercised): broadcast vocab, keyed agg
+    "x20_oov_stats" -> ((s, dir) =>
+      graft.ops.TextAnalysis.oovStats(t(s, dir, "documents"), vocabSize = 25)
+        .orderBy(col("doc_id"))),
+
+    // DSIR-style hashed-bigram importance weights (target = the
+    // English subset): add-1-smoothed bucket log-ratios, broadcast
+    // log-ratio table, per-doc keyed agg
+    "x21_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.importanceWeights(
+          docs, docs.where($"lang" === "en"), buckets = 64)
+        .orderBy($"doc_id")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
     // and the vector top-k (rank-based, so engine-exact; doc_id ==
     // vec_id on the synthetic corpus)
@@ -1744,6 +1770,56 @@ object SparkEntry {
          SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
                 round(max(c)::DOUBLE / sum(c), 6) AS top_frac
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "c2_chunk_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         g AS (SELECT doc_id, s,
+                 unnest(range(0, greatest(len(s), 1), 16)) AS st
+               FROM tk)
+         SELECT doc_id, st // 16 AS chunk_id, st AS chunk_start,
+                array_to_string(s[st+1 : st+32], ' ') AS chunk_text,
+                len(s[st+1 : st+32])::BIGINT AS n_chunk_tokens
+         FROM g ORDER BY doc_id, chunk_id""",
+
+    "x20_oov_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         v AS (SELECT term FROM (SELECT term, count(*) AS n FROM toks
+                                 GROUP BY term ORDER BY n DESC, term LIMIT 25)),
+         agg AS (SELECT toks.doc_id, count(*)::BIGINT AS n_tokens,
+                        sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT
+                          AS n_oov
+                 FROM toks LEFT JOIN v USING (term) GROUP BY toks.doc_id)
+         SELECT doc_id, n_tokens, n_oov,
+                round(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
+         FROM agg ORDER BY doc_id""",
+
+    "x21_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS s
+                     FROM documents),
+         bg AS (SELECT doc_id, lang,
+                  unnest(CASE WHEN len(s) >= 2 THEN
+                    list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])
+                  ELSE [] END) AS g
+                FROM tk),
+         b AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bk FROM bg),
+         rc AS (SELECT bk, count(*)::DOUBLE AS rc FROM b GROUP BY bk),
+         tc AS (SELECT bk, count(*)::DOUBLE AS tc FROM b WHERE lang = 'en'
+                GROUP BY bk),
+         tot AS (SELECT (SELECT sum(rc) FROM rc) AS rt,
+                        (SELECT coalesce(sum(tc), 0) FROM tc) AS tt),
+         lr AS (SELECT rc.bk,
+                  ln((coalesce(tc.tc, 0) + 1.0) / (tot.tt + 64)) -
+                  ln((rc.rc + 1.0) / (tot.rt + 64)) AS lw
+                FROM rc LEFT JOIN tc USING (bk) CROSS JOIN tot),
+         sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+                       round(sum(lr.lw), 6) AS lwsum
+                FROM b JOIN lr USING (bk) GROUP BY b.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+                coalesce(sc.lwsum, 0.0) AS log_weight
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
 
     "x12_curation" ->
       """WITH u AS (

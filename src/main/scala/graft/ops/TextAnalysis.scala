@@ -446,4 +446,112 @@ object TextAnalysis {
         expr(s"rn div $batchSize").as("batch_idx"),
         expr(s"rn % $batchSize").as("pos_in_batch"))
   }
+
+  /** Sliding-window chunking with overlap — the RAG / context-window
+    * preparation step: each document yields chunks of `chunkTokens`
+    * tokens whose starts step by `stride` (stride < chunkTokens ⇒
+    * consecutive chunks overlap by `chunkTokens - stride` tokens, the
+    * usual retrieval-chunking layout; the reference's `chunkify` is the
+    * degenerate stride == chunk case, `util.py` via `kb.py:233`).
+    *
+    * A narrow map + explode: chunk count is ceil(n/stride) per document,
+    * so output volume is (chunkTokens/stride)× the corpus — linear, no
+    * shuffle, stays in whole-stage codegen (sequence/slice/array_join).
+    * The final chunk may be shorter than `chunkTokens`; a document
+    * always yields at least one chunk.
+    *
+    * Output: (doc_id, chunk_id, chunk_start, chunk_text, n_chunk_tokens).
+    */
+  def chunkOverlap(docs: DataFrame, chunkTokens: Int, stride: Int,
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens: chunk=$chunkTokens stride=$stride")
+    val toks = if (unicode) tokensUnicode(col(textCol)) else tokens(col(textCol))
+    docs.select(col("doc_id"), toks.as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), greatest(size(col("s")) - 1, lit(0)),
+          lit(stride))).as("st"))
+      .select(col("doc_id"),
+        expr(s"st div $stride").cast("long").as("chunk_id"),
+        col("st").cast("long").as("chunk_start"),
+        array_join(slice(col("s"), col("st") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("s"), col("st") + 1, lit(chunkTokens))).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
+  /** Tokenizer-coverage statistics: per-document out-of-vocabulary rate
+    * against the corpus's own top-`vocabSize` terms (the fixed-vocab
+    * coverage check run before committing to a tokenizer). The vocabulary
+    * is vocabulary-sized, not corpus-sized, so it broadcasts; the per-doc
+    * pass is one explode + broadcast left join + keyed agg — linear at
+    * 100 TB with no corpus shuffle beyond the doc_id agg.
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate).
+    */
+  def oovStats(docs: DataFrame, vocabSize: Int, textCol: String = "text",
+      unicode: Boolean = false): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val vocab = TextRetrieval.vocabTopK(docs, vocabSize, textCol, unicode)
+      .select(col("term"), lit(1).as("in_vocab"))
+    val toks = if (unicode) tokensUnicode(col(textCol)) else tokens(col(textCol))
+    docs.select(col("doc_id"), explode(toks).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  /** DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how target-like its hashed n-gram
+    * profile is. Bigrams hash into `buckets` buckets; each corpus gets
+    * add-1-smoothed bucket probabilities; a document's log-weight is
+    * Σ_b c_b(x) · (ln p_target(b) − ln p_raw(b)). Selecting top-weight
+    * (or Gumbel-resampling on the weights) yields the target-matched
+    * subset.
+    *
+    * Scale shape: both bucket tables are `buckets`-sized (broadcast);
+    * the raw pass is explode → broadcast join → keyed agg — linear, no
+    * corpus shuffle beyond the doc_id agg. Deterministic and
+    * engine-portable (md5-derived bucket hash, closed-form smoothing).
+    * Buckets unseen in raw cannot appear in a raw document, so the
+    * log-ratio table only needs raw-observed buckets.
+    *
+    * Output: (doc_id, n_bigrams, log_weight) for every raw document
+    * (docs with < 2 tokens get n_bigrams = 0, log_weight = 0).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, buckets: Int = 64,
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    def bigramBuckets(df: DataFrame) = {
+      val toks = if (unicode) tokensUnicode(col(textCol)) else tokens(col(textCol))
+      df.select(col("doc_id"), toks.as("s"))
+        .select(col("doc_id"), explode(when(size(col("s")) >= 2,
+          expr("transform(sequence(1, size(s) - 1), i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("doc_id"), pmod(hash60(col("g")), lit(buckets.toLong)).as("bk"))
+    }
+    val rawBk = bigramBuckets(raw)
+    val rawCnt = rawBk.groupBy(col("bk"))
+      .agg(count(lit(1)).cast("double").as("rc"))
+    val tgtCnt = bigramBuckets(target).groupBy(col("bk"))
+      .agg(count(lit(1)).cast("double").as("tc"))
+    val totals = rawCnt.agg(sum(col("rc")).as("rt")).crossJoin(
+      tgtCnt.agg(coalesce(sum(col("tc")), lit(0.0)).as("tt")))
+    // log-ratio per raw-observed bucket: tiny (≤ buckets rows), broadcast
+    val lr = rawCnt.join(tgtCnt, Seq("bk"), "left").crossJoin(totals)
+      .select(col("bk"),
+        (log((coalesce(col("tc"), lit(0.0)) + 1.0) / (col("tt") + buckets)) -
+         log((col("rc") + 1.0) / (col("rt") + buckets))).as("lw"))
+    val scored = rawBk.join(broadcast(lr), Seq("bk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(sum(col("lw")), 6).as("lwsum"))
+    raw.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lwsum"), lit(0.0)).as("log_weight"))
+  }
 }

@@ -1239,4 +1239,67 @@ class OpsSpec extends SparkSpec {
     assert(sizes.join(maxBatch, Seq("bucket"))
       .filter(col("batch_idx") < col("last_b") && col("count") =!= 4).isEmpty)
   }
+
+  test("chunkOverlap: hand-computed chunks, overlap, short-doc tail") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val c = TextAnalysis.chunkOverlap(d, chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getLong(4)))
+    // doc 1: starts 0,2,4,6 — consecutive chunks share 2 tokens
+    assert(c.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, "a b c d", 4L), (1L, 1L, 2L, "c d e f", 4L),
+      (1L, 2L, 4L, "e f g", 3L), (1L, 3L, 6L, "g", 1L)))
+    // doc 2 is shorter than one chunk: exactly one (partial) chunk
+    assert(c.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, "x y", 2L)))
+    // reconstruction: stride-aligned chunks at stride==chunk concatenate
+    // back to the document
+    val whole = TextAnalysis.chunkOverlap(d, chunkTokens = 3, stride = 3)
+      .groupBy($"doc_id")
+      .agg(array_join(collect_list($"chunk_text"), " ").as("rebuilt"))
+    assert(whole.join(d, "doc_id").filter($"rebuilt" =!= $"text").isEmpty)
+  }
+
+  test("oovStats: rate against the corpus top-k vocabulary") {
+    import spark.implicits._
+    // corpus: 'a' x4, 'b' x3, 'c' x2, 'd' x1 — vocab(2) = {a, b}
+    val d = Seq((1L, "a a b c"), (2L, "a a b b c d")).toDF("doc_id", "text")
+    val o = TextAnalysis.oovStats(d, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(o(1L) == ((4L, 1L, 0.25)))
+    assert(o(2L) == ((6L, 2L, round6(2.0 / 6))))
+    // with the full vocabulary nothing is OOV
+    val full = TextAnalysis.oovStats(docs, vocabSize = 100000)
+    assert(full.filter(col("n_oov") =!= 0L).isEmpty)
+  }
+
+  test("importanceWeights: target-like docs score above off-target docs") {
+    import spark.implicits._
+    // raw = two sublanguages with disjoint bigrams; target = the 'en' side
+    val raw = (1L to 20L).map(i =>
+      if (i <= 10) (i, "the cat sat on the mat", "en")
+      else (i, "le chat noir dort ici bien", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.importanceWeights(
+        raw, raw.where($"lang" === "en"), buckets = 32)
+      .join(raw.select($"doc_id", $"lang"), "doc_id")
+    val mean = w.groupBy($"lang").agg(avg($"log_weight").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mean("en") > 0 && mean("fr") < 0 && mean("en") > mean("fr"))
+    // a doc with < 2 tokens carries zero evidence
+    val tiny = TextAnalysis.importanceWeights(
+      raw.unionByName(Seq((99L, "solo", "fr")).toDF("doc_id", "text", "lang")),
+      raw.where($"lang" === "en"), buckets = 32)
+    val z = tiny.filter($"doc_id" === 99L).head()
+    assert(z.getLong(1) == 0L && z.getDouble(2) == 0.0)
+    // deterministic across recomputation
+    val again = TextAnalysis.importanceWeights(
+      raw, raw.where($"lang" === "en"), buckets = 32)
+    assert(w.select($"doc_id", $"log_weight")
+      .except(again.select($"doc_id", $"log_weight")).isEmpty)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
