@@ -299,12 +299,20 @@ object SparkEntry {
         .orderBy(col("mmr_rank"))),
 
     // spherical k-means corpus clustering (deterministic seeds + Lloyd
-    // refinement). No SQL oracle — iterative — rows-only check here;
-    // determinism, partition coverage, and label purity are pinned by
-    // OpsSpec
+    // refinement). Oracle-exact: the oracle UNROLLS the Lloyd
+    // iterations as CTE blocks (kmeansOracleCtes) — argmax assignment,
+    // per-dimension mean, unit-normalize, empty-cluster carry-forward
     "c1_clusters" -> ((s, dir) =>
       graft.ops.SimilaritySearch.clusterDocs(t(s, dir, "embeddings"),
           k = 10, iters = 3)
+        .orderBy(col("vec_id"))),
+
+    // SemDeDup (Abbas et al. 2023): within-cluster greedy keep-first
+    // embedding dedup — the cluster-bounded answer to d5's corpus-wide
+    // near-dup join
+    "d15_semdedup" -> ((s, dir) =>
+      graft.ops.Dedup.semDedup(t(s, dir, "embeddings"),
+          k = 10, iters = 3, threshold = 0.4)
         .orderBy(col("vec_id"))),
 
     // sliding-window chunking with overlap (RAG / context-window prep):
@@ -501,6 +509,18 @@ object SparkEntry {
           docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
           k = 3, threshold = 0.5)
         .orderBy($"doc_id")
+    }),
+
+    // semantic (embedding-space) cross-corpus contamination: even ids
+    // play the training corpus, odd ids the benchmark; exact path at
+    // this scale (oracle-provable), sketch-banded beyond exactLimit
+    "d14_semantic_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Dedup.semanticContamination(
+          emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+          threshold = 0.4)
+        .orderBy($"vec_id")
     }),
 
     // C4-style line dedup over multi-line docs synthesized identically
@@ -1145,6 +1165,25 @@ object SparkEntry {
         .select($"id".as("doc_id"), $"depth".cast("long").as("depth"),
           $"preorder", concat_ws("/", $"path").as("path_str"))
         .orderBy($"preorder")
+    }),
+
+    // G3+: distributed PageRank over a 3-layer graph derived from the
+    // testdata (supplier → customer via lineitem⋈orders, customer →
+    // nation; nations are the dangling layer). Fixed 3 power iterations
+    // so the oracle can unroll them as plain CTEs.
+    "g3_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val e1 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select($"l_suppkey".cast("long").as("src"),
+          ($"o_custkey" + 100000L).cast("long").as("dst"))
+      val e2 = c.select(($"c_custkey" + 100000L).cast("long").as("src"),
+        ($"c_nationkey" + 200000L).cast("long").as("dst"))
+      graft.ops.GraphOps.pageRank(e1.unionByName(e2), iters = 3)
+        .select($"id", round($"rank", 6).as("rank"))
+        .orderBy($"id")
     }),
 
     // TPC-H Q6 shape: tight range+band filter over the fact table, one
@@ -2052,6 +2091,26 @@ object SparkEntry {
          WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
          ORDER BY id1, id2""",
 
+    "d14_semantic_contamination" ->
+      """WITH tr AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE vec_id % 2 = 0),
+            te AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 2 = 1),
+            f AS (SELECT te.vec_id AS qid, tr.vec_id AS tid,
+                         round(list_dot_product(te.embedding::DOUBLE[],
+                               tr.embedding::DOUBLE[]), 6) AS cos
+                  FROM te CROSS JOIN tr
+                  WHERE round(list_dot_product(te.embedding::DOUBLE[],
+                        tr.embedding::DOUBLE[]), 6) >= 0.4),
+            ag AS (SELECT qid, count(*) AS n_matches, max(cos) AS max_cos
+                   FROM f GROUP BY qid),
+            best AS (SELECT qid, tid AS best_match FROM (
+                       SELECT qid, tid, row_number() OVER (
+                         PARTITION BY qid ORDER BY cos DESC, tid) AS rk
+                       FROM f) WHERE rk = 1)
+         SELECT a.qid AS vec_id, b.best_match, a.n_matches, a.max_cos
+         FROM ag a JOIN best b USING (qid) ORDER BY vec_id""",
+
     "x8_token_packing" ->
       """WITH t AS (SELECT doc_id, lang,
                 len(string_split(text, ' '))::BIGINT AS n_tokens
@@ -2864,8 +2923,116 @@ object SparkEntry {
                 row_number() OVER (ORDER BY path) AS preorder,
                 array_to_string(path, '/') AS path_str
          FROM tree
-         ORDER BY preorder"""
+         ORDER BY preorder""",
+
+    "g3_pagerank" -> pageRankOracleSql(3),
+
+    "c1_clusters" -> (kmeansOracleCtes(10, 3) + s""",
+         af AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cvec) AS s,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid)
+                         AS rk
+                FROM emb e CROSS JOIN c3 c)
+         SELECT vec_id, cid, round(s, 6) AS sim FROM af WHERE rk = 1
+         ORDER BY vec_id"""),
+
+    "d15_semdedup" -> (kmeansOracleCtes(10, 3) + s""",
+         af AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cvec) AS s,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid)
+                         AS rk
+                FROM emb e CROSS JOIN c3 c),
+         asg AS (SELECT vec_id, cid FROM af WHERE rk = 1),
+         pairs AS (SELECT b.vec_id AS id2
+                   FROM asg a JOIN asg b
+                     ON a.cid = b.cid AND a.vec_id < b.vec_id
+                   JOIN emb e1 ON e1.vec_id = a.vec_id
+                   JOIN emb e2 ON e2.vec_id = b.vec_id
+                   WHERE round(list_dot_product(e1.v, e2.v), 6) >= 0.4),
+         dropped AS (SELECT DISTINCT id2 FROM pairs)
+         SELECT g.vec_id, g.cid, (d.id2 IS NULL) AS keep
+         FROM asg g LEFT JOIN dropped d ON g.vec_id = d.id2
+         ORDER BY g.vec_id""")
   )
+
+  /** Unrolled deterministic spherical-k-means CTE prefix (emb, c0,
+    * and per-iteration a/g/m/mm/mv/nv/c blocks ending at c<iters>):
+    * seeds = first k vectors by id, assignment = argmax dot with ties
+    * to the smaller cid, update = unit-normalized per-dimension mean,
+    * empty clusters carry the previous centroid — the exact semantics
+    * of SimilaritySearch.clusterDocs/kmeansCentroids.
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS BIGINT) AS cid, v AS cvec
+                FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k))"""
+    for (j <- 1 to iters) {
+      val p = j - 1
+      sb ++= s""",
+         a$j AS (SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid)
+                         AS rk
+                FROM emb e CROSS JOIN c$p c),
+         g$j AS (SELECT vec_id, v, cid FROM a$j WHERE rk = 1),
+         m$j AS (SELECT cid, generate_subscripts(v, 1) AS i,
+                        unnest(v) AS x
+                 FROM g$j),
+         mm$j AS (SELECT cid, i, avg(x) AS m FROM m$j GROUP BY cid, i),
+         mv$j AS (SELECT cid, list(m ORDER BY i) AS mv
+                  FROM mm$j GROUP BY cid),
+         nv$j AS (SELECT cid, list_transform(mv, z -> z /
+                    sqrt(list_sum(list_transform(mv, w -> w * w)))) AS nvec
+                  FROM mv$j),
+         c$j AS (SELECT c.cid, coalesce(n.nvec, c.cvec) AS cvec
+                 FROM c$p c LEFT JOIN nv$j n ON c.cid = n.cid)"""
+    }
+    sb.toString
+  }
+
+  /** Unrolled power-iteration PageRank oracle: recursive CTEs cannot
+    * aggregate over the recursive table, so each iteration k becomes a
+    * (dangling-mass, contribution, rank) CTE triple. The damping
+    * constants are written as the same double expressions the Spark
+    * side evaluates ((1.0 - 0.85), 0.85) so both engines round the
+    * identical value.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT CAST(l.l_suppkey AS BIGINT) AS src,
+                    CAST(100000 + o.o_custkey AS BIGINT) AS dst
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             UNION ALL
+             SELECT CAST(100000 + c_custkey AS BIGINT),
+                    CAST(200000 + c_nationkey AS BIGINT) FROM customer)),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+                 FROM e GROUP BY src),
+         p0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for (k <- 1 to iters) {
+      val p = k - 1
+      sb ++= s""",
+         d$k AS (SELECT coalesce(sum(p.rank), 0) AS m FROM p$p p
+                 LEFT JOIN deg g ON p.id = g.src WHERE g.src IS NULL),
+         c$k AS (SELECT e.dst AS id, sum(p.rank / g.od) AS contrib
+                 FROM p$p p JOIN deg g ON p.id = g.src
+                 JOIN e ON e.src = p.id GROUP BY e.dst),
+         p$k AS (SELECT o.id,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * (coalesce(c.contrib, 0)
+                     + (SELECT m FROM d$k) / (SELECT n FROM nn)) AS rank
+                 FROM nodes o LEFT JOIN c$k c ON o.id = c.id)"""
+    }
+    sb ++= s"""
+         SELECT id, round(rank, 6) AS rank FROM p$iters ORDER BY id"""
+    sb.toString
+  }
 
   private def coreOracle: Map[String, String] = Map(
     "s4_scan" ->

@@ -810,4 +810,123 @@ object Dedup {
               p => element_at(col("toks"), p + 1)),
             " ")).as("text_dedup"))
   }
+
+  /** SEMANTIC cross-corpus contamination — the embedding-space
+    * complement of [[crossCorpusContamination]]'s n-gram check: a test
+    * document is contaminated when some training vector scores cosine ≥
+    * `threshold` against it (paraphrased or reformatted leakage that
+    * token overlap misses; cf. the decontamination discussion in Brown
+    * et al. 2020 §4 and Yang et al. 2023 "rephrased samples").
+    *
+    * Inputs are (vec_id, embedding ARRAY<FLOAT>) with DISJOINT id
+    * spaces. Output: one row per CONTAMINATED test doc —
+    * (vec_id, best_match = train id of the highest-cosine hit with ties
+    * to the smaller id, n_matches, max_cos), cosines rounded to 6 dp
+    * before thresholding (engine-portable).
+    *
+    * Scale shape: benchmarks are small, training corpora are not — so
+    * when the TEST side fits a broadcast (≤ `exactLimit` rows, checked
+    * with a bounded count) the train side is scanned ONCE against the
+    * broadcast test set (a BroadcastNestedLoopJoin whose dot + filter
+    * stay in one codegen stage; only the ≥-threshold matches reach the
+    * shuffle). Beyond that, both sides get the SAME seeded sign
+    * sketches ([[PairwiseTopK.signSketches]] is deterministic in
+    * (seed, dim)), candidates are in-band collisions across sides, and
+    * survivors are exactly re-scored — precision exact, recall banded
+    * exactly as in [[embeddingNearDups]], with `bands` auto-sized to
+    * predicted recall ≥ 0.9 at the threshold.
+    */
+  def semanticContamination(train: DataFrame, test: DataFrame,
+      threshold: Double, exactLimit: Long = 20000L,
+      bands: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FloatVecDot.floatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
+    val tr = train.select(col("vec_id").as("tid"),
+      floatVecPack(col("embedding")).as("tv"))
+    val te = test.select(col("vec_id").as("qid"),
+      floatVecPack(col("embedding")).as("qv"))
+    val boundedCount = te
+      .limit(math.min(exactLimit + 1, Int.MaxValue.toLong).toInt).count()
+    val hits =
+      if (boundedCount <= exactLimit) {
+        tr.crossJoin(broadcast(te))
+          .select(col("qid"), col("tid"),
+            round(floatVecDot(col("qv"), col("tv")), 6).as("cos"))
+          .where(col("cos") >= threshold)
+      } else {
+        val dim = test.select(size(col("embedding"))).limit(1)
+          .collect().head.getInt(0)
+        val (bits, nb) =
+          if (bands > 0) { val b4 = ((bands + 3) / 4) * 4; (b4 * 16, b4) }
+          else PairwiseTopK.sketchConfigFor(threshold)
+        val maxHam = math.min(bits.toDouble,
+          bits * math.acos(math.max(-1.0, math.min(1.0, threshold))) /
+            math.Pi * 1.25).toInt
+        val skTr = PairwiseTopK.signSketches(
+          tr.select(col("tid").as("id"), col("tv").as("vec")), dim, bits, nb, 42L)
+        val skTe = PairwiseTopK.signSketches(
+          te.select(col("qid").as("id"), col("qv").as("vec")), dim, bits, nb, 42L)
+        val a = skTr.select(posexplode(col("bkeys")).as(Seq("band", "bkey")),
+          col("id").as("tid"), col("sk").as("sk1"))
+        val b = skTe.select(posexplode(col("bkeys")).as(Seq("band", "bkey")),
+          col("id").as("qid"), col("sk").as("sk2"))
+        val cands = a.join(b, Seq("band", "bkey"))
+          .select(col("qid"), col("tid"),
+            expr("aggregate(zip_with(sk1, sk2, (x, y) -> bit_count(x ^ y)), 0, (s, h) -> s + h)")
+              .as("hamming"))
+          .where(col("hamming") <= maxHam)
+          .select(col("qid"), col("tid")).distinct()
+        cands.join(tr, "tid").join(te, "qid")
+          .select(col("qid"), col("tid"),
+            round(floatVecDot(col("qv"), col("tv")), 6).as("cos"))
+          .where(col("cos") >= threshold)
+      }
+    val agg = hits.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("tid"))
+    val best = hits.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("qid"), col("tid").as("best_match"))
+    agg.join(best, "qid")
+      .select(col("qid").as("vec_id"), col("best_match"),
+        col("n_matches"), col("max_cos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): cluster-bounded embedding dedup.
+    * Cluster the corpus with deterministic spherical k-means
+    * ([[SimilaritySearch.clusterDocs]]), then WITHIN each cluster drop
+    * every document that scores cosine ≥ `threshold` against a
+    * smaller-id clustermate (the paper's greedy keep-first rule — NOT
+    * transitive closure, so it is a plain semi-join, unlike
+    * [[semanticDedup]]'s connected components).
+    *
+    * Scale shape: this is how embedding dedup dodges the all-pairs
+    * wall — the only pairwise work is per-cluster, so with k clusters
+    * the join volume is Σ|cluster|² ≈ n²/k, and k scales with the
+    * corpus (√n clusters ⇒ linear total work). The cid equi-join
+    * co-partitions both sides; an over-dense cluster is a skew key,
+    * handled the usual ways (AQE skew split, or raise k).
+    *
+    * @return (vec_id, cid, keep BOOLEAN), one row per input vector
+    */
+  def semDedup(emb: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    import graft.functions.FloatVecDot.floatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
+    val assigned = SimilaritySearch.clusterDocs(emb, k, iters)
+      .select(col("vec_id"), col("cid"))
+    val packed = emb.select(col("vec_id"),
+      floatVecPack(col("embedding")).as("v"))
+    val withV = assigned.join(packed, "vec_id")
+    val a = withV.select(col("cid"), col("vec_id").as("id1"),
+      col("v").as("v1"))
+    val b = withV.select(col("cid"), col("vec_id").as("id2"),
+      col("v").as("v2"))
+    val dropped = a.join(b, Seq("cid")).where(col("id1") < col("id2"))
+      .where(round(floatVecDot(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id2")).distinct()
+    assigned.join(dropped, assigned("vec_id") === dropped("id2"), "left")
+      .select(col("vec_id"), col("cid"), col("id2").isNull.as("keep"))
+  }
 }

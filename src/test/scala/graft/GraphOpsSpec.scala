@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, GraphOps}
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: ranks sum to 1 and a pure sink outranks its sources") {
+    // star: 1,2,3 → 4 (4 is dangling)
+    val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(e, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(4L) > r(1L))
+    assert(r(1L) == r(2L) && r(2L) == r(3L)) // symmetric sources tie
+  }
+
+  test("pageRank: dangling mass is redistributed (no rank leaks)") {
+    // chain with a dangling tail: 1 → 2 → 3
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sum0 = GraphOps.pageRank(e, iters = 0)
+      .agg(org.apache.spark.sql.functions.sum($"rank")).head.getDouble(0)
+    val sum5 = GraphOps.pageRank(e, iters = 5)
+      .agg(org.apache.spark.sql.functions.sum($"rank")).head.getDouble(0)
+    assert(math.abs(sum0 - 1.0) < 1e-9 && math.abs(sum5 - 1.0) < 1e-9)
+  }
+
+  test("pageRank: matches the hand-computed first iteration") {
+    // 1 → 2, 1 → 3; N = 3, d = 0.85, r0 = 1/3 each.
+    // dangling mass = r(2)+r(3) = 2/3
+    // r1(1) = 0.15/3 + 0.85*(2/3/3)           (dangling share only)
+    // r1(2) = 0.15/3 + 0.85*(1/3/2 + 2/3/3)   (half of 1's rank + share)
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(e, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val n = 3.0
+    val dang = 2.0 / 3.0
+    val exp1 = (1.0 - 0.85) / n + 0.85 * (dang / n)
+    val exp2 = (1.0 - 0.85) / n + 0.85 * (1.0 / 3.0 / 2.0 + dang / n)
+    assert(math.abs(r(1L) - exp1) < 1e-12)
+    assert(math.abs(r(2L) - exp2) < 1e-12)
+    assert(math.abs(r(3L) - exp2) < 1e-12)
+  }
+
+  test("semanticContamination: planted leak found, clean docs absent, " +
+       "sketch path agrees with exact on the found pairs") {
+    val rnd = new scala.util.Random(7)
+    def unit(d: Int): Array[Float] = {
+      val v = Array.fill(d)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val d = 32
+    val train = (0L until 40L).map(i => (i, unit(d)))
+    // test doc 1000 = exact copy of train doc 3 (cos 1.0); 1001..1010 random
+    val test = Seq((1000L, train(3)._2)) ++
+      (1001L to 1010L).map(i => (i, unit(d)))
+    val trDf = train.toDF("vec_id", "embedding")
+    val teDf = test.toDF("vec_id", "embedding")
+    val exact = Dedup.semanticContamination(trDf, teDf, threshold = 0.95)
+      .collect()
+    assert(exact.length == 1)
+    assert(exact.head.getLong(0) == 1000L)
+    assert(exact.head.getLong(1) == 3L)
+    assert(exact.head.getDouble(3) >= 0.999999)
+    // force the sketch path (exactLimit = 0) — the planted near-exact
+    // duplicate is the easiest possible recall case; result must agree
+    val sk = Dedup.semanticContamination(trDf, teDf, threshold = 0.95,
+      exactLimit = 0L).collect()
+    assert(sk.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      exact.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}
