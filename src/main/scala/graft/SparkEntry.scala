@@ -307,6 +307,18 @@ object SparkEntry {
           k = 10, iters = 3)
         .orderBy(col("vec_id"))),
 
+    // trained quality classifier (fastText-style): logistic regression
+    // over hashed bag-of-words, 8 full-batch GD steps — label = "is
+    // English". Oracle unrolls the GD steps as weight-vector CTEs.
+    "x22_classifier" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.TextClassifier.trainAndScore(
+          t(s, dir, "documents")
+            .withColumn("y", when($"lang" === "en", 1.0).otherwise(0.0)),
+          labelCol = "y", dim = 64, iters = 8, lr = 1.0)
+        .orderBy($"doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): within-cluster greedy keep-first
     // embedding dedup — the cluster-bounded answer to d5's corpus-wide
     // near-dup join
@@ -2952,8 +2964,67 @@ object SparkEntry {
          dropped AS (SELECT DISTINCT id2 FROM pairs)
          SELECT g.vec_id, g.cid, (d.id2 IS NULL) AS keep
          FROM asg g LEFT JOIN dropped d ON g.vec_id = d.id2
-         ORDER BY g.vec_id""")
+         ORDER BY g.vec_id"""),
+
+    "x22_classifier" -> logRegOracleSql(64, 8, 1.0)
   )
+
+  /** Unrolled full-batch logistic-regression oracle: feature hash =
+    * polynomial-31 over char codes mod 2²⁰ mod dim (list_reduce with a
+    * prepended init of 7 — TextClassifier.hashIdx's exact recipe), then
+    * one (score, residual, gradient, weights, bias) CTE block per GD
+    * step. Mean gradient, zero init, fixed iteration count.
+    */
+  private def logRegOracleSql(dim: Int, iters: Int, lr: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tkf AS MATERIALIZED (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+         nt AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n
+                FROM tkf GROUP BY doc_id),
+         fh AS MATERIALIZED (SELECT doc_id,
+                       list_reduce(list_prepend(CAST(7 AS BIGINT),
+                         list_transform(regexp_extract_all(tok, '.'),
+                           c -> CAST(ord(c) AS BIGINT))),
+                         (a, b) -> (a * 31 + b) % 1048576) % $dim AS i
+                FROM tkf),
+         f AS MATERIALIZED (SELECT fh.doc_id, fh.i,
+                      CAST(count(*) AS DOUBLE) / nt.n AS x
+               FROM fh JOIN nt ON fh.doc_id = nt.doc_id
+               GROUP BY fh.doc_id, fh.i, nt.n),
+         y AS MATERIALIZED (SELECT doc_id,
+                      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+               FROM documents),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         w0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS i, 0.0 AS w FROM range($dim) t(i)),
+         b0 AS MATERIALIZED (SELECT 0.0 AS b)"""
+    for (k <- 1 to iters) {
+      val p = k - 1
+      sb ++= s""",
+         s$k AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS s
+                 FROM f JOIN w$p w USING (i) GROUP BY f.doc_id),
+         r$k AS MATERIALIZED (SELECT y.doc_id,
+                        1.0 / (1.0 + exp(-(coalesce(s.s, 0)
+                          + (SELECT b FROM b$p)))) - y.y AS r
+                 FROM y LEFT JOIN s$k s ON y.doc_id = s.doc_id),
+         g$k AS MATERIALIZED (SELECT f.i, sum(r.r * f.x) AS g
+                 FROM f JOIN r$k r ON f.doc_id = r.doc_id GROUP BY f.i),
+         w$k AS MATERIALIZED (SELECT w.i, w.w - $lr * coalesce(g.g, 0)
+                   / (SELECT n FROM nn) AS w
+                 FROM w$p w LEFT JOIN g$k g ON w.i = g.i),
+         b$k AS MATERIALIZED (SELECT (SELECT b FROM b$p) - $lr * (SELECT sum(r) FROM r$k)
+                   / (SELECT n FROM nn) AS b)"""
+    }
+    sb ++= s""",
+         sf AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS s
+                FROM f JOIN w$iters w USING (i) GROUP BY f.doc_id)
+         SELECT y.doc_id, y.y AS label,
+                round(1.0 / (1.0 + exp(-(coalesce(s.s, 0)
+                  + (SELECT b FROM b$iters)))), 4) AS prob
+         FROM y LEFT JOIN sf s ON y.doc_id = s.doc_id
+         ORDER BY y.doc_id"""
+    sb.toString
+  }
 
   /** Unrolled deterministic spherical-k-means CTE prefix (emb, c0,
     * and per-iteration a/g/m/mm/mv/nv/c blocks ending at c<iters>):
