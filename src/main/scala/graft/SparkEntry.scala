@@ -307,6 +307,24 @@ object SparkEntry {
           k = 10, iters = 3)
         .orderBy(col("vec_id"))),
 
+    // Z-order (Morton) layout key over (user_id, event-hour): the
+    // multi-dimensional clustering key writeZordered range-partitions
+    // files by. The ntile here is the oracle-visible bucket twin of
+    // repartitionByRange's sampled boundaries (which are not
+    // engine-portable); the scale path is Layout.writeZordered.
+    "x23_zorder" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select($"event_id",
+        ($"user_id" % 65536L).as("a"),
+        expr("(unix_micros(ts) div 3600000000) % 65536").as("b"))
+      ev.withColumn("zval", graft.ops.Layout.zValue(16, $"a", $"b"))
+        .withColumn("bucket",
+          ntile(16).over(Window.orderBy($"zval", $"event_id")).cast("long"))
+        .select($"event_id", $"zval", $"bucket")
+        .orderBy($"event_id")
+    }),
+
     // trained quality classifier (fastText-style): logistic regression
     // over hashed bag-of-words, 8 full-batch GD steps — label = "is
     // English". Oracle unrolls the GD steps as weight-vector CTEs.
@@ -2966,7 +2984,21 @@ object SparkEntry {
          FROM asg g LEFT JOIN dropped d ON g.vec_id = d.id2
          ORDER BY g.vec_id"""),
 
-    "x22_classifier" -> logRegOracleSql(64, 8, 1.0)
+    "x22_classifier" -> logRegOracleSql(64, 8, 1.0),
+
+    "x23_zorder" -> {
+      val terms = (for { ki <- 0 until 2; j <- 0 until 16 } yield
+        s"(((${if (ki == 0) "a" else "b"} >> $j) & 1) << ${j * 2 + ki})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id % 65536 AS a,
+                 (epoch_ns(ts) // 1000 // 3600000000) % 65536 AS b
+               FROM events),
+          z AS (SELECT event_id, $terms AS zval FROM e)
+          SELECT event_id, zval,
+                 CAST(ntile(16) OVER (ORDER BY zval, event_id) AS BIGINT)
+                   AS bucket
+          FROM z ORDER BY event_id"""
+    }
   )
 
   /** Unrolled full-batch logistic-regression oracle: feature hash =

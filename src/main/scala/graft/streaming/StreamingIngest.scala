@@ -356,6 +356,73 @@ object StreamingIngest {
       .start()
   }
 
+  /** One term's current Misra-Gries bounds: the true stream count c
+    * satisfies count_lo <= c <= count_hi. */
+  case class VocabEstimate(shard: Int, term: String, count_lo: Long,
+      count_hi: Long)
+
+  /** Internal Misra-Gries shard summary (public for the generated
+    * state encoder, like [[EventBuffer]]). */
+  case class MgSummary(terms: Seq[String], counts: Seq[Long],
+      decrements: Long)
+
+  /** Streaming heavy-hitter vocabulary — the streaming twin of the
+    * batch `x10_vocab_topk` corpus vocabulary, as a SHARDED Misra-Gries
+    * summary (Misra & Gries 1982): terms hash to `nShards` state keys,
+    * each shard maintains at most `capacity` counters, and when a new
+    * term meets a full summary every counter decrements instead (the
+    * classic ≤ stream/capacity undercount). Because a term lives in
+    * exactly ONE shard, the global heavy-hitter set is the plain union
+    * of shard summaries — no cross-shard merge step — and state is
+    * bounded at nShards·capacity counters no matter how adversarial
+    * the vocabulary is. When `capacity` ≥ the shard's distinct terms
+    * the bounds collapse (count_lo = count_hi = exact count), which is
+    * what the batch-parity spec pins.
+    *
+    * Emits each shard's full current summary every trigger (Update
+    * mode): (shard, term, count_lo, count_hi). State never expires —
+    * vocabulary is cumulative by design; bound memory with capacity,
+    * not a watermark.
+    */
+  def streamingVocab(docs: DataFrame, capacity: Int, nShards: Int = 32,
+      textCol: String = "text"): Dataset[VocabEstimate] = {
+    require(capacity >= 1 && nShards >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(col(textCol)))
+        .as("term"))
+      .where(col("term") =!= "")
+      .select(pmod(hash(col("term")), lit(nShards)).as("shard"),
+        col("term"))
+      .as[(Int, String)]
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[MgSummary, VocabEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, it, state: GroupState[MgSummary]) =>
+          val held = state.getOption
+            .getOrElse(MgSummary(Nil, Nil, 0L))
+          val m = scala.collection.mutable.LinkedHashMap[String, Long](
+            held.terms.zip(held.counts).toSeq: _*)
+          var dec = held.decrements
+          it.foreach { case (_, t) =>
+            m.get(t) match {
+              case Some(c) => m(t) = c + 1
+              case None if m.size < capacity => m(t) = 1L
+              case None =>
+                // decrement-all: every counter pays one, zeros evict
+                dec += 1
+                m.mapValuesInPlace((_, c) => c - 1)
+                m.filterInPlace((_, c) => c > 0)
+            }
+          }
+          state.update(MgSummary(m.keys.toSeq, m.values.toSeq, dec))
+          m.iterator.map { case (t, c) =>
+            VocabEstimate(shard, t, c, c + dec)
+          }
+      }
+  }
+
   /** Wire a streaming source of (doc_id, text) through the embed stage
     * into an append-mode parquet sink — the Structured Streaming face of
     * the reference's bulk ingest. Returns the started query.

@@ -400,4 +400,53 @@ class StreamingSpec extends SparkSpec {
       out(0).getString(1).contains("[PHONE]"))
     assert(out(0).getLong(5) == 2 && out(1).getLong(5) == 0)
   }
+
+  test("streaming vocab: exact batch parity when capacity covers the shard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsB1 = Seq("alpha beta alpha", "gamma beta")
+    val docsB2 = Seq("alpha delta", "beta beta gamma")
+    val stream = MemoryStream[String]
+    val vocab = StreamingIngest.streamingVocab(
+      stream.toDF().toDF("text"), capacity = 100, nShards = 4)
+    val q = vocab.writeStream.outputMode("update")
+      .format("memory").queryName("vocab_out").start()
+    stream.addData(docsB1); q.processAllAvailable()
+    stream.addData(docsB2); q.processAllAvailable()
+    q.stop()
+    // counts only grow while no decrements happen, so the final
+    // summary per term is its max emission
+    val streamed = spark.table("vocab_out")
+      .groupBy($"term")
+      .agg(max($"count_lo").as("lo"), max($"count_hi").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val batch = (docsB1 ++ docsB2).flatMap(_.split(" "))
+      .groupBy(identity).map { case (t, xs) =>
+        (t, xs.length.toLong, xs.length.toLong) }.toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming vocab: capacity-bounded state keeps valid bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed stream: 'heavy' dominates; 5 distinct terms, capacity 2
+    val docs = Seq("heavy heavy heavy heavy heavy a b",
+                   "heavy heavy heavy c d heavy")
+    val stream = MemoryStream[String]
+    val vocab = StreamingIngest.streamingVocab(
+      stream.toDF().toDF("text"), capacity = 2, nShards = 1)
+    val q = vocab.writeStream.outputMode("update")
+      .format("memory").queryName("vocab_cap_out").start()
+    stream.addData(docs); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("vocab_cap_out")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // summary never exceeds capacity
+    assert(rows.length <= 2)
+    val heavy = rows.find(_._1 == "heavy")
+    assert(heavy.isDefined, s"heavy hitter evicted: ${rows.toSeq}")
+    // true count 9 must lie within [lo, hi]
+    assert(heavy.get._2 <= 9L && heavy.get._3 >= 9L, heavy.toString)
+  }
 }
