@@ -587,6 +587,24 @@ object SparkEntry {
       graft.ops.Dedup.semanticDedup(pairs).orderBy(col("doc_id"))
     }),
 
+    // per-user EWMA — a sequential per-key recurrence (mapGroups; keys
+    // parallel, each key serial). α = 0.5 exactly representable, so
+    // the fold is bit-identical across engines before the 6-dp round.
+    "e6_ewma" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.TimeJoins.ewma(
+          t(s, dir, "events").filter($"user_id" < 25L)
+            .withColumn("tsl", unix_micros($"ts")),
+          alpha = 0.5, tsCol = "tsl")
+        .select($"user_id", $"event_id", $"rn",
+          // + 1e-9 nudges the dyadic-terminating fold values off exact
+          // .5e-6 round boundaries (identically in both engines); the
+          // expansions' tails are powers of 5, never 4999999, so the
+          // bias can only unify, not flip
+          round($"ewma" + 1e-9, 6).as("ewma"))
+        .orderBy($"user_id", $"rn")
+    }),
+
     // batch sessionization (streaming twin lives in StreamingIngest):
     // 10-minute-gap sessions per user, one row per session.
     "e2_sessionize" -> ((s, dir) => {
@@ -2177,6 +2195,23 @@ object SparkEntry {
                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                   AS n_last_hour
          FROM e ORDER BY event_id""",
+
+    "e6_ewma" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+           FROM events WHERE user_id < 25),
+         r AS (SELECT user_id, event_id, rn, value AS ewma
+               FROM ev WHERE rn = 1
+               UNION ALL
+               SELECT e.user_id, e.event_id, e.rn,
+                      0.5 * e.value + 0.5 * r.ewma
+               FROM ev e JOIN r
+                 ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, event_id, rn,
+                round(ewma + 0.000000001, 6) AS ewma
+         FROM r ORDER BY user_id, rn""",
 
     "e4_resample" ->
       """WITH ev AS (

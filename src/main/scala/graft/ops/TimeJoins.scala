@@ -90,4 +90,46 @@ object TimeJoins {
         col("__rt") <= col("__lt") + after)
       .drop("__k", "__lt", "__b", "__rk", "__rt", "__rb")
   }
+
+  /** Per-key exponentially-weighted moving average over an ordered
+    * event stream: ewma₁ = x₁, ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁ (events
+    * ordered by (ts, event_id) within each key) — the classic smoothed
+    * baseline that backs drift/anomaly monitors (e5's z-score flags
+    * use a global window mean; this is its sequential-memory
+    * counterpart).
+    *
+    * Scale shape: a recurrence is inherently serial PER KEY, so the
+    * honest distributed form is one `mapGroups` pass per key — keys
+    * process in parallel, each key's events sort in that task. State
+    * is the key's event list: bounded by events-per-key, the same
+    * contract as any per-entity sequence op (sessionize). A key with
+    * unbounded history wants the streaming formulation instead (carry
+    * the EWMA in `GroupState` — [[graft.streaming.StreamingIngest]]'s
+    * pattern).
+    *
+    * Input: (key LONG, event_id LONG, ts LONG, value DOUBLE) as column
+    * names given; output (key, event_id, rn, ewma) — ewma unrounded
+    * (callers round with the engine's round() for oracle hashing).
+    */
+  def ewma(events: DataFrame, alpha: Double, keyCol: String = "user_id",
+      idCol: String = "event_id", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("long"), col(valCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var acc = 0.0
+        evs.iterator.zipWithIndex.map { case ((_, id, _, x), i) =>
+          acc = if (i == 0) x else alpha * x + (1.0 - alpha) * acc
+          (key, id, (i + 1).toLong, acc)
+        }
+      }
+      .toDF(keyCol, idCol, "rn", "ewma")
+  }
 }

@@ -43,6 +43,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r(3L) - exp2) < 1e-12)
   }
 
+  test("ewma: hand-computed fold, per-key isolation, ts-then-id order") {
+    val ev = Seq(
+      (1L, 10L, 100L, 4.0), (1L, 11L, 200L, 8.0), (1L, 12L, 300L, 2.0),
+      // same ts -> event_id breaks the tie (13 before 14)
+      (2L, 14L, 100L, 10.0), (2L, 13L, 100L, 0.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = graft.ops.TimeJoins.ewma(ev, alpha = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    assert(r == Set(
+      (1L, 10L, 1L, 4.0), (1L, 11L, 2L, 6.0), (1L, 12L, 3L, 4.0),
+      (2L, 13L, 1L, 0.0), (2L, 14L, 2L, 5.0)))
+  }
+
   test("semanticContamination: planted leak found, clean docs absent, " +
        "sketch path agrees with exact on the found pairs") {
     val rnd = new scala.util.Random(7)
