@@ -30,5 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 40g: the 1M bench points hold two ~6.3GB cached corpora (raw +
+  // bucketed/coded twin) at once; at 28g the unified pool evicted the
+  // second cache mid-point and the "warm" joins re-read from disk
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )

@@ -215,9 +215,10 @@ final class KbStore private (
     * same atomic manifest publish, same rollback discipline as a full
     * commit.
     */
-  private def commitDelta(patches: Map[String, KbStore.TablePatch],
+  private def commitDelta(patches0: Map[String, KbStore.TablePatch],
       newMeta: KbMeta => KbMeta,
-      preserveIndex: Boolean = true): Unit = {
+      preserveIndex: Boolean = true,
+      statsDelta: Option[() => KbStore.StatsDelta] = None): Unit = {
     val cur = metaCache
     val next = cur.version + 1
     val onDisk = KbStore.readMeta(path)
@@ -226,6 +227,30 @@ final class KbStore private (
         s"store $path: manifest version moved ${cur.version} -> " +
           s"${onDisk.version} since this writer's snapshot; concurrent " +
           "writer detected (this store is single-writer)")
+    // dataset-card maintenance: when the stats table exists and this
+    // mutation touches user data, fold the caller-supplied delta into
+    // the card IN the same atomic publish (the thunk runs only here, so
+    // untracked paths cost nothing). A data mutation WITHOUT a delta
+    // drops the stats pointer instead — a card that silently stops
+    // moving is worse than no card.
+    val statsLive = cur.table_versions.contains(KbStore.StatsTable)
+    val touchesData = patches0.keys.exists(KbStore.DataTables.contains)
+    val (patches, dropStats) =
+      if (statsLive && touchesData) statsDelta match {
+        case Some(thunk) =>
+          val d = thunk()
+          val card = readStatsCard()
+          val rows = Seq(
+            ("n_docs", card.getOrElse("n_docs", 0L) + d.docs),
+            ("n_embeddings", card.getOrElse("n_embeddings", 0L) + d.embeddings),
+            ("n_edges", card.getOrElse("n_edges", 0L) + d.edges),
+            ("n_keys", card.getOrElse("n_keys", 0L) + d.keys),
+            ("n_chars", card.getOrElse("n_chars", 0L) + d.chars))
+          (patches0 + (KbStore.StatsTable -> KbStore.TablePatch(
+            del = Some(rows.map(_._1).toDF("metric")),
+            add = Some(rows.toDF("metric", "value")))), false)
+        case None => (patches0, true)
+      } else (patches0, false)
     try {
       // tables whose chain is full get a MINOR compaction (chain merged
       // into one delta, base untouched); the rest stage plain segments
@@ -286,6 +311,11 @@ final class KbStore private (
       var pointers = cur.table_versions ++ patches.keys.map(_ -> next)
       var bases = cur.table_bases
       var deltaChains = cur.table_deltas
+      if (dropStats) {
+        pointers -= KbStore.StatsTable
+        bases -= KbStore.StatsTable
+        deltaChains -= KbStore.StatsTable
+      }
       // minor-compacted tables keep their base; the chain collapses to
       // the one merged segment just staged
       overflow.keys.foreach { name =>
@@ -326,6 +356,45 @@ final class KbStore private (
   def countEdges: Long = edges.count()
   def countKeys: Long = keyval.count()
   def len: Long = countDocs
+
+  // ------------------------------------------------------------------
+  // dataset card (incrementally-maintained corpus stats)
+  // ------------------------------------------------------------------
+  private def readStatsCard(): Map[String, Long] =
+    read(KbStore.StatsTable).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def computeStatsCard(): Map[String, Long] = Map(
+    "n_docs" -> docs.count(),
+    "n_embeddings" -> embeddings.count(),
+    "n_edges" -> edges.count(),
+    "n_keys" -> keyval.count(),
+    "n_chars" -> docs.toDF()
+      .agg(coalesce(sum(length($"text")), lit(0L)))
+      .collect()(0).getLong(0))
+
+  /** Seed (or reseed) the incrementally-maintained stats table from a
+    * full pass over the data tables. After this, every tracked mutation
+    * folds its own delta into the card inside the same atomic commit —
+    * [[datasetCard]] stays O(5 rows) to read no matter how large the
+    * store grows. A future untracked data mutation drops the card
+    * (visible as a fallback full recompute) rather than serving stale
+    * numbers.
+    */
+  def buildStats(): Unit = {
+    val card = computeStatsCard()
+    commit(Map(KbStore.StatsTable ->
+      card.toSeq.sortBy(_._1).toDF("metric", "value")), identity)
+  }
+
+  /** The corpus dataset card: row counts per table + total text chars.
+    * O(1) from the maintained stats table when present; a full
+    * recompute otherwise.
+    */
+  def datasetCard: Map[String, Long] =
+    if (metaCache.table_versions.contains(KbStore.StatsTable))
+      readStatsCard()
+    else computeStatsCard()
 
   /** P1 fetch_doc (`kb.py:416-473`); NoSuchElementException on miss. */
   def fetchDoc(id: Long): Doc =
@@ -413,7 +482,10 @@ final class KbStore private (
           add = Some(spark.createDataset(docRows).toDF())),
         "embeddings" -> KbStore.TablePatch(
           add = Some(spark.createDataset(embRows).toDF()))),
-      m => m.copy(max_doc_id = math.max(nextDocId, nextEmbId)))
+      m => m.copy(max_doc_id = math.max(nextDocId, nextEmbId)),
+      statsDelta = Some(() => KbStore.StatsDelta(
+        docs = docRows.size, embeddings = embRows.size,
+        chars = docRows.iterator.map(_.text.length.toLong).sum)))
     staged.map(_._1)
   }
 
@@ -497,7 +569,13 @@ final class KbStore private (
           add = Some(spark.createDataset(Seq(KV.of(mk, mv))).toDF()))
       }
     try {
-      commitDelta(patches, m => m.copy(max_doc_id = n0 + added))
+      commitDelta(patches, m => m.copy(max_doc_id = n0 + added),
+        statsDelta = Some(() => KbStore.StatsDelta(
+          docs = added, embeddings = added,
+          keys = ingestMarker.map(m =>
+            if (hasKey(m._1)) 0L else 1L).getOrElse(0L),
+          chars = ids.agg(coalesce(sum(length($"text")), lit(0L)))
+            .collect()(0).getLong(0))))
     } finally ids.unpersist(blocking = false)
     added
   }
@@ -520,13 +598,15 @@ final class KbStore private (
       }
     }
     val existing = docs.filter($"id".isin(ids: _*))
-      .select($"id", $"emb_id").collect()
+      .select($"id", $"emb_id", length($"text").cast("long")).collect()
     if (existing.length != ids.distinct.length)
       throw new NoSuchElementException(
         s"some ids do not exist: ${ids.diff(existing.map(_.getLong(0)).toSeq)}")
 
     val embIds = existing.flatMap(r =>
       if (r.isNullAt(1)) None else Some(r.getLong(1))).toSet
+    val delChars = existing.iterator
+      .map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
     // tombstones only: the doc ids, their embedding rows, and the ids of
     // cascading edges (an O(edges) scan finds them, but the WRITE is
     // O(matches) — the delta-commit contract)
@@ -539,7 +619,12 @@ final class KbStore private (
         "edges" -> KbStore.TablePatch(del = Some(edgeIds))) ++
         (if (embIds.isEmpty) Map.empty else Map("embeddings" ->
           KbStore.TablePatch(del = Some(embIds.toSeq.toDF("id"))))),
-      identity)
+      identity,
+      statsDelta = Some(() => KbStore.StatsDelta(
+        docs = -ids.distinct.size.toLong,
+        embeddings = -embIds.size.toLong,
+        edges = -edgeIds.count(),
+        chars = -delChars)))
   }
 
   /** M3 at 100 TB: delete an arbitrary-size id set supplied as a
@@ -581,7 +666,15 @@ final class KbStore private (
             del = Some(del.select(col("del_id").as("id")))),
           "embeddings" -> KbStore.TablePatch(del = Some(embIds)),
           "edges" -> KbStore.TablePatch(del = Some(edgeIds))),
-        identity)
+        identity,
+        statsDelta = Some(() => KbStore.StatsDelta(
+          docs = -del.count(),
+          embeddings = -embIds.count(),
+          edges = -edgeIds.count(),
+          chars = -docs.toDF()
+            .join(del, col("id") === del("del_id"), "left_semi")
+            .agg(coalesce(sum(length(col("text"))), lit(0L)))
+            .collect()(0).getLong(0))))
     } finally del.unpersist(blocking = false)
   }
 
@@ -624,7 +717,9 @@ final class KbStore private (
         "embeddings" -> embPatch),
       m => m.copy(max_doc_id =
         math.max(m.max_doc_id, newEmbId.getOrElse(0L))),
-      preserveIndex = false)
+      preserveIndex = false,
+      statsDelta = Some(() => KbStore.StatsDelta(
+        embeddings = newEmbId.size.toLong - delEmbId.size.toLong)))
   }
 
   /** M4 update_doc_meta (`kb.py:347-358`). */
@@ -636,7 +731,8 @@ final class KbStore private (
         del = Some(Seq(id).toDF("id")),
         add = Some(spark.createDataset(
           Seq(docRow.copy(meta = newMeta))).toDF()))),
-      identity)
+      identity,
+      statsDelta = Some(() => KbStore.StatsDelta()))
   }
 
   // ------------------------------------------------------------------
@@ -668,7 +764,8 @@ final class KbStore private (
     commitDelta(
       Map("edges" -> KbStore.TablePatch(
         add = Some(spark.createDataset(rows).toDF()))),
-      m => m.copy(max_edge_id = next))
+      m => m.copy(max_edge_id = next),
+      statsDelta = Some(() => KbStore.StatsDelta(edges = rows.size)))
     rows.map(_.id)
   }
 
@@ -680,7 +777,8 @@ final class KbStore private (
     if (edges.filter($"id" === id).isEmpty)
       throw new NoSuchElementException(s"edge $id")
     commitDelta(Map("edges" ->
-      KbStore.TablePatch(del = Some(Seq(id).toDF("id")))), identity)
+      KbStore.TablePatch(del = Some(Seq(id).toDF("id")))), identity,
+      statsDelta = Some(() => KbStore.StatsDelta(edges = -1L)))
   }
 
   /** G1 directedness probe + export (`kb.py:681-722`): returns the edges
@@ -722,7 +820,9 @@ final class KbStore private (
       Map("keyval" -> KbStore.TablePatch(
         del = Some(Seq(key).toDF("key")),
         add = Some(spark.createDataset(Seq(row)).toDF()))),
-      identity)
+      identity,
+      statsDelta = Some(() => KbStore.StatsDelta(
+        keys = if (hasKey(key)) 0L else 1L)))
   }
 
   def hasKey(key: String): Boolean =
@@ -751,7 +851,8 @@ final class KbStore private (
   def delKey(key: String): Unit = {
     if (!hasKey(key)) throw new NoSuchElementException(s"key $key")
     commitDelta(Map("keyval" ->
-      KbStore.TablePatch(del = Some(Seq(key).toDF("key")))), identity)
+      KbStore.TablePatch(del = Some(Seq(key).toDF("key")))), identity,
+      statsDelta = Some(() => KbStore.StatsDelta(keys = -1L)))
   }
 
   def items: Seq[(String, Any)] =
@@ -1673,6 +1774,23 @@ object KbStore {
   final case class TablePatch(del: Option[DataFrame] = None,
       add: Option[DataFrame] = None)
 
+  /** Incrementally-maintained dataset-card table (opt-in via
+    * [[KbStore.buildStats]]): 5 metric rows, replaced through the same
+    * delta-commit path as any table. */
+  val StatsTable = "stats"
+
+  /** The user-data tables whose mutations must move the stats card. */
+  val DataTables: Set[String] = Set("docs", "embeddings", "edges", "keyval")
+
+  /** One mutation's effect on the dataset card — signed row/char
+    * deltas, supplied BY the mutation path (which already knows them
+    * from its own guards) so the generic commit never has to re-run a
+    * patch's pipeline (an embeddings add may embed through a remote
+    * provider; counting it generically would embed twice).
+    */
+  final case class StatsDelta(docs: Long = 0L, embeddings: Long = 0L,
+      edges: Long = 0L, keys: Long = 0L, chars: Long = 0L)
+
   /** Tombstone key columns per table — what a `del` segment stores and
     * what the read-side anti-join probes. Doc/edge ids are high-water
     * assigned and keyval keys resolve by fold order, so key semantics
@@ -1681,6 +1799,7 @@ object KbStore {
   val DeltaKeys: Map[String, Seq[String]] = Map(
     "docs" -> Seq("id"), "embeddings" -> Seq("id"),
     "edges" -> Seq("id"), "keyval" -> Seq("key"),
+    StatsTable -> Seq("metric"),
     IvfAssignTable -> Seq("vec_id"), SqCodesTable -> Seq("vec_id"),
     IvfPqCodesTable -> Seq("vec_id"),
     TextPostingsTable -> Seq("doc_id"), TextDocLensTable -> Seq("doc_id"))

@@ -147,4 +147,16 @@ object Bpe {
       }
     enc.toDF("doc_id", "pieces", "n_pieces")
   }
+
+  /** Inverse of [[bpeEncode]]: concatenate the pieces and turn each
+    * end-of-word marker back into a space — lossless round-trip of the
+    * tokenized text (tokens joined by single spaces), because merges
+    * only ever glue symbols WITHIN a word and every word ends in
+    * exactly one marker. A narrow codegen'd map (concat + replace +
+    * rtrim); completes the train→encode→decode tokenizer lifecycle.
+    */
+  def bpeDecode(encoded: DataFrame): DataFrame =
+    encoded.select(col("doc_id"),
+      rtrim(regexp_replace(concat_ws("", col("pieces")),
+        java.util.regex.Pattern.quote(EndOfWord), " ")).as("text"))
 }

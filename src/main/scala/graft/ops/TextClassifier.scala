@@ -79,6 +79,11 @@ object TextClassifier {
       f.join(broadcast(wDf), "i").groupBy(col("doc_id"))
         .agg(sum(col("x") * col("w")).as("s"))
     }
+    // gradient features = hashed features ∪ a synthetic bias feature
+    // (i = -1, x = 1) per doc, so one groupBy(i) job per iteration
+    // yields every weight gradient AND the bias gradient together
+    val fGrad = f.union(yDf.select(col("doc_id"),
+      lit(-1L).as("i"), lit(1.0).as("x")))
     var it = 0
     while (it < iters) {
       val rDf = yDf.join(scoresWith(w), Seq("doc_id"), "left")
@@ -86,13 +91,14 @@ object TextClassifier {
           (lit(1.0) / (lit(1.0) +
             exp(-(coalesce(col("s"), lit(0.0)) + lit(b)))) - col("y"))
             .as("r"))
-        .cache()
-      val grads = f.join(rDf, "doc_id").groupBy(col("i"))
+      val grads = fGrad.join(rDf, "doc_id").groupBy(col("i"))
         .agg(sum(col("r") * col("x")).as("g")).collect()
-      val gb = rDf.agg(sum(col("r"))).head.getDouble(0)
-      rDf.unpersist()
+      var gb = 0.0
       val g = Array.fill(dim)(0.0)
-      grads.foreach(r => g(r.getLong(0).toInt) = r.getDouble(1))
+      grads.foreach { r =>
+        val i = r.getLong(0)
+        if (i < 0) gb = r.getDouble(1) else g(i.toInt) = r.getDouble(1)
+      }
       var i = 0
       while (i < dim) { w(i) -= lr * g(i) / n; i += 1 }
       b -= lr * gb / n

@@ -51,4 +51,15 @@ class BpeSpec extends SparkSpec {
       Seq("lo", "w", "est</w>", "lo", "w", "</w>"))
     assert(enc.getLong(2) == 6L)
   }
+
+  test("bpeDecode inverts bpeEncode (lossless round-trip)") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lowest low"), (2L, "newer wider low"))
+      .toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.bpeTrain(docs, numMerges = 6)
+    val enc = graft.ops.Bpe.bpeEncode(docs, merges)
+    val dec = graft.ops.Bpe.bpeDecode(enc)
+      .orderBy($"doc_id").collect().map(_.getString(1)).toSeq
+    assert(dec == Seq("low lowest low", "newer wider low"))
+  }
 }

@@ -399,4 +399,63 @@ class KbStoreSpec extends SparkSpec {
     assert(!ran)
     kb2.close()
   }
+
+  test("dataset card: incrementally maintained through every mutation " +
+       "kind, O(5 rows) to read, compact-safe") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = Embeddings.withMagnitudeCheck(unitProvider(4))
+    kb.bulkAddDocs(p) { add => add.add("aaa"); add.add("bbbbb") }
+    kb.buildStats()
+    def recomputed(): Map[String, Long] = Map(
+      "n_docs" -> kb.countDocs, "n_embeddings" -> kb.embeddings.count(),
+      "n_edges" -> kb.countEdges, "n_keys" -> kb.countKeys,
+      "n_chars" -> kb.docs.toDF()
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("text"))),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0))
+    assert(kb.datasetCard == recomputed())
+    assert(kb.datasetCard("n_chars") == 8L)
+
+    // every tracked mutation kind moves the card in its own commit
+    kb.bulkAddDocs(p) { add => add.add("cc", noEmbedding = true) }
+    assert(kb.datasetCard == recomputed())
+    kb.addEdge(1L, 2L, 3L)
+    kb.setKey("k1", 7L)
+    kb.setKey("k1", 8L) // overwrite: n_keys must NOT double-count
+    kb.setKey("k2", "x")
+    assert(kb.datasetCard == recomputed())
+    kb.delKey("k2")
+    kb.updateDocMeta(1L, Some("{\"a\":1}"))
+    kb.setDocEmbedding(3L, Some(Array(1.0f, 0f, 0f, 0f)))
+    assert(kb.datasetCard == recomputed())
+    kb.bulkDelDocs(Seq(1L)) // cascades the edge + embedding row
+    assert(kb.datasetCard == recomputed())
+    assert(kb.datasetCard("n_edges") == 0L)
+
+    // compact rewrites the tiny stats table with everything else
+    kb.compact()
+    assert(kb.datasetCard == recomputed())
+
+    // distributed twins maintain it too
+    import spark.implicits._
+    kb.bulkAddDocsDistributed(
+      Seq(("dddd", None: Option[Long], None: Option[String]))
+        .toDF("text", "parent_id", "meta"), p)
+    assert(kb.datasetCard == recomputed())
+    kb.bulkDelDocsDistributed(Seq(2L).toDF("id"))
+    assert(kb.datasetCard == recomputed())
+    kb.close()
+  }
+
+  test("dataset card: absent stats table falls back to a live recompute") {
+    val kb = KbStore.create(spark, freshPath(), Map())
+    val p = Embeddings.withMagnitudeCheck(unitProvider(4))
+    kb.bulkAddDocs(p) { add => add.add("hello world") }
+    assert(kb.datasetCard("n_docs") == 1L)
+    assert(kb.datasetCard("n_chars") == 11L)
+    kb.close()
+  }
 }

@@ -370,6 +370,38 @@ class OpsSpec extends SparkSpec {
       512, 384, 1))
   }
 
+  test("PNM full-pixel decode: luma, box-resize thumbnail, malformed rejects") {
+    import spark.implicits._
+    // P5 4×2 grayscale with a comment: left half 0, right half 200
+    val pgm = ("P5 # gray\n4 2\n255\n").getBytes("UTF-8") ++
+      Array[Byte](0, 0, 200.toByte, 200.toByte,
+        0, 0, 200.toByte, 200.toByte)
+    // P6 2×2 RGB: pure red, green, blue, white
+    val ppm = "P6\n2 2 255\n".getBytes("UTF-8") ++ Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val truncated = "P6\n2 2 255\n".getBytes("UTF-8") ++ Array[Byte](1, 2, 3)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pgm),
+      Multimodal.MediaRow(2L, "image", ppm),
+      Multimodal.MediaRow(3L, "image", truncated),
+      Multimodal.MediaRow(4L, "blob", "P6 but text".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val px = Multimodal.extractPixelFeatures(media, side = 2)
+      .collect().sortBy(_.media_id)
+    // truncated raster and non-raster rows drop
+    assert(px.map(_.media_id).toSeq == Seq(1L, 2L))
+    val g = px(0)
+    assert((g.width, g.height, g.channels, g.maxval) == (4, 2, 1, 255))
+    assert(g.mean_luma == 100.0)
+    // 2×2 box means: left cells 0, right cells 200
+    assert(g.thumb.toSeq == Seq(0.0, 200.0, 0.0, 200.0))
+    val c = px(1)
+    // BT.601 integer luma: R=76, G=149, B=29 (each /1000 floor), W=255
+    assert(c.thumb.toSeq == Seq(76.0, 149.0, 29.0, 255.0))
+    assert(c.mean_luma == (76 + 149 + 29 + 255) / 4.0)
+  }
+
   test("unicode tokenization flows through minhash, simhash, and the lexical entry points") {
     import spark.implicits._
     // doc 2 is doc 1 up to punctuation and case; doc 3 is unrelated
