@@ -839,7 +839,6 @@ object Dedup {
   def semanticContamination(train: DataFrame, test: DataFrame,
       threshold: Double, exactLimit: Long = 20000L,
       bands: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.FloatVecDot.floatVecDot
     import graft.functions.FloatVecPack.floatVecPack
     val tr = train.select(col("vec_id").as("tid"),
@@ -882,14 +881,14 @@ object Dedup {
             round(floatVecDot(col("qv"), col("tv")), 6).as("cos"))
           .where(col("cos") >= threshold)
       }
-    val agg = hits.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("tid"))
-    val best = hits.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("qid"), col("tid").as("best_match"))
-    agg.join(best, "qid")
-      .select(col("qid").as("vec_id"), col("best_match"),
+    // ONE aggregation pass: best_match via struct-argmax (max cos, ties
+    // to the smaller train id through the negated tid) — a second
+    // consumer of `hits` would re-run the train-corpus scan per branch
+    hits.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"),
+        max(struct(col("cos"), negate(col("tid")).as("ntid"))).as("bs"))
+      .select(col("qid").as("vec_id"),
+        negate(col("bs.ntid")).as("best_match"),
         col("n_matches"), col("max_cos"))
   }
 
