@@ -86,6 +86,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // temperature-scaled mixture (multinomial α-sampling): per-stratum
+    // rates DERIVED from the corpus distribution, α=0.5 flattening
+    "d16_temperature_mixture" -> ((s, dir) =>
+      graft.ops.TextAnalysis.temperatureMixture(
+        t(s, dir, "documents"), "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     "x2_quality_score" -> ((s, dir) =>
       graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"), Seq("the", "a"))
         .orderBy(col("doc_id"))),
@@ -532,6 +540,22 @@ object SparkEntry {
         .orderBy($"qid", $"rk")
     }),
 
+    // hard-negative mining for contrastive training: nearest non-positive
+    // candidates per query (positives = same-label pairs), skipping the
+    // top-1 probable-duplicate rank
+    "k5_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val positives = emb.select($"vec_id".as("qid"), $"label".as("ql"))
+        .join(emb.select($"vec_id".as("cid"), $"label".as("cl")),
+          $"ql" === $"cl")
+        .select($"qid", $"cid")
+      longs(graft.ops.SimilaritySearch.mineHardNegatives(
+          emb.filter($"vec_id" < 10), emb, positives, k = 5, skipTop = 1),
+        "rk")
+        .orderBy($"qid", $"rk")
+    }),
+
     "d9_contamination" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -821,6 +845,12 @@ object SparkEntry {
     "n4_sq_topk" -> ((s, dir) =>
       graft.ops.VectorQuant.sqTopK(t(s, dir, "embeddings"),
         queryVecId = 2L, k = 10)),
+
+    // 1-bit sign quantization (32× memory): Hamming prefilter + exact
+    // f32 re-rank — the bottom tier of the quantization ladder
+    "n5_bin_hamming" -> ((s, dir) =>
+      longs(graft.ops.VectorQuant.binTopK(t(s, dir, "embeddings"),
+        queryVecId = 7L, k = 10, rerank = 50), "hamming")),
 
     // P9 semantic filter (Build Dad Jokes KB.ipynb cells 8-13): keep
     // documents whose similarity to a probe vector clears a threshold.
@@ -1585,6 +1615,20 @@ object SparkEntry {
                (CASE WHEN lang = 'en' THEN 30
                      WHEN lang = 'de' THEN 10 ELSE 5 END)
          ORDER BY doc_id""",
+
+    "d16_temperature_mixture" ->
+      """WITH n AS (SELECT lang, count(*)::DOUBLE AS ns
+                    FROM documents GROUP BY 1),
+         mn AS (SELECT min(ns) AS nmin FROM n),
+         p AS (SELECT lang,
+                      least(100, floor(round(
+                        100 * pow((SELECT nmin FROM mn) / ns, 0.5),
+                        6)))::BIGINT AS pct
+               FROM n)
+         SELECT d.doc_id, d.lang FROM documents d JOIN p USING (lang)
+         WHERE ('0x' || substr(md5(d.doc_id || ':tmix'), 1, 15))::BIGINT
+               % 100 < p.pct
+         ORDER BY d.doc_id""",
 
     "x2_quality_score" ->
       """WITH u AS (
@@ -2674,6 +2718,41 @@ object SparkEntry {
          FROM qz c CROSS JOIN (SELECT q, sc FROM qz WHERE vec_id = 2) qq
          ORDER BY score DESC, c.vec_id
          LIMIT 10""",
+
+    "n5_bin_hamming" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+         h AS (
+           SELECT e.vec_id,
+                  len(list_filter(list_zip(e.embedding, (SELECT qe FROM q)),
+                      x -> (x[1] > 0) != (x[2] > 0))) AS hamming
+           FROM embeddings e),
+         pre AS (SELECT vec_id, hamming FROM h
+                 ORDER BY hamming, vec_id LIMIT 50)
+         SELECT p.vec_id,
+                round(list_sum(list_transform(
+                    list_zip(e.embedding, (SELECT qe FROM q)),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+                  AS score,
+                p.hamming
+         FROM pre p JOIN embeddings e USING (vec_id)
+         ORDER BY score DESC, vec_id
+         LIMIT 10""",
+
+    "k5_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                    FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q.qid, e.vec_id AS cid,
+                  round(list_sum(list_transform(list_zip(e.embedding, q.qe),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+                    AS score
+           FROM q JOIN embeddings e
+             ON e.vec_id != q.qid AND e.label != q.ql),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY qid ORDER BY score DESC, cid) AS rk FROM s)
+         SELECT qid, cid, score, rk FROM r
+         WHERE rk > 1 AND rk <= 6
+         ORDER BY qid, rk""",
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

@@ -44,6 +44,42 @@ object SimilaritySearch {
       .where(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the negatives step
+    * of DPR, Karpukhin et al. 2020 §4.2 — public paper): for every
+    * query, the top-k highest-scoring candidates that are NOT known
+    * positives and not the query itself, optionally skipping the very
+    * top `skipTop` ranks (which at high similarity are usually
+    * unlabeled duplicates/paraphrases, not negatives — the "denoised"
+    * variant of RocketQA, Qu et al. 2021).
+    *
+    * `positives` is the labeled relation `(qid, cid)`. Ranks are
+    * assigned AFTER the exclusions, so the emitted `rk` is the
+    * negative's rank among negatives (1-based), shifted past `skipTop`.
+    *
+    * This is the exact brute-force formulation (broadcast query side,
+    * per-query window — the oracle twin). At corpus scale, mine from an
+    * ANN join instead: take top-(skipTop+k+|positives per query|)
+    * from [[graft.ops.VectorQuant.knnJoinIvfPq]] / `knnJoinIvfPacked`
+    * and apply the same anti-join + re-rank — the exclusions and window
+    * then touch only k-bounded rows per query.
+    */
+  def mineHardNegatives(queries: DataFrame, candidates: DataFrame,
+      positives: DataFrame, k: Int, skipTop: Int = 1): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("cid"),
+      asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid"))
+    c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid"))
+      .join(positives.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      .select(col("qid"), col("cid"),
+        round(dot(col("cv"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") > skipTop && col("rk") <= skipTop + k)
+  }
+
   /** Sign-LSH bucket id from the first `bits` embedding coordinates:
     * bit j = (v[j] > 0). Axis-aligned random-hyperplane LSH — fully
     * deterministic and engine-portable.

@@ -121,6 +121,43 @@ object TextAnalysis {
     df.where(pmod(hash60(concat(col(keyCol), lit(":mix"))), lit(100L)) < pct)
   }
 
+  /** Temperature-scaled mixture sampling (the multinomial α-sampling of
+    * multilingual/multi-source training mixes — Conneau & Lample 2019
+    * §3.1; Raffel et al. 2020 §3.4.3 use the same p_s^α form): stratum
+    * s keeps rate ⌊100·(n_min/n_s)^(1−α)⌋ %, so kept counts are
+    * ∝ n_s^α — α=1 preserves the natural distribution (everything
+    * kept), α→0 flattens toward uniform counts (every stratum
+    * downsampled to ≈ n_min). The smallest stratum always keeps 100%:
+    * a deterministic filter can only downsample, so flattening is
+    * expressed as head-downsampling rather than tail-upsampling (the
+    * kept RELATIVE proportions are identical). The gate is the same
+    * md5 hash as [[hashSample]] — reproducible across engines and
+    * appends within a stratum-count snapshot.
+    *
+    * Scale shape: one map-side-combinable stratum count (strata are
+    * few), a global min over that stratum-sized frame, a broadcast join
+    * of the per-stratum rates, then a narrow filter — the corpus itself
+    * never shuffles. The rate is rounded at 6 dp before ⌊·⌋ so both
+    * engines agree on representable-boundary cases.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, alpha: Double,
+      keyCol: String = "doc_id", salt: String = "tmix"): DataFrame = {
+    val n = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("ns"))
+    import org.apache.spark.sql.expressions.Window
+    val rates = n
+      .withColumn("nmin", min(col("ns")).over(
+        Window.partitionBy(lit(1))))
+      .select(col(stratumCol),
+        least(lit(100L),
+          floor(round(lit(100.0) * pow(col("nmin") / col("ns"), 1.0 - alpha), 6))
+            .cast("long")).as("pct"))
+    df.join(broadcast(rates), stratumCol)
+      .where(pmod(hash60(concat(col(keyCol), lit(":" + salt))),
+        lit(100L)) < col("pct"))
+      .select(df.columns.map(col(_)): _*)
+  }
+
   /** Stopword-ratio-based quality score in [0,1]: rewards length (up to
     * 200 tokens), lexical diversity, and stopword presence. Deterministic
     * closed form so the oracle can reproduce it bit-for-bit.

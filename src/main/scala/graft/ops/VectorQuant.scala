@@ -642,4 +642,81 @@ object VectorQuant {
       .where(col("rk") <= k)
       .select(col("qid"), col("cid"), col("score"), col("rk"))
   }
+
+  // ------------------------------------------------------------------
+  // binary (1-bit sign) quantization — the bottom of the ladder
+  // ------------------------------------------------------------------
+
+  /** Engine-portable binary-quantized top-k over `(vec_id, embedding)`:
+    * a Hamming prefilter on sign bits (bit i = x_i > 0; Charikar 2002
+    * sign-LSH with axis hyperplanes) keeps the `rerank` closest codes
+    * (ties on ascending vec_id), then an exact f32 re-rank orders the
+    * survivors by true dot product. At full `rerank` ≥ corpus size this
+    * is provably the exact top-k restricted to candidate order; at
+    * practical settings the binary pass touches 1/32 of the f32 bytes.
+    *
+    * This array formulation (sign mismatch count via zip_with) is the
+    * DuckDB oracle's twin; [[binTopKPacked]] is the same math over
+    * packed codes through the codegen'd [[graft.functions.BitHamming]]
+    * kernel, and a spec asserts they agree.
+    */
+  def binTopK(emb: DataFrame, queryVecId: Long, k: Int,
+      rerank: Int): DataFrame = {
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val pre = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding"), col("qe"),
+            (x, y) => ((x > 0f) =!= (y > 0f)).cast("int")),
+          lit(0), (acc, v) => acc + v).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(rerank)
+    val w = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(asDouble(col("embedding")), asDouble(col("qe"))), 6)
+          .as("score"))
+    pre.join(w, "vec_id")
+      .where(!isnan(col("score")))
+      .select(col("vec_id"), col("score"), col("hamming"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Sign-pack `(id, vec BINARY)` packed-f32 rows to `(id, bcode
+    * BINARY)` — 32× compression; the persisted binary tier.
+    */
+  def binEncodePacked(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
+      .map { case (id, vb) =>
+        (id, graft.functions.BitHamming.signPack(FloatVecDot.unpack(vb)))
+      }.toDF("id", "bcode")
+  }
+
+  /** Hamming top-`rerank` prefilter over [[binEncodePacked]] output +
+    * exact re-rank against the packed f32 table. Both passes are
+    * shuffle-free scans ending in TakeOrderedAndProject; the join back
+    * to `emb` touches only `rerank` rows.
+    */
+  def binTopKPacked(bcodes: DataFrame, emb: DataFrame,
+      queryVec: Array[Float], k: Int, rerank: Int): DataFrame = {
+    import graft.functions.BitHamming.bitHamming
+    import graft.functions.FloatVecDot.floatVecDot
+    val qCode = graft.functions.BitHamming.signPack(queryVec)
+    val qPacked = FloatVecDot.pack(queryVec)
+    val pre = bcodes
+      .select(col("id"),
+        bitHamming(col("bcode"), lit(qCode)).as("hamming"))
+      .orderBy(col("hamming"), col("id"))
+      .limit(rerank)
+    pre.join(emb.select(col("id"), col("vec")), "id")
+      .select(col("id").as("vec_id"),
+        round(floatVecDot(col("vec"), lit(qPacked)), 6).as("score"),
+        col("hamming"))
+      .where(!isnan(col("score")))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
 }

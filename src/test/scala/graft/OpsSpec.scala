@@ -1332,6 +1332,108 @@ class OpsSpec extends SparkSpec {
       .except(again.select($"doc_id", $"log_weight")).isEmpty)
   }
 
+  test("binary quantization: kernel, packed/array parity, exact at full rerank") {
+    import graft.functions.{BitHamming, FloatVecDot}
+    import graft.functions.FloatVecPack.floatVecPack
+    import spark.implicits._
+    // signPack: bit i = x_i > 0; NaN and 0 contribute 0 bits; odd tail
+    val c = BitHamming.signPack(
+      Array(1f, -1f, 0f, Float.NaN, 2f, 3f, -4f, 5f, 6f))
+    assert(c.length == 2 && c(0) == ((1 | 16 | 32 | 128).toByte) && c(1) == 1)
+    assert(BitHamming.dist(c, c) == 0)
+    assert(BitHamming.dist(Array[Byte](-1, 0), Array[Byte](0, 0)) == 8)
+    // 9-byte codes exercise the 8-byte word path plus the tail
+    val a9 = Array.fill[Byte](9)(-1); val b9 = new Array[Byte](9)
+    assert(BitHamming.dist(a9, b9) == 72)
+
+    // packed twin == the oracle-parity array formulation
+    val expected = VectorQuant.binTopK(emb, 7L, 10, rerank = 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val packed = emb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+    val bcodes = VectorQuant.binEncodePacked(packed)
+    val qv = emb.where($"vec_id" === 7L).head().getSeq[Float](1).toArray
+    val got = VectorQuant.binTopKPacked(bcodes, packed, qv, 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got == expected)
+
+    // at rerank >= corpus size the refined top-k equals the exact top-k
+    val n = emb.count().toInt
+    val full = VectorQuant.binTopK(emb, 7L, 10, rerank = n).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SimilaritySearch.topK(emb, 7L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+
+  test("temperatureMixture: tail kept whole, rates follow the α formula") {
+    import spark.implicits._
+    val df = docs.select($"doc_id", $"lang")
+    val counts = df.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = counts.values.min.toDouble
+    val out = TextAnalysis.temperatureMixture(df, "lang", alpha = 0.5)
+    // α-sampling never changes schema and never duplicates rows
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(out.groupBy($"doc_id").count().where($"count" > 1).isEmpty)
+    val kept = out.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest stratum keeps pct=100 — every row survives
+    val tail = counts.minBy(_._2)._1
+    assert(kept(tail) == counts(tail))
+    // every stratum's kept set is exactly the hash gate at its α rate
+    counts.foreach { case (lang, ns) =>
+      val pct = math.min(100L,
+        math.floor(BigDecimal(100.0 * math.pow(nmin / ns, 0.5))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong)
+      val expect = df.where($"lang" === lang).where(
+        pmod(TextAnalysis.hash60(concat($"doc_id", lit(":tmix"))),
+          lit(100L)) < pct).count()
+      assert(kept.getOrElse(lang, 0L) == expect, s"stratum $lang")
+    }
+    // flattening: kept counts are more uniform than the input (the
+    // head/tail ratio shrinks from (nhead/nmin) toward its square root)
+    val headLang = counts.maxBy(_._2)._1
+    assert(kept(headLang) < counts(headLang))
+    // α=1 degenerates to the natural distribution (everything kept)
+    val nat = TextAnalysis.temperatureMixture(df, "lang", alpha = 1.0)
+    assert(nat.count() == df.count())
+  }
+
+  test("mineHardNegatives: excludes positives and self, ranks past skipTop") {
+    import spark.implicits._
+    val queries = emb.where($"vec_id" < 5)
+    val positives = emb.select($"vec_id".as("qid"), $"label".as("ql"))
+      .join(emb.select($"vec_id".as("cid"), $"label".as("cl")), $"ql" === $"cl")
+      .select($"qid", $"cid")
+    val out = SimilaritySearch.mineHardNegatives(
+      queries, emb, positives, k = 4, skipTop = 1).cache()
+    // no self pairs, no positive pairs
+    assert(out.where($"qid" === $"cid").isEmpty)
+    assert(out.join(positives, Seq("qid", "cid"), "left_semi").isEmpty)
+    // each query contributes exactly k rows at ranks skipTop+1..skipTop+k
+    val perQ = out.groupBy($"qid").agg(
+      count(lit(1)).as("n"), min($"rk").as("lo"), max($"rk").as("hi"))
+      .collect()
+    assert(perQ.length == 5)
+    perQ.foreach { r =>
+      assert(r.getLong(1) == 4 && r.getInt(2) == 2 && r.getInt(3) == 5)
+    }
+    // with skipTop=0 and no positives, it is knnJoin minus self
+    val none = positives.limit(0)
+    val all = SimilaritySearch.mineHardNegatives(
+      queries, emb, none, k = 3, skipTop = 0)
+    val viaKnn = SimilaritySearch.knnJoin(queries, emb, 4)
+      .where($"qid" =!= $"cid")
+      .withColumn("rk2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy(desc("score"), $"cid")))
+      .where($"rk2" <= 3)
+      .select($"qid", $"cid", $"score")
+    assert(all.select($"qid", $"cid", $"score").except(viaKnn).isEmpty &&
+      viaKnn.except(all.select($"qid", $"cid", $"score")).isEmpty)
+    out.unpersist()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
