@@ -115,6 +115,55 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("time travel + changelog: snapshot reads, segment-backed steps, replay identity") {
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    kb.setKey("a", 1L) // v1
+    kb.setKey("b", 2L) // v2
+    kb.delKey("a")     // v3
+    kb.setKey("b", 3L) // v4: upsert = remove+add of the same key
+    val vHead = kb.meta.version
+    assert(vHead == 4L && kb.snapshotVersions.contains(0L))
+
+    // time travel: the v2 snapshot still has both keys
+    val atV2 = kb.readTableAt("keyval", 2L)
+    assert(atV2.count() == 2)
+    assert(kb.readTableAt("keyval", 3L).count() == 1)
+
+    // changelog (v2, head]: two steps, each O(batch) segment-backed
+    val steps = kb.tableChangelog("keyval", 2L)
+    assert(steps.map(_.version) == Seq(3L, 4L))
+    assert(steps(0).added.isEmpty)
+    assert(steps(0).removedKeys.collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(steps(1).removedKeys.collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(steps(1).added.select("key").collect().map(_.getString(0)).toSeq
+      == Seq("b"))
+
+    // replay identity: snapshot(v2) + steps == head
+    var rolled = atV2
+    steps.foreach { s =>
+      rolled = rolled.join(s.removedKeys, Seq("key"), "left_anti")
+        .unionByName(s.added)
+    }
+    val head = kb.readTableForSpec("keyval")
+    assert(rolled.except(head).isEmpty && head.except(rolled).isEmpty)
+
+    // a table untouched over the range contributes no steps
+    assert(kb.tableChangelog("docs", 2L, vHead).isEmpty)
+
+    // compact moves the base: the step snapshot-diffs to zero changes
+    kb.compact()
+    val afterCompact = kb.tableChangelog("keyval", vHead)
+    assert(afterCompact.map(_.version) == Seq(vHead + 1))
+    assert(afterCompact.head.added.isEmpty &&
+      afterCompact.head.removedKeys.isEmpty)
+
+    // pruned history is an error, not a wrong answer
+    kb.vacuum(retain = 0)
+    intercept[IllegalStateException](kb.readTableAt("keyval", 2L))
+    kb.close()
+  }
+
   test("addEdges checks (src,dst,rel) uniqueness against a 1M-row edge table without collecting it") {
     import spark.implicits._
     val path = freshPath()
