@@ -240,6 +240,21 @@ object Bench {
       }
       sqCodes.unpersist()
 
+      // binary (sign-bit) tier: 192 B/vector — the XOR+popcount
+      // prefilter scan plus exact re-rank of the 1000 survivors
+      results("svs_bin_encode_1m") = timedMedian3 {
+        graft.ops.VectorQuant.binEncodePacked(corpus1m)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val binCodes = graft.ops.VectorQuant.binEncodePacked(corpus1m)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      binCodes.count()
+      results("svs_bin_probe_1m") = timedMedian3 {
+        graft.ops.VectorQuant.binTopKPacked(binCodes, corpus1m,
+          syntheticVec(2L), k = 100, rerank = 1000).collect()
+      }
+      binCodes.unpersist()
+
       // PQ train on a 10k id-mod sample (2 Lloyd iterations, 96
       // subspaces × 256 codes), then encode the full corpus
       var books: graft.ops.VectorQuant.Codebooks = null

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, FloatVecPack, Int8VecDot, SortedOverlapCount}
+import graft.functions.{BitHamming, FloatVecDot, FloatVecPack, Int8VecDot, SortedOverlapCount}
 
 /** Session extensions registering the graft custom expressions as SQL
   * functions, so `spark.sql("SELECT float_vec_dot(a, b)")` works — the
@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "int8_vec_dot(a, b) takes 2 arguments")
         Int8VecDot(args.head, args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("bit_hamming"),
+      new ExpressionInfo(classOf[BitHamming].getName, "bit_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bit_hamming(a, b) takes 2 arguments")
+        BitHamming(args.head, args(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("sorted_overlap_count"),

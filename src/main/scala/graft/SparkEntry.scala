@@ -556,6 +556,21 @@ object SparkEntry {
         .orderBy($"qid", $"rk")
     }),
 
+    // offline retrieval-quality eval: recall/MRR/nDCG@10 of the exact
+    // knn ranking against same-label relevance judgments
+    "k6_retrieval_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 5)
+      val results = graft.ops.SimilaritySearch.knnJoin(queries, emb, 10)
+      val qrels = queries.select($"vec_id".as("qid"), $"label".as("ql"))
+        .join(emb.select($"vec_id".as("cid"), $"label".as("cl")),
+          $"ql" === $"cl")
+        .select($"qid", $"cid", lit(1.0).as("grade"))
+      graft.ops.RetrievalEval.metrics(results, qrels, k = 10)
+        .orderBy($"qid")
+    }),
+
     "d9_contamination" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -2753,6 +2768,37 @@ object SparkEntry {
          SELECT qid, cid, score, rk FROM r
          WHERE rk > 1 AND rk <= 6
          ORDER BY qid, rk""",
+
+    "k6_retrieval_metrics" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                    FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.qid, e.vec_id AS cid,
+                 round(list_sum(list_transform(list_zip(e.embedding, q.qe),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+                   AS score
+               FROM q JOIN embeddings e ON true),
+         r AS (SELECT qid, cid, row_number() OVER
+                 (PARTITION BY qid ORDER BY score DESC, cid) AS rk FROM s),
+         topk AS (SELECT * FROM r WHERE rk <= 10),
+         qrels AS (SELECT q.qid, e.vec_id AS cid, 1.0 AS grade
+                   FROM q JOIN embeddings e ON e.label = q.ql),
+         judged AS (SELECT t.qid, t.rk, qr.grade FROM topk t
+                    JOIN qrels qr ON t.qid = qr.qid AND t.cid = qr.cid),
+         perq AS (SELECT qid, count(*) AS hits, min(rk) AS first_rel,
+                         sum((pow(2.0, grade) - 1.0) / log2(rk + 1)) AS dcg
+                  FROM judged GROUP BY qid),
+         tot AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+         ide AS (SELECT qid,
+                        sum((pow(2.0, grade) - 1.0) / log2(irk + 1)) AS idcg
+                 FROM (SELECT qid, grade, row_number() OVER
+                         (PARTITION BY qid ORDER BY grade DESC, cid) AS irk
+                       FROM qrels) WHERE irk <= 10 GROUP BY qid)
+         SELECT t.qid,
+                round(coalesce(p.hits, 0) / t.n_rel, 6) AS recall,
+                round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+                round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg
+         FROM tot t JOIN ide i USING (qid) LEFT JOIN perq p USING (qid)
+         ORDER BY qid""",
 
     "m1_media_features" ->
       """SELECT doc_id AS media_id,

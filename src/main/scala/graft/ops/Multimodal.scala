@@ -334,4 +334,67 @@ object Multimodal {
       it.flatMap(r => PnmDecoder.decode(r, side))
     }
   }
+
+  /** Perceptual average-hash (aHash) of a square luma thumbnail: bit i
+    * set iff cell i is brighter than the thumbnail's mean. Robust to
+    * re-encoding, mild noise, and (by construction, via the box-average
+    * thumbnail) resizing — the standard cheap image-similarity
+    * fingerprint. At most 64 cells (side ≤ 8).
+    */
+  def aHash(thumb: Array[Double]): Long = {
+    require(thumb.nonEmpty && thumb.length <= 64,
+      s"aHash takes 1..64 thumbnail cells, got ${thumb.length}")
+    var mean = 0.0
+    var i = 0
+    while (i < thumb.length) { mean += thumb(i); i += 1 }
+    mean /= thumb.length
+    var h = 0L
+    i = 0
+    while (i < thumb.length) {
+      if (thumb(i) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Near-duplicate image mining over PNM payloads — the multimodal
+    * twin of the text near-dup family: decode pixels, 8×8 box-average
+    * luma thumbnail, 64-bit [[aHash]], then pairs within `maxHamming`
+    * bits. Candidate generation is pigeonhole banding (Manku, Jaiswal,
+    * Sarma WWW'07, as in the simhash miner): the 64 bits split into
+    * `maxHamming + 1` bands, so any pair within the radius agrees
+    * exactly on ≥ 1 band — an equi-join per band, never all-pairs —
+    * and candidates verify on the true Hamming distance
+    * (`bit_count(xor)`, codegen'd). Emits (a, b, hamming) with a < b.
+    *
+    * Scale: hashing is a narrow mapPartitions decode; each band join
+    * shuffles 16 bytes/row; near-identical corpora skew a band key
+    * exactly like simhash's miner — the same salting applies if needed.
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"maxHamming must be in [0, 8), got $maxHamming")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val hashes = extractPixelFeatures(media, side = 8)
+      .map(p => (p.media_id, aHash(p.thumb)))
+      .toDF("media_id", "ahash")
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -785,6 +785,16 @@ class OpsSpec extends SparkSpec {
     Seq((qa, qa)).toDF("qa", "qb").createOrReplaceTempView("qq")
     assert(spark.sql("SELECT int8_vec_dot(qa, qb) FROM qq")
       .head().getLong(0) == 127L * 127 + 64L * 64)
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bit_hamming",
+      exprs => graft.functions.BitHamming(exprs.head, exprs(1)),
+      "built-in")
+    val sa = graft.functions.BitHamming.signPack(Array(1.0f, -1.0f, 1.0f))
+    val sb = graft.functions.BitHamming.signPack(Array(-1.0f, -1.0f, 1.0f))
+    Seq((sa, sb)).toDF("sa", "sb").createOrReplaceTempView("ss")
+    assert(spark.sql("SELECT bit_hamming(sa, sb) FROM ss")
+      .head().getInt(0) == 1)
   }
 
   test("gopher rules: each rule independently gates keep") {
@@ -1397,6 +1407,65 @@ class OpsSpec extends SparkSpec {
     // α=1 degenerates to the natural distribution (everything kept)
     val nat = TextAnalysis.temperatureMixture(df, "lang", alpha = 1.0)
     assert(nat.count() == df.count())
+  }
+
+  test("image near-dups: aHash bands find the noisy copy, not the inverse") {
+    import spark.implicits._
+    def pgm(px: Array[Int], w: Int, h: Int): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("UTF-8") ++ px.map(_.toByte)
+    // horizontal gradient; a copy with sub-threshold pixel noise; the
+    // photometric inverse (every aHash bit flips)
+    val base = Array.tabulate(16 * 16)(i => (i % 16) * 16)
+    val noisy = base.clone()
+    noisy(5) += 4; noisy(200) += 2
+    val inverse = base.map(255 - _)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pgm(base, 16, 16)),
+      Multimodal.MediaRow(2L, "image", pgm(noisy, 16, 16)),
+      Multimodal.MediaRow(3L, "image", pgm(inverse, 16, 16)))
+      .toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getInt(2) == 0) // noise stayed under the threshold
+    // aHash unit semantics: bit set iff cell above the mean
+    assert(Multimodal.aHash(Array(0.0, 10.0)) == 2L)
+    assert(Multimodal.aHash(Array(5.0, 5.0)) == 0L)
+    intercept[IllegalArgumentException](Multimodal.aHash(new Array[Double](65)))
+  }
+
+  test("jsonl: parse-and-quarantine round trip") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val src = dir.resolve("shard.jsonl")
+    java.nio.file.Files.write(src, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": null}""",
+      """{"doc_id": 3, "lang": "de"}""",
+      """not json at all {{{""",
+      """{"doc_id": 4, "text": "ok", "lang": "en", "extra": 9}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (good, bad) = Jsonl.readWithQuarantine(
+      spark, src.toString, schema, requiredCols = Seq("doc_id", "text"))
+    // good: 1, 2 (lang null is allowed), 4 (extra key ignored)
+    assert(good.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    // quarantine: 3 missing required text, the malformed raw line
+    val q = bad.collect().map(r => (r.getString(0),
+      Option(r.getString(1)))).toSeq
+    assert(q.contains(("missing:text", None)))
+    assert(q.exists { case (reason, raw) =>
+      reason == "malformed" && raw.exists(_.startsWith("not json")) })
+    assert(bad.count() == 2)
+
+    // write emits line-delimited JSON that re-reads cleanly
+    val out = dir.resolve("out").toString
+    Jsonl.write(good, out, compression = "none")
+    val (again, none) = Jsonl.readWithQuarantine(
+      spark, out, schema, requiredCols = Seq("doc_id", "text"))
+    assert(none.isEmpty)
+    assert(again.except(good).isEmpty && good.except(again).isEmpty)
   }
 
   test("mineHardNegatives: excludes positives and self, ranks past skipTop") {
