@@ -394,6 +394,25 @@ object SparkEntry {
     "d1_exact_dedup" -> ((s, dir) =>
       graft.ops.Dedup.exactDupStats(t(s, dir, "documents"))),
 
+    // keep-BEST exact dedup (CCNet/RefinedWeb): duplicates grouped by
+    // canonical fingerprint, the highest-quality variant survives. The
+    // synthetic corpus has no exact dups, so a case/whitespace-mangled
+    // copy (same canonical form, lower quality score) is unioned in —
+    // identically in both engines — and the original must win each group
+    "d17_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val aug = docs.unionByName(docs.select(
+        ($"doc_id" + 10000L).as("doc_id"),
+        concat(upper($"text"), lit("  ")).as("text")))
+      val fp = graft.ops.TextAnalysis.fingerprint(aug)
+        .select($"doc_id", $"fp_md5")
+      val q = graft.ops.TextAnalysis.qualityScore(aug, Seq("the", "a"))
+      graft.ops.Dedup.keepBestPerKey(fp.join(q, "doc_id"),
+          keyCol = "fp_md5", scoreCol = "quality")
+        .orderBy($"doc_id")
+    }),
+
     "d2_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDups(t(s, dir, "documents"),
         k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
@@ -867,6 +886,14 @@ object SparkEntry {
       longs(graft.ops.VectorQuant.binTopK(t(s, dir, "embeddings"),
         queryVecId = 7L, k = 10, rerank = 50), "hamming")),
 
+    // Matryoshka funnel retrieval: shortlist on the first 16 of 64
+    // dims (renormalized prefix cosine), exact full-d re-rank — the
+    // 4-8× cheaper first tier of a funnel; deterministic end-to-end so
+    // the DuckDB twin is exact
+    "n6_matryoshka" -> ((s, dir) =>
+      graft.ops.SimilaritySearch.matryoshkaTopK(t(s, dir, "embeddings"),
+        queryVecId = 5L, dPrime = 16, shortlist = 50, k = 10)),
+
     // P9 semantic filter (Build Dad Jokes KB.ipynb cells 8-13): keep
     // documents whose similarity to a probe vector clears a threshold.
     "v2_semantic_filter" -> ((s, dir) => {
@@ -1277,6 +1304,46 @@ object SparkEntry {
       graft.ops.GraphOps.pageRank(e1.unionByName(e2), iters = 3)
         .select($"id", round($"rank", 6).as("rank"))
         .orderBy($"id")
+    }),
+
+    // per-node triangle counts (degree-ordered wedge closing) over the
+    // parts-co-ordered-together graph; orders with ≤3 lines keep the
+    // edge set sparse enough for the oracle's three-way join
+    "g4_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val small = li.groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n")).where($"n" <= 3)
+        .select($"l_orderkey")
+      val lj = li.join(small, "l_orderkey")
+      val e = lj.alias("a").join(lj.alias("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("src"),
+          col("b.l_partkey").cast("long").as("dst"))
+      graft.ops.GraphOps.triangleCounts(e).orderBy($"id")
+    }),
+
+    // robust per-type outlier detection: median/MAD (the z-score that
+    // outliers can't poison — e5's mean/stddev moves with the outlier
+    // itself); both medians are EXACT percentiles, so the oracle's
+    // quantile_cont reproduces them bit-for-bit (as in a8)
+    "e7_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val stats = ev.join(med, "event_type")
+        .groupBy($"event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+          max($"med").as("med"))
+      ev.join(stats, "event_type")
+        .where($"mad" > 0)
+        .select($"event_id", $"event_type",
+          round($"value", 4).as("value"),
+          round(abs($"value" - $"med") / (lit(1.4826) * $"mad"), 4)
+            .as("rscore"))
+        .where($"rscore" > 3.0)
+        .orderBy($"event_id")
     }),
 
     // TPC-H Q6 shape: tight range+band filter over the fact table, one
@@ -1692,6 +1759,34 @@ object SparkEntry {
                 sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_in_dup_groups,
                 sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups
          FROM g""",
+
+    "d17_keep_best" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, upper(text) || '  ' FROM documents),
+         f AS (
+           SELECT doc_id, text,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    AS fp_md5
+           FROM aug),
+         u AS (
+           SELECT doc_id, fp_md5,
+                  len(string_split(text, ' '))::DOUBLE AS nt,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE AS nu,
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a']))::DOUBLE AS ns
+           FROM f),
+         q AS (
+           SELECT doc_id, fp_md5,
+                  round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
+                        + (ns / nu) * 0.2, 6) AS quality
+           FROM u),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY fp_md5 ORDER BY quality DESC, doc_id) AS rk
+               FROM q)
+         SELECT doc_id, fp_md5, quality FROM r WHERE rk = 1
+         ORDER BY doc_id""",
 
     "d2_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
@@ -2753,6 +2848,30 @@ object SparkEntry {
          ORDER BY score DESC, vec_id
          LIMIT 10""",
 
+    "n6_matryoshka" ->
+      """WITH b AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  (embedding::DOUBLE[])[1:16] AS tv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, tv,
+                  sqrt(list_dot_product(tv, tv)) AS tn
+           FROM b WHERE sqrt(list_dot_product(tv, tv)) > 0),
+         q AS (SELECT v AS qv, tv AS qtv, tn AS qtn FROM n WHERE vec_id = 5),
+         pre AS (
+           SELECT n.vec_id, n.v,
+                  round(list_dot_product(n.tv, q.qtv) / (n.tn * q.qtn), 6)
+                    AS t_score
+           FROM n CROSS JOIN q
+           ORDER BY t_score DESC, n.vec_id
+           LIMIT 50)
+         SELECT p.vec_id,
+                round(list_dot_product(p.v, q.qv), 6) AS score,
+                p.t_score
+         FROM pre p CROSS JOIN q
+         ORDER BY score DESC, p.vec_id
+         LIMIT 10""",
+
     "k5_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
                     FROM embeddings WHERE vec_id < 10),
@@ -3116,6 +3235,53 @@ object SparkEntry {
          ORDER BY preorder""",
 
     "g3_pagerank" -> pageRankOracleSql(3),
+
+    "g4_triangles" ->
+      """WITH le AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         small AS (SELECT l_orderkey FROM le
+                   GROUP BY l_orderkey HAVING count(*) <= 3),
+         e0 AS (
+           SELECT DISTINCT a.l_partkey::BIGINT AS lo,
+                           b.l_partkey::BIGINT AS hi
+           FROM le a
+           JOIN le b ON a.l_orderkey = b.l_orderkey
+           JOIN small s ON a.l_orderkey = s.l_orderkey
+           WHERE a.l_partkey < b.l_partkey),
+         tri AS (
+           SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+           FROM e0 e1
+           JOIN e0 e2 ON e2.lo = e1.hi
+           JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         nodes AS (SELECT lo AS id FROM e0 UNION SELECT hi FROM e0),
+         pn AS (
+           SELECT id, count(*) AS t FROM (
+             SELECT x AS id FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY id)
+         SELECT n.id, coalesce(pn.t, 0)::BIGINT AS triangles
+         FROM nodes n LEFT JOIN pn USING (id)
+         ORDER BY n.id""",
+
+    "e7_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type,
+                  quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                  max(m.med) AS med
+           FROM events e JOIN med m USING (event_type)
+           GROUP BY e.event_type),
+         sc AS (
+           SELECT e.event_id, e.event_type,
+                  round(e.value, 4) AS value,
+                  round(abs(e.value - s.med) / (1.4826 * s.mad), 4) AS rscore
+           FROM events e JOIN mad s USING (event_type)
+           WHERE s.mad > 0)
+         SELECT event_id, event_type, value, rscore
+         FROM sc WHERE rscore > 3.0
+         ORDER BY event_id""",
 
     "c1_clusters" -> (kmeansOracleCtes(10, 3) + s""",
          af AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cvec) AS s,

@@ -81,6 +81,29 @@ object Dedup {
         sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_in_dup_groups"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
 
+  /** Keep-best exact dedup (the CCNet/RefinedWeb shape: duplicates are
+    * grouped by a canonical key — fingerprint, URL — and the SINGLE
+    * best-scoring variant survives, rather than an arbitrary one):
+    * keeps the row with the highest `scoreCol` per `keyCol`, ties
+    * broken by smallest `idCol`.
+    *
+    * Scale shape: one hash shuffle on the key; the per-key rank is a
+    * running window over groups whose size is the duplicate
+    * multiplicity (tiny), never a corpus-wide sort. Composes with
+    * [[graft.ops.TextAnalysis.fingerprint]] for content identity and
+    * any quality column ([[graft.ops.TextAnalysis.qualityScore]], a
+    * classifier score, perplexity) for "best".
+    */
+  def keepBestPerKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(desc(scoreCol), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** MinHash signatures: numHashes independent 32-bit min-hashes. Hash
     * family: hash_i(shingle) = the i-th 8-hex-char slice of
     * md5((i/4) || ':' || shingle) — fixed-width hex, so lexicographic min
@@ -385,7 +408,7 @@ object Dedup {
     */
   def crossCorpusContamination(train: DataFrame, test: DataFrame,
       k: Int = 3, threshold: Double = 0.5,
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false, bloomFpp: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shTr = shingles(train, k, unicode = unicode).cache()
     val shTe = shingles(test, k, unicode = unicode).cache()
@@ -405,8 +428,29 @@ object Dedup {
             (size(col("ordered")) -
               ceil(lit(threshold) * size(col("ordered"))).cast("int") + 1)))
             .as("sh"))
-    val cands = prefixes(postsTr).alias("a")
-      .join(prefixes(postsTe).alias("b"), col("a.sh") === col("b.sh"))
+    val preTe = prefixes(postsTe)
+    // optional Bloom prefilter (bloomFpp > 0): at 100 TB the TRAIN
+    // prefix stream is corpus-sized while the TEST side (eval suites)
+    // is tiny — a Bloom filter over the test prefixes, broadcast once,
+    // drops ~(1-fpp) of train postings BEFORE they cross the shuffle
+    // into the equi-join. Lossless by construction: Blooms have no
+    // false negatives, so every truly-shared shingle survives; false
+    // positives only admit extra candidates that the exact verify
+    // stage rejects anyway (a spec asserts bit-parity with the
+    // unfiltered path).
+    val preTrRaw = prefixes(postsTr)
+    val preTr =
+      if (bloomFpp <= 0) preTrRaw
+      else {
+        val spark = train.sparkSession
+        val nTe = math.max(1000L, preTe.count())
+        val bf = preTe.stat.bloomFilter("sh", nTe, bloomFpp)
+        val bc = spark.sparkContext.broadcast(bf)
+        val might = udf((s: String) => bc.value.mightContain(s))
+        preTrRaw.where(might(col("sh")))
+      }
+    val cands = preTr.alias("a")
+      .join(preTe.alias("b"), col("a.sh") === col("b.sh"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
     val sh = shTr.union(shTe)

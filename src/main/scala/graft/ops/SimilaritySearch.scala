@@ -30,6 +30,45 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Matryoshka (truncated-dimension) two-stage retrieval (Kusupati et
+    * al., "Matryoshka Representation Learning", NeurIPS'22): shortlist
+    * by cosine over the FIRST `dPrime` dimensions (renormalized — MRL
+    * embeddings are trained so prefixes are usable sub-embeddings),
+    * then re-rank the shortlist with the full-dimension dot product.
+    * With d' = d/8 the shortlist scan reads/multiplies 8× less data —
+    * the cheap first tier of a funnel retrieval, independent of (and
+    * composable with) quantization.
+    *
+    * Scale shape: both stages are broadcast-query narrow maps; stage 1
+    * is a TakeOrderedAndProject over the truncated scores, stage 2
+    * re-scores only `shortlist` rows via an id semi-join against the
+    * corpus. Deterministic: scores rounded to 6 dp before ranking, ties
+    * break on vec_id, so results are engine-portable (the DuckDB twin
+    * is exact, not recall-gated).
+    *
+    * Output: (vec_id, score, t_score) — full-d and truncated cosine.
+    */
+  def matryoshkaTopK(emb: DataFrame, queryVecId: Long, dPrime: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(dPrime >= 1, s"dPrime must be >= 1: $dPrime")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        slice(asDouble(col("embedding")), 1, dPrime).as("tv"))
+      .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
+      .where(col("tn") > 0) // all-zero prefixes have no truncated cosine
+    val q = base.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("tv").as("qtv"), col("tn").as("qtn"))
+    val pre = base.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("qv"),
+        round(dot(col("tv"), col("qtv")) / (col("tn") * col("qtn")), 6)
+          .as("t_score"))
+      .orderBy(desc("t_score"), col("vec_id"))
+      .limit(shortlist)
+    pre.select(col("vec_id"),
+        round(dot(col("v"), col("qv")), 6).as("score"), col("t_score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact brute-force k-NN join: for every query vector, the top-k
     * scoring candidates. Query side is broadcast; ranking is a window
     * per query id.

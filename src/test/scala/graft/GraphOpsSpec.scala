@@ -85,4 +85,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(sk.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       exact.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("triangleCounts: known graph, duplicate/reversed edges and " +
+      "self-loops ignored") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles), a pendant 5-1
+    // (0 triangles), plus noise: a reversed duplicate, an exact
+    // duplicate, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L),
+      (2L, 1L), // reversed dup
+      (3L, 4L), // exact dup
+      (4L, 4L)  // self-loop
+    ).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
 }

@@ -44,4 +44,45 @@ class LayoutSpec extends SparkSpec {
     }
     assert(back.count() == 2000)
   }
+
+  test("parquetFileStats reads footer min/max per file; skippingScan " +
+       "prunes files on either z-interleaved dimension and matches the " +
+       "full scan exactly") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = rows.toDF("id", "x", "y")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skip").toString + "/t"
+    Layout.writeZordered(df, dir,
+      Layout.zValue(8, col("x"), col("y")), numFiles = 16)
+    val stats = Layout.parquetFileStats(spark, dir, Seq("x", "y")).cache()
+    try {
+      val nFiles = stats.select("file").distinct().count()
+      assert(nFiles == 16, s"expected 16 files, got $nFiles")
+      // manifest rows == files x columns; row counts fold to the table
+      assert(stats.count() == nFiles * 2)
+      assert(stats.where(col("column") === "x")
+        .agg(sum(col("rows"))).head.getLong(0) == 4000L)
+      // x-range predicate: z-clustered files cover sub-cubes, so a
+      // single-dimension range must shed files at the manifest level
+      val keptX = Layout.pruneFiles(spark, dir, stats, "x", 0, 31)
+      assert(keptX.size < 16, s"x-range pruned nothing (${keptX.size})")
+      // ... and on the OTHER interleaved dimension too (the property a
+      // plain sort by x would NOT have)
+      val keptY = Layout.pruneFiles(spark, dir, stats, "y", 0, 31)
+      assert(keptY.size < 16, s"y-range pruned nothing (${keptY.size})")
+      // parity: skipping scan == full scan + filter
+      val skip = Layout.skippingScan(spark, dir, stats, "x", 0, 31)
+        .select("id").as[Long].collect().sorted.toSeq
+      val full = spark.read.parquet(dir)
+        .where(col("x").between(0, 31))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(skip == full && full.nonEmpty)
+      // an impossible range prunes everything and yields zero rows
+      assert(Layout.pruneFiles(spark, dir, stats, "x", 1000, 2000).isEmpty)
+      assert(Layout.skippingScan(spark, dir, stats, "x", 1000, 2000)
+        .count() == 0)
+    } finally stats.unpersist()
+  }
 }

@@ -206,6 +206,24 @@ class OpsSpec extends SparkSpec {
     assert(hits.head._3 >= 0.5 && hits.head._3 < 1.0)
   }
 
+  test("contamination Bloom prefilter is lossless: bit-parity with the " +
+      "unfiltered path over the real corpus") {
+    import spark.implicits._
+    // split the sf0.001 corpus into disjoint train/test halves; the
+    // planted near-dups land on both sides so real hits exist
+    val train = docs.where($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val test = docs.where($"doc_id" % 2 === 1)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val plain = Dedup.crossCorpusContamination(train, test,
+        k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bloomed = Dedup.crossCorpusContamination(train, test,
+        k = 3, threshold = 0.3, bloomFpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.nonEmpty, "expected real cross-corpus hits in the corpus")
+    assert(bloomed == plain)
+  }
+
   test("local minhash band keys are bit-identical to the batch banding") {
     import spark.implicits._
     val sample = docs.limit(20).select($"doc_id", $"text").collect()
@@ -1501,6 +1519,44 @@ class OpsSpec extends SparkSpec {
     assert(all.select($"qid", $"cid", $"score").except(viaKnn).isEmpty &&
       viaKnn.except(all.select($"qid", $"cid", $"score")).isEmpty)
     out.unpersist()
+  }
+
+  test("matryoshka funnel: full-width shortlist equals exact top-k; " +
+      "narrow shortlist keeps high recall") {
+    import spark.implicits._
+    // shortlist = corpus size => stage 2 re-ranks everything: must
+    // reproduce the exact brute-force top-k (scores included)
+    val n = emb.count().toInt
+    val full = SimilaritySearch.matryoshkaTopK(emb, queryVecId = 5L,
+      dPrime = 16, shortlist = n, k = 10)
+      .select($"vec_id", $"score").collect()
+    val exact = SimilaritySearch.topK(emb, 5L, 10).collect()
+    assert(full.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // quarter-dim shortlist of 50: the synthetic embeddings are random
+    // (not MRL-trained), so prefix dims carry only sqrt(d'/d) of the
+    // signal — the honest gate is that the funnel beats a RANDOM
+    // shortlist of the same size by a wide margin, not absolute recall
+    val approx = SimilaritySearch.matryoshkaTopK(emb, queryVecId = 5L,
+      dPrime = 16, shortlist = 50, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = exact.map(_.getLong(0)).count(approx.contains) / 10.0
+    val randomBaseline = 50.0 / n
+    assert(recall >= 3 * randomBaseline && recall >= 0.4,
+      s"matryoshka recall@10 too low: $recall (random would be $randomBaseline)")
+  }
+
+  test("keepBestPerKey keeps exactly the max-score row per key, " +
+      "ties to the smallest id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "k1", 0.5), (2L, "k1", 0.9), (3L, "k1", 0.9),
+      (4L, "k2", 0.1),
+      (5L, "k3", 0.3), (6L, "k3", 0.2)
+    ).toDF("doc_id", "key", "quality")
+    val kept = Dedup.keepBestPerKey(df, "key", "quality")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
   }
 
   private def round6(x: Double): Double =
