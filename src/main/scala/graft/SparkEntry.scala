@@ -921,7 +921,16 @@ object SparkEntry {
           graft.ops.Multimodal.asMedia(t(s, dir, "documents"))).toDF(),
         stride = 4)
         .withColumn("frame_idx", col("frame_idx").cast("long"))
-        .orderBy(col("media_id"), col("frame_idx")))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // REAL PCM audio decode: per-doc synthesized 16-bit WAV containers
+    // round-tripped through the RIFF chunk walk + full sample fold
+    // (peak / RMS loudness — the silence/clipping signals of audio
+    // curation); the oracle states the waveform in closed form
+    "m3_audio_stats" -> ((s, dir) =>
+      graft.ops.Multimodal.audioStats(
+        graft.ops.Multimodal.asWavMedia(t(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id")))
   )
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2937,7 +2946,20 @@ object SparkEntry {
          SELECT media_id, kind, frame_idx, frame_idx * 16 AS byte_offset
          FROM (SELECT media_id, kind,
                       unnest(range(0, n_frames, 4)) AS frame_idx FROM f)
-         ORDER BY media_id, frame_idx"""
+         ORDER BY media_id, frame_idx""",
+
+    "m3_audio_stats" ->
+      """SELECT doc_id AS media_id,
+                len(text)::BIGINT AS n_samples,
+                8000::BIGINT AS sample_rate,
+                1::BIGINT AS channels,
+                (256 * list_max(list_transform(range(1, len(text)+1),
+                    i -> abs(ascii(substr(text, i, 1)) - 96))))::BIGINT AS peak,
+                round(sqrt(list_sum(list_transform(range(1, len(text)+1),
+                    i -> power((ascii(substr(text, i, 1)) - 96) * 256.0, 2)))
+                  / len(text)), 4) AS rms,
+                (len(text) * 1000 // 8000)::BIGINT AS duration_ms
+         FROM documents ORDER BY media_id"""
   )
 
   private def relationalOracle: Map[String, String] = Map(

@@ -397,4 +397,125 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Decoded-PCM audio features: the audio twin of the full-pixel path —
+    * real samples, not just container metadata. `rms` is rounded to 4 dp
+    * (sum of squared 16-bit samples stays far under 2⁵³, so the double
+    * accumulation is order-exact and engine-portable).
+    */
+  case class AudioFeatures(media_id: Long, n_samples: Long,
+      sample_rate: Long, channels: Long, peak: Long, rms: Double,
+      duration_ms: Long)
+
+  /** REAL PCM decoder for 16-bit little-endian WAV payloads — the one
+    * audio format needing no codec library, so the audio decode seam
+    * carries genuine samples end-to-end: RIFF chunk walk (same
+    * bounds/overflow discipline as [[HeaderDecoder]]'s WAV branch) to
+    * the `fmt `/`data` chunks, then every sample is read and folded
+    * into peak / RMS energy — the loudness features an audio curation
+    * pipeline filters on (silence/clipping detection). Returns None for
+    * anything that is not PCM 16-bit WAV with an in-bounds data chunk.
+    */
+  object PcmDecoder {
+    def decode(r: MediaRow): Option[AudioFeatures] = {
+      val p = r.payload
+      if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE")
+        return None
+      var o = 12
+      var (rate, channels, bits) = (0, 0, 0)
+      var (dataOff, dataSize) = (-1, 0)
+      var malformed = false
+      while (!malformed && o + 8 <= p.length) {
+        val (id, sz) = (tag(p, o), le32(p, o + 4))
+        if (sz < 0) malformed = true
+        else {
+          if (id == "fmt " && o + 24 <= p.length) {
+            val codec = le16(p, o + 8)
+            if (codec != 1) malformed = true // PCM only
+            channels = le16(p, o + 10)
+            rate = le32(p, o + 12)
+            bits = le16(p, o + 22)
+          } else if (id == "data") { dataOff = o + 8; dataSize = sz }
+          val step = 8L + sz.toLong + (sz & 1)
+          o = math.min(o.toLong + step, p.length.toLong).toInt
+        }
+      }
+      if (malformed || bits != 16 || rate <= 0 || channels <= 0 ||
+          dataOff < 0 || dataOff + dataSize > p.length) return None
+      val n = dataSize / 2
+      var (i, peak, sumSq) = (0, 0L, 0.0)
+      while (i < n) {
+        val off = dataOff + i * 2
+        val s = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort.toInt
+        if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+        sumSq += s.toDouble * s; i += 1
+      }
+      val rms =
+        if (n == 0) 0.0
+        else BigDecimal(math.sqrt(sumSq / n))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Some(AudioFeatures(r.media_id, n, rate, channels, peak, rms,
+        n.toLong * 1000L / (rate.toLong * channels)))
+    }
+
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      if (o + 4 <= b.length)
+        new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+  }
+
+  /** Synthesize a REAL mono 16-bit PCM WAV payload per document:
+    * canonical 44-byte RIFF header + one sample per text character,
+    * sample = (code − 96)·256 (letters land in a quiet band, spaces
+    * swing negative — a deterministic waveform both engines can state
+    * in closed form). This is the audio analogue of [[asMedia]]: the
+    * payload is a genuine container the [[PcmDecoder]] round-trips.
+    */
+  def asWavMedia(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.length
+        val dataSize = n * 2
+        val out = new Array[Byte](44 + dataSize)
+        def w32(o: Int, v: Int): Unit = {
+          out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+          out(o + 2) = ((v >> 16) & 0xff).toByte
+          out(o + 3) = ((v >> 24) & 0xff).toByte
+        }
+        def w16(o: Int, v: Int): Unit = {
+          out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+        }
+        def wtag(o: Int, s: String): Unit =
+          s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            .copyToArray(out, o)
+        wtag(0, "RIFF"); w32(4, 36 + dataSize); wtag(8, "WAVE")
+        wtag(12, "fmt "); w32(16, 16); w16(20, 1) // PCM
+        w16(22, 1); w32(24, sampleRate) // mono
+        w32(28, sampleRate * 2); w16(32, 2); w16(34, 16)
+        wtag(36, "data"); w32(40, dataSize)
+        var i = 0
+        while (i < n) {
+          w16(44 + i * 2, (text.charAt(i).toInt - 96) * 256)
+          i += 1
+        }
+        MediaRow(id, "audio", out)
+      }.toDF()
+  }
+
+  /** Per-partition batched PCM feature extraction — same mapPartitions
+    * batch shape as [[extractFeatures]], with genuinely decoded
+    * samples. Non-PCM rows are dropped.
+    */
+  def audioStats(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(it => it.flatMap(PcmDecoder.decode))
+  }
 }

@@ -246,6 +246,78 @@ object StreamingIngest {
       }
   }
 
+  /** One keep-best observation: a scored variant of a canonical key. */
+  case class BestObs(fp: String, doc_id: Long, score: Double,
+      ts: java.sql.Timestamp)
+
+  /** Per-key keep-best state: the reigning best variant. Public flat
+    * case class for Janino encoder codegen (same constraint as
+    * EventBuffer/BandSeen).
+    */
+  case class BestHeld(docId: Long, score: Double, newestMs: Long)
+
+  /** Emitted whenever a key's best variant CHANGES: `replaced` is the
+    * previous best doc id, or -1 when the key is first seen.
+    */
+  case class BestChange(fp: String, doc_id: Long, score: Double,
+      replaced: Long)
+
+  /** Streaming keep-best dedup — the stateful twin of the batch
+    * [[graft.ops.Dedup.keepBestPerKey]] (CCNet-style best-variant
+    * retention): arriving rows are grouped by canonical key `fp`; a row
+    * strictly better than the reigning best (higher score, ties to the
+    * SMALLER doc id — the batch tie rule) emits a [[BestChange]] and
+    * takes over the state. Consumers keep the last change per key;
+    * that running answer equals the batch operator over everything
+    * inside the watermark horizon (parity is spec-pinned).
+    *
+    * Eviction mirrors the other stateful dedups: a key whose newest
+    * observation falls behind the watermark is dropped, so best-ness is
+    * only guaranteed within the horizon — the documented contract.
+    * Beyond-watermark arrivals are dropped, never compared.
+    */
+  def streamingKeepBest(rows: DataFrame,
+      watermark: String = "1 hour"): Dataset[BestChange] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("fp"), col("doc_id"), col("score"), col("ts"))
+      .as[BestObs]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[BestHeld, BestChange](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp, it, state: GroupState[BestHeld]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val arrivals = it.filter(_.ts.getTime > wm).toList
+              .sortBy(o => (o.ts.getTime, o.doc_id))
+            val changes = List.newBuilder[BestChange]
+            var held = state.getOption.orNull
+            arrivals.foreach { o =>
+              val better = held == null ||
+                o.score > held.score ||
+                (o.score == held.score && o.doc_id < held.docId)
+              val newest = if (held == null) o.ts.getTime
+                else math.max(held.newestMs, o.ts.getTime)
+              if (better) {
+                changes += BestChange(fp, o.doc_id, o.score,
+                  if (held == null) -1L else held.docId)
+                held = BestHeld(o.doc_id, o.score, newest)
+              } else held = BestHeld(held.docId, held.score, newest)
+            }
+            if (held != null) {
+              if (held.newestMs <= wm) state.remove()
+              else {
+                state.update(held)
+                state.setTimeoutTimestamp(math.max(held.newestMs, wm + 1L))
+              }
+            }
+            changes.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream as-of ENRICHMENT (the streaming twin of the batch
     * as-of join `o1`): left-outer join a fact stream (purchases)
     * against a context stream (views) on the same key, keeping context

@@ -388,6 +388,37 @@ class OpsSpec extends SparkSpec {
       512, 384, 1))
   }
 
+  test("PCM audio decode: synthesized WAV round-trips through the RIFF " +
+      "walk to exact sample stats; non-PCM rejects") {
+    import spark.implicits._
+    // 'abc ' -> samples (97-96)*256=256, 512, 768, (32-96)*256=-16384
+    val docs = Seq((7L, "abc ")).toDF("doc_id", "text")
+    val stats = Multimodal.audioStats(Multimodal.asWavMedia(docs)).collect()
+    assert(stats.length == 1)
+    val a = stats.head
+    assert(a.media_id == 7L && a.n_samples == 4L &&
+      a.sample_rate == 8000L && a.channels == 1L)
+    assert(a.peak == 16384L)
+    val expectRms = BigDecimal(math.sqrt(
+      (256.0 * 256 + 512.0 * 512 + 768.0 * 768 + 16384.0 * 16384) / 4))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.rms == expectRms)
+    assert(a.duration_ms == 4L * 1000 / 8000)
+    // a float-codec WAV (format tag 3) and a truncated data chunk reject
+    val wav = Multimodal.asWavMedia(docs).select("payload")
+      .head.getAs[Array[Byte]](0)
+    val float = wav.clone(); float(20) = 3
+    val truncated = wav.take(48) // data chunk claims more than present
+    assert(Multimodal.PcmDecoder.decode(
+      Multimodal.MediaRow(1L, "audio", float)).isEmpty)
+    assert(Multimodal.PcmDecoder.decode(
+      Multimodal.MediaRow(2L, "audio", truncated)).isEmpty)
+    // the container is a REAL wav: the header decoder agrees on rate
+    val hf = Multimodal.HeaderDecoder.decode(
+      Multimodal.MediaRow(3L, "audio", wav))
+    assert(hf.width == 8000 && hf.height == 1 && hf.n_frames == 4)
+  }
+
   test("PNM full-pixel decode: luma, box-resize thumbnail, malformed rejects") {
     import spark.implicits._
     // P5 4×2 grayscale with a comment: left half 0, right half 200

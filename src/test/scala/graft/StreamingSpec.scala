@@ -272,6 +272,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamPairs == batchPairs)
   }
 
+  test("streaming keep-best: better variants emit changes, worse ones " +
+      "don't; running answer matches the batch keepBestPerKey") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp((86400 + s) * 1000L)
+    val stream = MemoryStream[(String, Long, Double, java.sql.Timestamp)]
+    val changes = StreamingIngest.streamingKeepBest(
+      stream.toDF().toDF("fp", "doc_id", "score", "ts"),
+      watermark = "10 minutes")
+    val q = changes.writeStream.outputMode("append")
+      .format("memory").queryName("best_out").start()
+    stream.addData(Seq(("k1", 1L, 0.5, ts(0)), ("k2", 4L, 0.1, ts(1))))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      ("k1", 2L, 0.9, ts(10)), // better -> change
+      ("k1", 3L, 0.7, ts(11)), // worse than reigning 0.9 -> silent
+      ("k2", 5L, 0.1, ts(12)))) // tie, LARGER id -> silent (batch tie rule)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("best_out").as[StreamingIngest.BestChange]
+      .collect().sortBy(c => (c.fp, c.doc_id))
+    assert(got.map(c => (c.fp, c.doc_id, c.replaced)).toSeq ==
+      Seq(("k1", 1L, -1L), ("k1", 2L, 1L), ("k2", 4L, -1L)))
+    // parity: the LAST change per key equals the batch operator
+    val streamBest = got.groupBy(_.fp).map { case (fp, cs) =>
+      fp -> cs.last.doc_id }
+    val batch = graft.ops.Dedup.keepBestPerKey(
+      Seq(("k1", 1L, 0.5), ("k1", 2L, 0.9), ("k1", 3L, 0.7),
+        ("k2", 4L, 0.1), ("k2", 5L, 0.1)).toDF("fp", "doc_id", "score"),
+      keyCol = "fp", scoreCol = "score")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamBest == batch)
+  }
+
   test("streaming ingest: embed stage through a parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
