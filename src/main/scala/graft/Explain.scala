@@ -1,32 +1,37 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: dump the formatted physical plan of named `SparkEntry`
-  * queries (all of them with no names given) — the per-operator "is this
-  * the plan I'd want at 100×" audit loop.
+/** Plan-audit tool: print the formatted physical plan of named oracle
+  * queries (all of them when none are named) without executing — the
+  * dev loop behind the per-round "read the plan, not just the timing"
+  * audits. Usage:
   *
-  * Usage: runMain graft.Explain <sfDir> [queryName...]
+  *   sbt "runMain graft.Explain <sfDir> [query ...]"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Explain <sfDir> [queryName...]")
-    val sfDir = args.head
-    val names =
-      if (args.length > 1) args.tail.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val builder = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n======== $n ========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable =>
-        println(s"[explain] $n failed: ${e.getMessage}")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"== $name: NO SUCH QUERY ==")
+        case Some(fn) =>
+          println(s"\n==== $name ====")
+          try println(fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          catch { case e: Throwable =>
+            println(s"(failed to plan: ${e.getClass.getSimpleName}: ${e.getMessage})")
+          }
       }
     }
     spark.stop()

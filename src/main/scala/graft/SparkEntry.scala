@@ -69,6 +69,14 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // mergeable HLL cardinality sketch: the register table itself —
+    // pure integer logic (md5-hash60, bit ops, bin-length rank), so the
+    // sketch STATE is oracle-exact, not just error-bounded; merging =
+    // groupBy-max (spec-pinned equal to sketching the union)
+    "x25_hll_registers" -> ((s, dir) =>
+      graft.ops.Sketches.hllRegisters(t(s, dir, "events"), "user_id", p = 9)
+        .orderBy(col("bucket"))),
+
     // deterministic hash sampling (training-data subsetting without RNG
     // state: a narrow map, reproducible across engines and runs)
     "d7_hash_sample" -> ((s, dir) =>
@@ -1758,6 +1766,18 @@ object SparkEntry {
                 ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
                  1, 15))::BIGINT AS fp60
          FROM documents ORDER BY doc_id""",
+
+    "x25_hll_registers" ->
+      """WITH h AS (
+           SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events),
+         r AS (SELECT h % 512 AS bucket, h // 512 AS w FROM h),
+         x AS (SELECT bucket,
+                      CASE WHEN w = 0 THEN 52
+                           ELSE 52 - len(bin(w)) END AS rho
+               FROM r)
+         SELECT bucket, max(rho)::BIGINT AS rho
+         FROM x GROUP BY bucket ORDER BY bucket""",
 
     "d1_exact_dedup" ->
       """WITH fp AS (

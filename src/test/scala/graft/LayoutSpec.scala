@@ -85,4 +85,31 @@ class LayoutSpec extends SparkSpec {
         .count() == 0)
     } finally stats.unpersist()
   }
+
+  test("bench z-order block shape: hashed 2-D table, manifest prune " +
+       "ratio, aggregate parity (the svs_skip_scan composition)") {
+    // the exact composition Bench's skipping point runs, at 1/5 scale —
+    // pins the block so the bench can't silently break
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-benchz").toString + "/t"
+    val zdf = spark.range(200000L).select(col("id"),
+      pmod(hash(col("id")), lit(1024)).cast("long").as("x"),
+      pmod(hash(col("id") + 7L), lit(1024)).cast("long").as("y"),
+      concat_ws("", (0 until 8).map(i =>
+        md5(concat(col("id"), lit(i)))): _*).as("payload"))
+    Layout.writeZordered(zdf, dir,
+      Layout.zValue(10, col("x"), col("y")), numFiles = 64)
+    val stats = Layout.parquetFileStats(spark, dir, Seq("x", "y")).cache()
+    try {
+      val kept = Layout.pruneFiles(spark, dir, stats, "x", 0, 127)
+      // a 1/8 range over a z-layout of 64 files must prune hard: the
+      // x-range maps to ~1/8 of z-space (plus boundary files)
+      assert(kept.size <= 24, s"kept ${kept.size}/64 files")
+      val skip = Layout.skippingScan(spark, dir, stats, "x", 0, 127)
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("s")).head
+      val full = spark.read.parquet(dir).where(col("x").between(0, 127))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("s")).head
+      assert(skip == full && skip.getLong(0) > 0)
+    } finally stats.unpersist()
+  }
 }

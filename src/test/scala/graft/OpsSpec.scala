@@ -1590,6 +1590,30 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 5L))
   }
 
+  test("HLL sketch: merge(sketch(a), sketch(b)) == sketch(a ∪ b) exactly; " +
+      "estimate within 3 standard errors of exact distinct") {
+    import spark.implicits._
+    // distinct tokens of the corpus — a few thousand values
+    val toks = docs.select(explode(TextAnalysis.tokens($"text")).as("t"))
+    val exact = toks.distinct().count()
+    val p = 9
+    val all = Sketches.hllRegisters(toks, "t", p)
+    // mergeability: split on an arbitrary predicate, sketch halves
+    // separately, merge — identical register table (not just close)
+    val a = Sketches.hllRegisters(toks.where(length($"t") <= 5), "t", p)
+    val b = Sketches.hllRegisters(toks.where(length($"t") > 5), "t", p)
+    val merged = Sketches.hllMerge(a, b)
+    assert(merged.except(all).isEmpty && all.except(merged).isEmpty)
+    // idempotence: merging a sketch with itself changes nothing
+    val self = Sketches.hllMerge(all, all)
+    assert(self.except(all).isEmpty && all.except(self).isEmpty)
+    // accuracy: HLL standard error is 1.04/sqrt(m)
+    val est = Sketches.hllEstimate(all, p)
+    val se = 1.04 / math.sqrt((1 << p).toDouble)
+    assert(math.abs(est - exact) / exact <= 3 * se,
+      s"HLL estimate $est vs exact $exact outside 3*se ($se)")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

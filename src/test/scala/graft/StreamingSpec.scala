@@ -306,6 +306,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamBest == batch)
   }
 
+  test("HLL registers maintain under streaming: complete-mode state " +
+      "equals the batch sketch of everything seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the register table is a plain groupBy-max, so the SAME operator
+    // runs as a streaming stateful aggregation — the live-distincts
+    // counter a 100 TB ingest keeps without ever re-scanning
+    val events = Tables.t(spark, sf("0.001"), "events")
+      .select($"user_id").as[Long].collect().toSeq
+    val stream = MemoryStream[Long]
+    val regs = graft.ops.Sketches.hllRegisters(
+      stream.toDF().toDF("user_id"), "user_id", p = 9)
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    val (first, rest) = events.splitAt(events.size / 2)
+    stream.addData(first)
+    q.processAllAvailable()
+    stream.addData(rest)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Sketches.hllRegisters(
+        events.toDF("user_id"), "user_id", p = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming ingest: embed stage through a parquet sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
