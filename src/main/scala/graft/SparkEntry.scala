@@ -1340,6 +1340,46 @@ object SparkEntry {
       graft.ops.GraphOps.triangleCounts(e).orderBy($"id")
     }),
 
+    // running distinct-type count per user: the COUNT(DISTINCT) OVER
+    // neither engine supports, in its standard rewrite (first-seen flag
+    // + running sum — two user-keyed windows, no global state)
+    "w3_running_distinct" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val wFirst = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("flag",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum($"flag").over(wRun))
+        .select($"event_id", $"user_id", $"event_type", $"n_types_seen")
+        .orderBy($"event_id")
+    }),
+
+    // ordered conversion funnel (view -> first later click -> first
+    // later purchase): per-user first-times chained by strictly-later
+    // filters; every stage is a filtered agg + an equi-join on the
+    // (tiny) per-user table — the event-analytics staple
+    "e8_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val v = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+      val c = ev.where($"event_type" === "click").join(v, "user_id")
+        .where($"ts" > $"view_ts")
+        .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+      val p = ev.where($"event_type" === "purchase").join(c, "user_id")
+        .where($"ts" > $"click_ts")
+        .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
+          (lit(1L) + when($"click_ts".isNotNull, 1L).otherwise(0L)
+            + when($"purchase_ts".isNotNull, 1L).otherwise(0L)).as("stage"))
+        .orderBy($"user_id")
+    }),
+
     // robust per-type outlier detection: median/MAD (the z-score that
     // outliers can't poison — e5's mean/stddev moves with the outlier
     // itself); both medians are EXACT percentiles, so the oracle's
@@ -3304,6 +3344,43 @@ object SparkEntry {
          SELECT n.id, coalesce(pn.t, 0)::BIGINT AS triangles
          FROM nodes n LEFT JOIN pn USING (id)
          ORDER BY n.id""",
+
+    "w3_running_distinct" ->
+      """WITH f AS (
+           SELECT event_id, user_id, event_type, ts,
+                  CASE WHEN row_number() OVER
+                    (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS flag
+           FROM events),
+         r AS (
+           SELECT event_id, user_id, event_type,
+                  sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                    AS n_types_seen
+           FROM f)
+         SELECT event_id, user_id, event_type, n_types_seen
+         FROM r ORDER BY event_id""",
+
+    "e8_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS view_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS click_ts
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.view_ts
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS purchase_ts
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+           GROUP BY e.user_id)
+         SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+                (1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END)::BIGINT
+                  AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY v.user_id""",
 
     "e7_mad_outliers" ->
       """WITH med AS (
