@@ -1552,7 +1552,37 @@ final class KbStore private (
     * output; raise it when a table is large enough that one writer (and
     * one downstream scan task) would serialize everything.
     */
-  def compact(codec: String = "gzip", numFiles: Int = 1): Unit = {
+  def compact(codec: String = "gzip", numFiles: Int = 1): Unit =
+    compactWithLayout(codec, numFiles, Map.empty)
+
+  /** MAJOR compaction with physical layout (the lakehouse OPTIMIZE
+    * ZORDER, store-integrated): like [[compact]], but the named table
+    * is rewritten clustered by the Z-value of `zCols` — unbounded
+    * values scaled by [[graft.ops.Layout.withZColumn]]'s uniform
+    * bucketing, range-partitioned into `numFiles` internally-sorted
+    * files — so parquet min/max stats (and a
+    * [[graft.ops.Layout.parquetFileStats]] manifest, if the deployment
+    * keeps one) prune scans on ANY of the interleaved columns. Goes
+    * through the SAME commit path as every mutation: manifest CAS,
+    * atomic publish, chain folding, stale-family hold-back, postings
+    * partition layout — a layout rewrite is just a commit whose data
+    * is unchanged (spec asserts read-back parity and per-file z-range
+    * disjointness).
+    */
+  def compactZordered(table: String, zCols: Seq[String], bits: Int = 8,
+      numFiles: Int = 8, codec: String = "snappy"): Unit = {
+    require(metaCache.table_versions.contains(table) ||
+      KbStore.TableNames.contains(table), s"unknown table $table")
+    compactWithLayout(codec, numFiles = 1, Map(table -> { df =>
+      graft.ops.Layout.withZColumn(df, bits, zCols)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }))
+  }
+
+  private def compactWithLayout(codec: String, numFiles: Int,
+      layout: Map[String, DataFrame => DataFrame]): Unit = {
     // a STALE index family must not ride along: rewriting it at the new
     // version would equalize its version with embeddings' and silently
     // promote it to Current while it still misses the docs added since
@@ -1578,8 +1608,11 @@ final class KbStore private (
     // the rewrite — without it a routine compact would silently demote
     // bm25Retrieve's partition pruning to a full scan.
     commit(
-      names.map(name =>
-        name -> read(name).coalesce(math.max(1, numFiles))).toMap,
+      names.map { name =>
+        name -> layout.getOrElse(name,
+          (df: DataFrame) => df.coalesce(math.max(1, numFiles)))
+          .apply(read(name))
+      }.toMap,
       identity, codec, preserveIndex = true,
       partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
   }

@@ -46,6 +46,37 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Z-value over ARBITRARY numeric columns: each column is scaled into
+    * [0, 2^bits) by uniform bucketing over its observed (min, max) —
+    * one tiny global aggregate — then bit-interleaved with [[zValue]].
+    * This is what lets unbounded ids/keys z-cluster (the raw-low-bits
+    * contract of [[zValue]] only suits already-bounded values): file
+    * min/max stats on the RAW columns stay tight because bucket order
+    * preserves value order. Uniform buckets (vs quantiles) keep the
+    * mapping a codegen'd width_bucket; heavy skew costs cluster balance,
+    * not correctness.
+    *
+    * Returns `df` with the interleaved key appended as `zName`.
+    */
+  def withZColumn(df: DataFrame, bits: Int, cols: Seq[String],
+      zName: String = "__z"): DataFrame = {
+    require(cols.nonEmpty, "need at least one z column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val n = 1 << bits
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      if (hi <= lo) lit(0L) // constant column: one bucket
+      else least(lit(n.toLong - 1),
+        greatest(lit(0L),
+          (width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n))
+            - 1).cast("long")))
+    }
+    df.withColumn(zName, zValue(bits, scaled: _*))
+  }
+
   /** Per-FILE min/max statistics of numeric columns, read from parquet
     * FOOTERS only — no row data is touched. This is the data-skipping
     * manifest of the lakehouse playbook (Delta/Iceberg file stats): at
