@@ -10,13 +10,30 @@ import graft.functions.FloatVecDot
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}
   *
   * Two parts:
-  *  1. every SparkEntry query timed once at SPARK_GRAFT_SF_DIR;
+  *  1. every SparkEntry query timed at SPARK_GRAFT_SF_DIR;
   *  2. the reference's published benchmark protocol (BASELINE.md):
   *     synthetic unit vectors d=1536 at N=10,548 and N=1,000,000, then
   *     cold-then-warm `retrieve(query, n=100)` — reported as
   *     svs_{build,cold,warm}_{10k,1m} entries in the queries map, directly
   *     comparable to the reference's 0.5s/0.011s (10k) and 120s/0.24s (1M)
   *     numbers (`/root/reference/README.md:126-129`).
+  *
+  * BUDGET DISCIPLINE (r7): the whole run fits a wall-clock budget
+  * (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1380 s) so the driver's
+  * timeout can never void the round's numbers again (r5: tail
+  * truncation; r6: rc 124, total loss). Three mechanisms:
+  *   - every point is recorded through [[record]], which (a) skips the
+  *     point if the remaining budget can't cover its estimate, (b) runs
+  *     ONE rep instead of a median-of-3 when the first rep exceeds
+  *     ~20 s (medians only matter where noise > signal), and (c)
+  *     rewrites BENCH_FULL.json after EVERY point, so even a SIGKILL
+  *     loses at most the in-flight point;
+  *   - heavy setup blocks are gated by [[setup]] — if the remaining
+  *     budget can't cover setup + its points, the run jumps straight
+  *     to emission with everything measured so far;
+  *   - a JVM shutdown hook emits the contract JSON line from whatever
+  *     has been measured if the process is SIGTERMed mid-point (the
+  *     `timeout(1)` default signal), so a partial map still parses.
   *
   * The retrieval kernel is the packed-f32 BINARY column + the codegen'd
   * [[FloatVecDot]] expression — the Spark-native analog of the
@@ -25,9 +42,59 @@ import graft.functions.FloatVecDot
 object Bench {
 
   private final val Dim = 1536
+  private val wallT0 = System.nanoTime()
+  private def elapsedS: Double = (System.nanoTime() - wallT0) / 1e9
+
+  /** Seconds held back for emission + spark.stop (the contract lines
+    * must always get out). */
+  private final val ReserveS = 25.0
+
+  private var budgetS: Double = 1380.0
+  private def remainS: Double = budgetS - elapsedS
+
+  private val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+  private val skipped = scala.collection.mutable.ArrayBuffer[String]()
+  private var sfDirG: String = ""
+  private var repsG: Int = 3
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Thrown when the remaining budget only covers emission — unwinds
+    * straight to the emit path. */
+  private final class BudgetUp extends RuntimeException("bench budget exhausted")
+
+  /** Gate an UNTIMED setup block: if the remaining budget can't cover
+    * `estS` plus the emission reserve, stop measuring. */
+  private def setup(estS: Double): Unit =
+    if (remainS < estS + ReserveS) throw new BudgetUp
+
+  /** Time one point, budget-aware and adaptively repped (see class doc).
+    * `estS` is a conservative single-rep estimate used only for the
+    * skip decision; `reps=1` pins single-shot points (cold reads, loads
+    * — re-running those measures the page cache, not the operator).
+    */
+  private def record(name: String, estS: Double = 10.0, reps: Int = 3,
+      longRepS: Double = 20.0)(body: => Any): Unit = {
+    if (remainS < ReserveS) { skipped += name; throw new BudgetUp }
+    if (remainS < estS + ReserveS) { skipped += name; return }
+    val first = timed(body)
+    val more = reps > 1 && first < longRepS &&
+      remainS - ReserveS > first * (reps - 1)
+    results(name) =
+      if (!more) first
+      else {
+        val ts = (Seq(first) ++ (2 to reps).map(_ => timed(body))).sorted
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+      }
+    writeFull()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirG = sfDir
+    budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(1380.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +109,9 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // SIGTERM safety net: timeout(1) sends TERM, shutdown hooks run —
+    // emit the contract lines from whatever has been measured so far
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emitAll()))
 
     // ---- part 1: the operator inventory at sfDir ----
     // (optional args = run only the named queries — dev profiling knob)
@@ -50,9 +119,6 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
 
-    // warmup at the smallest SF: pays JIT + codegen + shuffle-service
-    // init once, so the timed runs below measure the operators, not the
-    // JVM (SPARK_GRAFT_WARMUP=0 disables)
     // operators cache/checkpoint internally (shingle sets, CC labels,
     // index blocks); drop it all between queries so timings measure the
     // operator, not accumulated GC pressure
@@ -67,377 +133,384 @@ object Bench {
     def evalAll(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // warmup at the smallest SF: pays JIT + codegen + shuffle-service
+    // init once, so the timed runs below measure the operators, not the
+    // JVM (SPARK_GRAFT_WARMUP=0 disables). Budget-capped at 20% of the
+    // run: warm timings beat cold-JIT timings, but complete coverage
+    // beats warm timings.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      selected.foreach { case (_, fn) =>
-        try { evalAll(fn(spark, "/root/testdata/sf0.001")) }
-        catch { case _: Throwable => () }
-        clearState()
-      }
-    }
-
-    // median of SPARK_GRAFT_REPS runs (default 3): single runs vary
-    // 2-3× with VM/GC noise, and a median is what the baseline rows are
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
-    selected.foreach { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        clearState()
-        dt
-      }
-      val sorted = times.sorted
-      results(name) =
-        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-    }
-
-    // ---- part 2: reference protocol (cold-then-warm retrieval) ----
-    // (SPARK_GRAFT_SVS=0 skips it — dev-loop knob)
-    if (sys.env.getOrElse("SPARK_GRAFT_SVS", "1") != "0") {
-      svsProtocol(spark, n = 10548, tag = "10k", results)
-      val kept1m = svsProtocol(spark, n = 1000000, tag = "1m", results,
-        keep = true)
-
-      // §3.3 scale point: top-25 pairwise scores over the SAME 1M × d1536
-      // corpus via the sketch-candidates + exact-re-rank path. The exact
-      // all-pairs formulation is 5×10¹¹ pairs × 1536 flops ≈ 8×10¹⁴ flops
-      // — infeasible on any engine — so this measures the path that
-      // actually runs at that cardinality (PairwiseTopK scaladoc).
-      val corpus1m = spark.read.parquet(kept1m)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      corpus1m.count() // warm the cache: time the operator, not the disk
-      results("svs_pairs_1m") = timedMedian3 {
-        graft.ops.PairwiseTopK.sketchTopKPairs(
-          corpus1m, dim = Dim, k = 25,
-          sketchBits = 320, bands = 16, rerank = 20000)
-          .collect()
-      }
-      // threshold near-dup mining at the same 1M × d1536 scale: the
-      // embeddingNearDups scale path (sketch banding + Hamming cutoff +
-      // exact verify). A random corpus has no cos ≥ 0.8 pairs, so this
-      // measures the candidate pipeline itself completing at 1M.
-      results("svs_neardup_1m") = timedMedian3 {
-        graft.ops.PairwiseTopK.sketchThresholdPairs(
-          corpus1m, dim = Dim, threshold = 0.8).count()
-      }
-      // batch IVF index build over the same 1M corpus: per-row argmax
-      // against 256 broadcast centroids via the packed-f32 kernel, and
-      // the inverted-list table written out — the "Spark builds the
-      // vector index in batch" flagship at scale
-      val ivfPath = "/tmp/graft_bench_ivf"
-      KbStoreCleanup.delete(ivfPath)
-      val cents = corpus1m.where(col("id") < 256)
-        .select(col("id").as("cid"), col("vec").as("cvec"))
-      results("svs_ivf_build_1m") = timedMedian3 {
-        graft.ops.SimilaritySearch.ivfAssignPacked(corpus1m, cents)
-          .write.mode("overwrite").option("compression", "none")
-          .parquet(ivfPath)
-      }
-      // probe: 8 of 256 lists → ~1/32 of the corpus scored. The probed
-      // member ids broadcast back against the corpus — the DataFrame
-      // form of partition pruning on the list id.
-      val assigned1m = spark.read.parquet(ivfPath)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      assigned1m.count()
-      results("svs_ivf_probe_1m") = timedMedian3 {
-        val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
-        val probes = cents
-          .select(col("cid"), FloatVecDot.floatVecDot(col("cvec"), qv).as("ps"))
-          .orderBy(desc("ps")).limit(8).select(col("cid"))
-        val candIds = assigned1m.join(broadcast(probes), "cid")
-          .select(col("vec_id"))
-        corpus1m.join(broadcast(candIds), corpus1m("id") === col("vec_id"))
-          .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv).as("score"))
-          .orderBy(desc("score"), desc("id")).limit(100)
-          .collect()
-      }
-      assigned1m.unpersist()
-      KbStoreCleanup.delete(ivfPath)
-
-      // large-query-side k-NN join: 10k queries × 1M candidates, both
-      // shuffled on the centroid id (knnJoinIvfPacked) — the path whose
-      // raison d'être is inputs too big to broadcast. Packed kernels
-      // end-to-end: argmax assign + probe ranking decode each blob once,
-      // the post-join scoring is the codegen'd FloatVecDot.
-      val queries10k = syntheticEmbeddings(spark, 10000)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      queries10k.count()
-      results("svs_knn_join_1m") = timedMedian3 {
-        graft.ops.SimilaritySearch.knnJoinIvfPacked(
-          queries10k, corpus1m, cents, k = 10, nProbe = 4)
-          .write.format("noop").mode("overwrite").save()
-      }
-
-      // the same join through a PERSISTED assignment — what a
-      // deployment pays per call once the index is maintained (probe
-      // ranking + scoring + heaps; the corpus assignment pass and its
-      // shuffle are index-maintenance cost, amortized outside the
-      // timer). The contrast with svs_knn_join_1m is the measured
-      // index-amortization claim.
-      val assignedTbl = graft.ops.SimilaritySearch
-        .ivfAssignPacked(corpus1m, cents).alias("a")
-      val preAssigned = assignedTbl
-        .join(corpus1m.alias("e"), col("a.vec_id") === col("e.id"))
-        .select(col("a.cid").as("ccid"),
-          col("a.vec_id").as("cand_id"), col("e.vec").as("cv"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      preAssigned.count()
-      results("svs_knn_join_indexed_1m") = timedMedian3 {
-        graft.ops.SimilaritySearch.knnJoinIvfAssigned(
-          queries10k, preAssigned, cents, k = 10, nProbe = 4)
-          .write.format("noop").mode("overwrite").save()
-      }
-      preAssigned.unpersist()
-
-      // the same join over a ccid-BUCKETED catalog table: the scan
-      // reports HashPartitioning(ccid), so the per-call join shuffles
-      // ONLY the probe side — the corpus's packed vectors are laid out
-      // once at index-build time (outside the timer) and never cross
-      // an exchange again. The delta vs svs_knn_join_indexed_1m is the
-      // candidate-side exchange, measured.
-      spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
-      // a killed prior run can leave the managed-table dir behind with
-      // no catalog entry; a stale non-empty location fails the create
-      KbStoreCleanup.delete(
-        spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:") + "/graft_bench_knn_bucketed")
-      graft.ops.SimilaritySearch.writeAssignedBucketed(corpus1m, cents,
-        "graft_bench_knn_bucketed", buckets = cpus.toInt)
-      // cache the bucketed scan (InMemoryRelation keeps the scan's
-      // HashPartitioning, so the no-exchange property survives) — the
-      // indexed point above reads a MEMORY_AND_DISK-persisted frame,
-      // so without this the delta would measure disk IO, not the
-      // exchange elision it exists to isolate
-      spark.catalog.cacheTable("graft_bench_knn_bucketed")
-      spark.table("graft_bench_knn_bucketed").count()
-      results("svs_knn_join_bucketed_1m") = timedMedian3 {
-        graft.ops.SimilaritySearch.knnJoinIvfBucketed(
-          queries10k, "graft_bench_knn_bucketed", cents, k = 10, nProbe = 4)
-          .write.format("noop").mode("overwrite").save()
-      }
-      spark.catalog.uncacheTable("graft_bench_knn_bucketed")
-      spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
-      queries10k.unpersist()
-
-      // compressed-tier points over the same 1M × d1536 corpus — the
-      // memory story at 100 TB (6 KB/vector raw): int8 scalar
-      // quantization (1.5 KB/vector, near-lossless ranking) and product
-      // quantization (96 bytes/vector + ADC lookup scoring + exact
-      // refine). Encode is a narrow map; probes never shuffle the
-      // corpus.
-      results("svs_sq_encode_1m") = timedMedian3 {
-        graft.ops.VectorQuant.sqEncodePacked(corpus1m)
-          .write.format("noop").mode("overwrite").save()
-      }
-      val sqCodes = graft.ops.VectorQuant.sqEncodePacked(corpus1m)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      sqCodes.count()
-      val (qCode, qScale) = graft.functions.Int8VecDot.quantize(syntheticVec(2L))
-      results("svs_sq_probe_1m") = timedMedian3 {
-        graft.ops.VectorQuant.sqTopKPacked(sqCodes, qCode, qScale, 100)
-          .collect()
-      }
-      sqCodes.unpersist()
-
-      // binary (sign-bit) tier: 192 B/vector — the XOR+popcount
-      // prefilter scan plus exact re-rank of the 1000 survivors
-      results("svs_bin_encode_1m") = timedMedian3 {
-        graft.ops.VectorQuant.binEncodePacked(corpus1m)
-          .write.format("noop").mode("overwrite").save()
-      }
-      val binCodes = graft.ops.VectorQuant.binEncodePacked(corpus1m)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      binCodes.count()
-      results("svs_bin_probe_1m") = timedMedian3 {
-        graft.ops.VectorQuant.binTopKPacked(binCodes, corpus1m,
-          syntheticVec(2L), k = 100, rerank = 1000).collect()
-      }
-      binCodes.unpersist()
-
-      // PQ train on a 10k id-mod sample (2 Lloyd iterations, 96
-      // subspaces × 256 codes), then encode the full corpus
-      var books: graft.ops.VectorQuant.Codebooks = null
-      results("svs_pq_train_1m") = timedMedian3 {
-        books = graft.ops.VectorQuant.pqTrain(corpus1m, m = 96,
-          ncodes = 256, sampleMod = 100, iters = 2)
-      }
-      results("svs_pq_encode_1m") = timedMedian3 {
-        graft.ops.VectorQuant.pqEncode(corpus1m, books)
-          .write.format("noop").mode("overwrite").save()
-      }
-      val pqCodes = graft.ops.VectorQuant.pqEncode(corpus1m, books)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      pqCodes.count()
-      results("svs_pq_probe_1m") = timedMedian3 {
-        graft.ops.VectorQuant.pqTopKRefined(pqCodes, corpus1m, books,
-          syntheticVec(2L), k = 100, rerank = 1000).collect()
-      }
-      pqCodes.unpersist()
-
-      // IVF-PQ: residual-encoded inverted lists (build untimed — its
-      // cost is the already-timed ivf assign + pq encode shapes); the
-      // probe touches 4/256 lists of 96-byte codes + a 1000-candidate
-      // exact refine
-      val centsArr = cents.collect().map(r =>
-        (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
-      val res1m = graft.ops.VectorQuant.ivfResiduals(corpus1m, centsArr)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      res1m.count()
-      val rbooks = graft.ops.VectorQuant.pqTrain(
-        res1m.select(col("id"), col("rvec").as("vec")), m = 96,
-        ncodes = 256, sampleMod = 100, iters = 2)
-      val ivfpqCodes = graft.ops.VectorQuant.ivfPqEncode(res1m, rbooks)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ivfpqCodes.count()
-      res1m.unpersist()
-      results("svs_ivfpq_probe_1m") = timedMedian3 {
-        graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes, corpus1m,
-          centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,
-          rerank = 1000).collect()
-      }
-
-      // compressed k-NN JOIN over the same residual codes: ADC
-      // pre-filters the 10k × 1M candidate stream through
-      // 96-byte-per-vector codes (the join never ships raw candidate
-      // vectors), exact re-rank of the top-50 survivors per query —
-      // the probe-depth lever ProfileKnnIdx pointed at after the
-      // persisted-assignment variant showed pair scoring dominates
-      val queriesPq = syntheticEmbeddings(spark, 10000)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      queriesPq.count()
-      results("svs_knn_join_pq_1m") = timedMedian3 {
-        graft.ops.VectorQuant.knnJoinIvfPq(queriesPq, ivfpqCodes,
-          centsArr, rbooks, corpus1m, k = 10, nProbe = 4, rerank = 50)
-          .write.format("noop").mode("overwrite").save()
-      }
-      queriesPq.unpersist()
-      ivfpqCodes.unpersist()
-
-      corpus1m.unpersist()
-      KbStoreCleanup.delete(kept1m)
-
-      // text-only bulk load — the phase the reference's 0.07s @ 10k and
-      // 8s @ 1M numbers measure (fn2 in BASELINE.md). Writes are
-      // coalesced to ~1 task per 100k rows: a 32-task write of 10k rows
-      // times Spark's task-dispatch floor, not the load.
-      // untimed warmup: the very first string-column parquet write pays
-      // ~1.2s of one-time classload/JIT; the reference's 0.07s SQLite
-      // number is steady-state, so ours should be too
-      syntheticDocs(spark, 100).coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_bench_docs_warm")
-      KbStoreCleanup.delete("/tmp/graft_bench_docs_warm")
-      Seq(10548L -> "10k", 1000000L -> "1m").foreach { case (n, tag) =>
-        val docsPath = s"/tmp/graft_bench_docs_$tag"
-        KbStoreCleanup.delete(docsPath)
-        val docsDf = syntheticDocs(spark, n)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        docsDf.count() // generation excluded, like the reference's
-        val parts = math.max(1, (n / 100000L).toInt)
-        results(s"svs_load_docs_$tag") = timed {
-          docsDf.coalesce(parts).write.mode("overwrite").parquet(docsPath)
+      selected.iterator.takeWhile(_ => elapsedS < budgetS * 0.2)
+        .foreach { case (_, fn) =>
+          try { evalAll(fn(spark, "/root/testdata/sf0.001")) }
+          catch { case _: Throwable => () }
+          clearState()
         }
-        docsDf.unpersist()
-        KbStoreCleanup.delete(docsPath)
-      }
-
-      // lakehouse layout + data skipping, measured on a 6M-row table
-      // with a ~256-byte payload (1.5 GB raw) and a 1/8-range predicate
-      // on one of two z-interleaved dimensions, payload in the
-      // aggregate so scans are decode-bound like a real wide table:
-      //  - svs_zscan_pruned_6m: z-ordered layout, plain scan — the
-      //    engine's own row-group stats prune because the LAYOUT made
-      //    ranges tight (and the same layout serves BOTH dims);
-      //  - svs_scan_unordered_6m: identical data, naive layout — every
-      //    row group straddles the predicate; the delta vs pruned is
-      //    the measured z-order win;
-      //  - svs_skip_scan_6m: the manifest file-skipping path (15/64
-      //    files read). At local-NVMe scale its timed cost ≈ pruned
-      //    plus a fixed ~0.2 s manifest lookup — the honest local
-      //    story; its real win (one manifest read replacing per-file
-      //    footer opens, 4× fewer tasks) is object-store metadata
-      //    latency, which this VM cannot exhibit. Result parity for
-      //    the composition is LayoutSpec-pinned.
-      val zdir = "/tmp/graft_bench_zorder"
-      val udir = "/tmp/graft_bench_unordered"
-      KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
-      val zdf = spark.range(6000000L).select(col("id"),
-        pmod(hash(col("id")), lit(1024)).cast("long").as("x"),
-        pmod(hash(col("id") + 7L), lit(1024)).cast("long").as("y"),
-        concat_ws("", (0 until 8).map(i =>
-          md5(concat(col("id"), lit(i)))): _*).as("payload"))
-      results("svs_zorder_write_6m") = timed {
-        graft.ops.Layout.writeZordered(zdf, zdir,
-          graft.ops.Layout.zValue(10, col("x"), col("y")), numFiles = 64)
-      }
-      zdf.repartition(64).write.mode("overwrite").parquet(udir)
-      val zstats = graft.ops.Layout
-        .parquetFileStats(spark, zdir, Seq("x", "y"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      zstats.count()
-      def scanAgg(df: org.apache.spark.sql.DataFrame): Unit = {
-        df.agg(count(lit(1)), sum(length(col("payload")))).collect(); ()
-      }
-      results("svs_skip_scan_6m") = timedMedian3 {
-        scanAgg(graft.ops.Layout.skippingScan(spark, zdir, zstats,
-          "x", 0, 127))
-      }
-      results("svs_zscan_pruned_6m") = timedMedian3 {
-        scanAgg(spark.read.parquet(zdir).where(col("x").between(0, 127)))
-      }
-      results("svs_scan_unordered_6m") = timedMedian3 {
-        scanAgg(spark.read.parquet(udir).where(col("x").between(0, 127)))
-      }
-      zstats.unpersist()
-      KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
     }
 
+    // median of SPARK_GRAFT_REPS runs (default 3) for fast queries;
+    // single runs vary 2-3× with VM/GC noise, and a median is what the
+    // baseline rows are. Queries whose first rep exceeds ~20 s run once
+    // (signal > noise there) — the r6 timeout lesson.
+    repsG = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    try {
+      selected.foreach { case (name, fn) =>
+        record(name, estS = 5.0, reps = repsG) {
+          try { evalAll(fn(spark, sfDir)) } catch { case _: Throwable => () }
+          clearState()
+        }
+      }
+
+      // ---- part 2: reference protocol (cold-then-warm retrieval) ----
+      // (SPARK_GRAFT_SVS=0 skips it — dev-loop knob)
+      if (sys.env.getOrElse("SPARK_GRAFT_SVS", "1") != "0") {
+        svsPart2(spark, cpus)
+      }
+    } catch { case _: BudgetUp => () }
+
+    emitAll()
+    spark.stop()
+  }
+
+  private def svsPart2(spark: SparkSession, cpus: String): Unit = {
+    setup(15.0)
+    svsProtocol(spark, n = 10548, tag = "10k")
+    // the 1M protocol's minimum useful slice is build + cold (the two
+    // BASELINE.md headline rows): ~account staging 40 + build 100 +
+    // cold 150 + warm index 60
+    setup(350.0)
+    val kept1m = svsProtocol(spark, n = 1000000, tag = "1m", keep = true)
+
+    // §3.3 scale point: top-25 pairwise scores over the SAME 1M × d1536
+    // corpus via the sketch-candidates + exact-re-rank path. The exact
+    // all-pairs formulation is 5×10¹¹ pairs × 1536 flops ≈ 8×10¹⁴ flops
+    // — infeasible on any engine — so this measures the path that
+    // actually runs at that cardinality (PairwiseTopK scaladoc).
+    setup(30.0)
+    val corpus1m = spark.read.parquet(kept1m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus1m.count() // warm the cache: time the operator, not the disk
+    record("svs_pairs_1m", estS = 70.0) {
+      graft.ops.PairwiseTopK.sketchTopKPairs(
+        corpus1m, dim = Dim, k = 25,
+        sketchBits = 320, bands = 16, rerank = 20000)
+        .collect()
+    }
+    // threshold near-dup mining at the same 1M × d1536 scale: the
+    // embeddingNearDups scale path (sketch banding + Hamming cutoff +
+    // exact verify). A random corpus has no cos ≥ 0.8 pairs, so this
+    // measures the candidate pipeline itself completing at 1M.
+    record("svs_neardup_1m", estS = 65.0) {
+      graft.ops.PairwiseTopK.sketchThresholdPairs(
+        corpus1m, dim = Dim, threshold = 0.8).count()
+    }
+    // batch IVF index build over the same 1M corpus: per-row argmax
+    // against 256 broadcast centroids via the packed-f32 kernel, and
+    // the inverted-list table written out — the "Spark builds the
+    // vector index in batch" flagship at scale
+    val ivfPath = "/tmp/graft_bench_ivf"
+    KbStoreCleanup.delete(ivfPath)
+    val cents = corpus1m.where(col("id") < 256)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    record("svs_ivf_build_1m", estS = 15.0) {
+      graft.ops.SimilaritySearch.ivfAssignPacked(corpus1m, cents)
+        .write.mode("overwrite").option("compression", "none")
+        .parquet(ivfPath)
+    }
+    // probe: 8 of 256 lists → ~1/32 of the corpus scored. The probed
+    // member ids broadcast back against the corpus — the DataFrame
+    // form of partition pruning on the list id.
+    setup(15.0)
+    val assigned1m = spark.read.parquet(ivfPath)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned1m.count()
+    record("svs_ivf_probe_1m", estS = 5.0) {
+      val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
+      val probes = cents
+        .select(col("cid"), FloatVecDot.floatVecDot(col("cvec"), qv).as("ps"))
+        .orderBy(desc("ps")).limit(8).select(col("cid"))
+      val candIds = assigned1m.join(broadcast(probes), "cid")
+        .select(col("vec_id"))
+      corpus1m.join(broadcast(candIds), corpus1m("id") === col("vec_id"))
+        .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv).as("score"))
+        .orderBy(desc("score"), desc("id")).limit(100)
+        .collect()
+    }
+    assigned1m.unpersist()
+    KbStoreCleanup.delete(ivfPath)
+
+    // large-query-side k-NN join: 10k queries × 1M candidates, both
+    // shuffled on the centroid id (knnJoinIvfPacked) — the path whose
+    // raison d'être is inputs too big to broadcast. Packed kernels
+    // end-to-end: argmax assign + probe ranking decode each blob once,
+    // the post-join scoring is the codegen'd FloatVecDot.
+    setup(100.0)
+    val queries10k = syntheticEmbeddings(spark, 10000)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    queries10k.count()
+    record("svs_knn_join_1m", estS = 90.0) {
+      graft.ops.SimilaritySearch.knnJoinIvfPacked(
+        queries10k, corpus1m, cents, k = 10, nProbe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // the same join through a PERSISTED assignment — what a
+    // deployment pays per call once the index is maintained (probe
+    // ranking + scoring + heaps; the corpus assignment pass and its
+    // shuffle are index-maintenance cost, amortized outside the
+    // timer). The contrast with svs_knn_join_1m is the measured
+    // index-amortization claim.
+    setup(130.0)
+    val assignedTbl = graft.ops.SimilaritySearch
+      .ivfAssignPacked(corpus1m, cents).alias("a")
+    val preAssigned = assignedTbl
+      .join(corpus1m.alias("e"), col("a.vec_id") === col("e.id"))
+      .select(col("a.cid").as("ccid"),
+        col("a.vec_id").as("cand_id"), col("e.vec").as("cv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    preAssigned.count()
+    record("svs_knn_join_indexed_1m", estS = 60.0) {
+      graft.ops.SimilaritySearch.knnJoinIvfAssigned(
+        queries10k, preAssigned, cents, k = 10, nProbe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    preAssigned.unpersist()
+
+    // the same join over a ccid-BUCKETED catalog table: the scan
+    // reports HashPartitioning(ccid), so the per-call join shuffles
+    // ONLY the probe side — the corpus's packed vectors are laid out
+    // once at index-build time (outside the timer) and never cross
+    // an exchange again. The delta vs svs_knn_join_indexed_1m is the
+    // candidate-side exchange, measured.
+    setup(150.0)
+    spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
+    // a killed prior run can leave the managed-table dir behind with
+    // no catalog entry; a stale non-empty location fails the create
+    KbStoreCleanup.delete(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_bench_knn_bucketed")
+    graft.ops.SimilaritySearch.writeAssignedBucketed(corpus1m, cents,
+      "graft_bench_knn_bucketed", buckets = cpus.toInt)
+    // cache the bucketed scan (InMemoryRelation keeps the scan's
+    // HashPartitioning, so the no-exchange property survives) — the
+    // indexed point above reads a MEMORY_AND_DISK-persisted frame,
+    // so without this the delta would measure disk IO, not the
+    // exchange elision it exists to isolate
+    spark.catalog.cacheTable("graft_bench_knn_bucketed")
+    spark.table("graft_bench_knn_bucketed").count()
+    record("svs_knn_join_bucketed_1m", estS = 60.0) {
+      graft.ops.SimilaritySearch.knnJoinIvfBucketed(
+        queries10k, "graft_bench_knn_bucketed", cents, k = 10, nProbe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.catalog.uncacheTable("graft_bench_knn_bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
+    queries10k.unpersist()
+
+    // compressed-tier points over the same 1M × d1536 corpus — the
+    // memory story at 100 TB (6 KB/vector raw): int8 scalar
+    // quantization (1.5 KB/vector, near-lossless ranking) and product
+    // quantization (96 bytes/vector + ADC lookup scoring + exact
+    // refine). Encode is a narrow map; probes never shuffle the
+    // corpus.
+    setup(30.0)
+    record("svs_sq_encode_1m", estS = 8.0) {
+      graft.ops.VectorQuant.sqEncodePacked(corpus1m)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sqCodes = graft.ops.VectorQuant.sqEncodePacked(corpus1m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sqCodes.count()
+    val (qCode, qScale) = graft.functions.Int8VecDot.quantize(syntheticVec(2L))
+    record("svs_sq_probe_1m", estS = 3.0) {
+      graft.ops.VectorQuant.sqTopKPacked(sqCodes, qCode, qScale, 100)
+        .collect()
+    }
+    sqCodes.unpersist()
+
+    // binary (sign-bit) tier: 192 B/vector — the XOR+popcount
+    // prefilter scan plus exact re-rank of the 1000 survivors
+    setup(25.0)
+    record("svs_bin_encode_1m", estS = 8.0) {
+      graft.ops.VectorQuant.binEncodePacked(corpus1m)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val binCodes = graft.ops.VectorQuant.binEncodePacked(corpus1m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    binCodes.count()
+    record("svs_bin_probe_1m", estS = 5.0) {
+      graft.ops.VectorQuant.binTopKPacked(binCodes, corpus1m,
+        syntheticVec(2L), k = 100, rerank = 1000).collect()
+    }
+    binCodes.unpersist()
+
+    // PQ train on a 10k id-mod sample (2 Lloyd iterations, 96
+    // subspaces × 256 codes), then encode the full corpus
+    setup(60.0)
+    var books: graft.ops.VectorQuant.Codebooks = null
+    record("svs_pq_train_1m", estS = 5.0) {
+      books = graft.ops.VectorQuant.pqTrain(corpus1m, m = 96,
+        ncodes = 256, sampleMod = 100, iters = 2)
+    }
+    record("svs_pq_encode_1m", estS = 30.0) {
+      graft.ops.VectorQuant.pqEncode(corpus1m, books)
+        .write.format("noop").mode("overwrite").save()
+    }
+    setup(60.0)
+    val pqCodes = graft.ops.VectorQuant.pqEncode(corpus1m, books)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pqCodes.count()
+    record("svs_pq_probe_1m", estS = 3.0) {
+      graft.ops.VectorQuant.pqTopKRefined(pqCodes, corpus1m, books,
+        syntheticVec(2L), k = 100, rerank = 1000).collect()
+    }
+    pqCodes.unpersist()
+
+    // IVF-PQ: residual-encoded inverted lists (build untimed — its
+    // cost is the already-timed ivf assign + pq encode shapes); the
+    // probe touches 4/256 lists of 96-byte codes + a 1000-candidate
+    // exact refine
+    setup(120.0)
+    val centsArr = cents.collect().map(r =>
+      (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
+    val res1m = graft.ops.VectorQuant.ivfResiduals(corpus1m, centsArr)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    res1m.count()
+    val rbooks = graft.ops.VectorQuant.pqTrain(
+      res1m.select(col("id"), col("rvec").as("vec")), m = 96,
+      ncodes = 256, sampleMod = 100, iters = 2)
+    val ivfpqCodes = graft.ops.VectorQuant.ivfPqEncode(res1m, rbooks)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ivfpqCodes.count()
+    res1m.unpersist()
+    record("svs_ivfpq_probe_1m", estS = 3.0) {
+      graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes, corpus1m,
+        centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,
+        rerank = 1000).collect()
+    }
+
+    // compressed k-NN JOIN over the same residual codes: ADC
+    // pre-filters the 10k × 1M candidate stream through
+    // 96-byte-per-vector codes (the join never ships raw candidate
+    // vectors), exact re-rank of the top-50 survivors per query —
+    // the probe-depth lever ProfileKnnIdx pointed at after the
+    // persisted-assignment variant showed pair scoring dominates
+    setup(60.0)
+    val queriesPq = syntheticEmbeddings(spark, 10000)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    queriesPq.count()
+    record("svs_knn_join_pq_1m", estS = 45.0) {
+      graft.ops.VectorQuant.knnJoinIvfPq(queriesPq, ivfpqCodes,
+        centsArr, rbooks, corpus1m, k = 10, nProbe = 4, rerank = 50)
+        .write.format("noop").mode("overwrite").save()
+    }
+    queriesPq.unpersist()
+    ivfpqCodes.unpersist()
+
+    corpus1m.unpersist()
+    KbStoreCleanup.delete(kept1m)
+
+    // text-only bulk load — the phase the reference's 0.07s @ 10k and
+    // 8s @ 1M numbers measure (fn2 in BASELINE.md). Writes are
+    // coalesced to ~1 task per 100k rows: a 32-task write of 10k rows
+    // times Spark's task-dispatch floor, not the load.
+    // untimed warmup: the very first string-column parquet write pays
+    // ~1.2s of one-time classload/JIT; the reference's 0.07s SQLite
+    // number is steady-state, so ours should be too
+    setup(30.0)
+    syntheticDocs(spark, 100).coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_bench_docs_warm")
+    KbStoreCleanup.delete("/tmp/graft_bench_docs_warm")
+    Seq(10548L -> "10k", 1000000L -> "1m").foreach { case (n, tag) =>
+      val docsPath = s"/tmp/graft_bench_docs_$tag"
+      KbStoreCleanup.delete(docsPath)
+      val docsDf = syntheticDocs(spark, n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      docsDf.count() // generation excluded, like the reference's
+      val parts = math.max(1, (n / 100000L).toInt)
+      record(s"svs_load_docs_$tag", estS = 6.0, reps = 1) {
+        docsDf.coalesce(parts).write.mode("overwrite").parquet(docsPath)
+      }
+      docsDf.unpersist()
+      KbStoreCleanup.delete(docsPath)
+    }
+
+    // lakehouse layout + data skipping, measured on a 3M-row table
+    // with a ~256-byte payload (0.77 GB raw) and a 1/8-range predicate
+    // on one of two z-interleaved dimensions, payload in the
+    // aggregate so scans are decode-bound like a real wide table
+    // (6M → 3M in r7: the 6M block helped push the r6 run past the
+    // driver's timeout; the pruned/unordered DELTA — the thing being
+    // measured — is scale-invariant):
+    //  - svs_zscan_pruned_3m: z-ordered layout, plain scan — the
+    //    engine's own row-group stats prune because the LAYOUT made
+    //    ranges tight (and the same layout serves BOTH dims);
+    //  - svs_scan_unordered_3m: identical data, naive layout — every
+    //    row group straddles the predicate; the delta vs pruned is
+    //    the measured z-order win;
+    //  - svs_skip_scan_3m: the manifest file-skipping path (~8/32
+    //    files read). At local-NVMe scale its timed cost ≈ pruned
+    //    plus a fixed ~0.2 s manifest lookup — the honest local
+    //    story; its real win (one manifest read replacing per-file
+    //    footer opens, 4× fewer tasks) is object-store metadata
+    //    latency, which this VM cannot exhibit. Result parity for
+    //    the composition is LayoutSpec-pinned.
+    setup(90.0)
+    val zdir = "/tmp/graft_bench_zorder"
+    val udir = "/tmp/graft_bench_unordered"
+    KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
+    val zdf = spark.range(3000000L).select(col("id"),
+      pmod(hash(col("id")), lit(1024)).cast("long").as("x"),
+      pmod(hash(col("id") + 7L), lit(1024)).cast("long").as("y"),
+      concat_ws("", (0 until 8).map(i =>
+        md5(concat(col("id"), lit(i)))): _*).as("payload"))
+    record("svs_zorder_write_3m", estS = 30.0, reps = 1) {
+      graft.ops.Layout.writeZordered(zdf, zdir,
+        graft.ops.Layout.zValue(10, col("x"), col("y")), numFiles = 32)
+    }
+    zdf.repartition(32).write.mode("overwrite").parquet(udir)
+    val zstats = graft.ops.Layout
+      .parquetFileStats(spark, zdir, Seq("x", "y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    zstats.count()
+    def scanAgg(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.agg(count(lit(1)), sum(length(col("payload")))).collect(); ()
+    }
+    record("svs_skip_scan_3m", estS = 6.0) {
+      scanAgg(graft.ops.Layout.skippingScan(spark, zdir, zstats,
+        "x", 0, 127))
+    }
+    record("svs_zscan_pruned_3m", estS = 6.0) {
+      scanAgg(spark.read.parquet(zdir).where(col("x").between(0, 127)))
+    }
+    record("svs_scan_unordered_3m", estS = 6.0) {
+      scanAgg(spark.read.parquet(udir).where(col("x").between(0, 127)))
+    }
+    zstats.unpersist()
+    KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
+  }
+
+  /** Emit everything measured so far: BENCH_FULL.json (pretty, complete)
+    * plus the three stdout lines the driver's 2000-char tail window
+    * reads. Idempotent — called from the normal end of main AND from
+    * the SIGTERM shutdown hook; whichever fires first wins.
+    */
+  private def emitAll(): Unit = {
+    if (!emitted.compareAndSet(false, true)) return
     // part-2 svs_* points FIRST, part-1 oracle queries LAST: the driver
     // archives only the final ~2000 chars of output, and r5's part-1
     // numbers fell out of that window. With the oracle queries at the
     // tail, all of them land inside it; anything clipped at the front is
-    // in BENCH_FULL.json (written below) which the round-end commit
-    // picks up.
+    // in BENCH_FULL.json (written incrementally) which the round-end
+    // commit picks up.
     val ordered = results.toSeq.sortBy { case (k, _) =>
       if (k.startsWith("svs_")) 0 else 1 }
     val qs = ordered.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    // workload annotations: which engine numbers pair with which
-    // BASELINE.md rows (and which have no published counterpart)
-    val notes = Seq(
-      "noise" -> s"part-1 query times are medians of $reps runs (single runs vary 2-3x with VM/GC noise); part-2 svs_* points follow the reference protocol — build/pairs/neardup/ivf_build/knn_join run on persisted state, so reruns are real compute: medians of 3; only cold/load stay single-shot (rerunning those would measure the page cache)",
-      "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
-      "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
-      "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",
-      "svs_neardup_1m" -> "threshold near-dup candidates + exact verify over 1M x d1536 (embeddingNearDups scale path); random corpus has no qualifying pairs, so this measures the pipeline completing at 1M; no published counterpart",
-      "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
-      "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
-      "svs_knn_join_1m" -> "IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256): both sides shuffle on centroid id, packed kernels end-to-end; no published counterpart (the reference retrieves one query at a time)",
-      "svs_knn_join_indexed_1m" -> "the same 10k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn_join_1m); the candidates' packed vectors still cross the join exchange per call",
-      "svs_knn_join_bucketed_1m" -> "the same join over a ccid-BUCKETED catalog table: the scan reports HashPartitioning(ccid) so only the probe side shuffles per call; the delta vs svs_knn_join_indexed_1m is the measured candidate-side exchange the bucketed layout amortizes",
-      "svs_knn_join_pq_1m" -> "the same 10k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate",
-      "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)",
-      "svs_zscan_pruned_6m" -> "z-ordered 6M x 256B table, 1/8-range predicate on one interleaved dim, payload-reading aggregate: the engine's row-group stats prune because the LAYOUT made ranges tight; vs svs_scan_unordered_6m (identical data, naive layout, row groups straddle the predicate) the delta is the measured z-order win — and one layout serves range predicates on BOTH interleaved dims",
-      "svs_skip_scan_6m" -> "the manifest file-skipping path over the same table (reads 15/64 files): at local-NVMe scale it times as svs_zscan_pruned_6m plus a fixed ~0.2s manifest lookup — honest local number; the file-level win (one manifest read replacing per-file footer opens, 4x fewer tasks) is object-store metadata latency this VM cannot exhibit; result parity LayoutSpec-pinned"
-    ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    // Emission layout for the driver's 2000-char tail window:
-    //   line 1 — notes (workload annotations; clipped first, least vital)
-    //   line 2 — the contract JSON line with `queries` LAST in the line
-    //            and the part-1 oracle numbers last within `queries`
-    // plus BENCH_FULL.json in the repo root with everything, pretty, so
-    // nothing is ever lost to the window.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","notes":$notes,"queries":{${
-      ordered.map { case (k, v) => "\n    \"" + k + "\": " + f"$v%.4f" }
-        .mkString(",")}\n}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      full.getBytes("UTF-8"))
-    catch { case e: Exception =>
-      Console.err.println(s"BENCH_FULL.json write failed: $e") }
-    println(s"""{"notes":$notes,"tail_format":"final line = part-1 oracle query seconds, space-separated name:sec, 2dp, trailing zeros and leading 0 stripped; full detail incl. part-2 svs_* in BENCH_FULL.json and the canonical JSON line above it"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full":"BENCH_FULL.json","queries":$qs}""")
-    // ultra-compact part-1-only LAST line: ~89 oracle query numbers are
+    writeFull()
+    println(s"""{"notes":${notesJson()},"tail_format":"final line = part-1 oracle query seconds, space-separated name:sec, 2dp, trailing zeros and leading 0 stripped; full detail incl. part-2 svs_* in BENCH_FULL.json and the canonical JSON line above it"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","full":"BENCH_FULL.json","budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"skipped":${skippedJson()},"queries":$qs}""")
+    // ultra-compact part-1-only LAST line: ~90 oracle query numbers are
     // ~2100 chars as strict JSON — they never all fit the window behind
     // the canonical line, so the window gets them bare
     def trim2(v: Double): String = {
@@ -455,8 +528,53 @@ object Bench {
       .sortBy(_._2)
       .map { case (k, v) => s"$k:${trim2(v)}" }
       .mkString("part1_sec_asc ", " ", ""))
-    spark.stop()
+    Console.out.flush()
   }
+
+  private def skippedJson(): String = {
+    // cap at 20 names so a deeply-truncated run can't bloat the
+    // contract line; the count always reports the true total
+    val shown = skipped.take(20).map(s => "\"" + s + "\"")
+    val more = if (skipped.size > 20)
+      Seq("\"...+" + (skipped.size - 20) + " more\"") else Nil
+    (shown ++ more).mkString("[", ",", "]")
+  }
+
+  /** Rewrite BENCH_FULL.json from the current results map — called
+    * after every recorded point, so a kill at any moment loses only
+    * the in-flight point. */
+  private def writeFull(): Unit = {
+    val ordered = results.toSeq.sortBy { case (k, _) =>
+      if (k.startsWith("svs_")) 0 else 1 }
+    val total = results.values.sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"skipped":${skippedJson()},"notes":${notesJson()},"queries":{${
+      ordered.map { case (k, v) => "\n    \"" + k + "\": " + f"$v%.4f" }
+        .mkString(",")}\n}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      Console.err.println(s"BENCH_FULL.json write failed: $e") }
+  }
+
+  /** Workload annotations: which engine numbers pair with which
+    * BASELINE.md rows (and which have no published counterpart). */
+  private def notesJson(): String = Seq(
+    "noise" -> s"part-1 query times are medians of $repsG runs when the first rep is under 20s, else single-shot (medians only matter where noise > signal); part-2 svs_* points follow the reference protocol — points on persisted state are medians of up to 3 under the same 20s rule; cold/load stay single-shot (rerunning those would measure the page cache). The whole run fits SPARK_GRAFT_BENCH_BUDGET_S (default 1380s): points that would overflow the budget are listed in `skipped`, never silently dropped",
+    "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
+    "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
+    "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",
+    "svs_neardup_1m" -> "threshold near-dup candidates + exact verify over 1M x d1536 (embeddingNearDups scale path); random corpus has no qualifying pairs, so this measures the pipeline completing at 1M; no published counterpart",
+    "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
+    "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
+    "svs_knn_join_1m" -> "IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256): both sides shuffle on centroid id, packed kernels end-to-end; no published counterpart (the reference retrieves one query at a time)",
+    "svs_knn_join_indexed_1m" -> "the same 10k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn_join_1m); the candidates' packed vectors still cross the join exchange per call",
+    "svs_knn_join_bucketed_1m" -> "the same join over a ccid-BUCKETED catalog table: the scan reports HashPartitioning(ccid) so only the probe side shuffles per call; the delta vs svs_knn_join_indexed_1m is the measured candidate-side exchange the bucketed layout amortizes",
+    "svs_knn_join_pq_1m" -> "the same 10k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate",
+    "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)",
+    "svs_zscan_pruned_3m" -> "z-ordered 3M x 256B table, 1/8-range predicate on one interleaved dim, payload-reading aggregate: the engine's row-group stats prune because the LAYOUT made ranges tight; vs svs_scan_unordered_3m (identical data, naive layout, row groups straddle the predicate) the delta is the measured z-order win — and one layout serves range predicates on BOTH interleaved dims",
+    "svs_skip_scan_3m" -> "the manifest file-skipping path over the same table (reads ~8/32 files): at local-NVMe scale it times as svs_zscan_pruned_3m plus a fixed ~0.2s manifest lookup — honest local number; the file-level win (one manifest read replacing per-file footer opens, 4x fewer tasks) is object-store metadata latency this VM cannot exhibit; result parity LayoutSpec-pinned"
+  ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    .mkString("{", ",", "}")
 
   /** One deterministic synthetic unit vector (the reference's fake d1536
     * embeddings, `One Million Documents Benchmark.ipynb` cell 5).
@@ -511,18 +629,6 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Median of three timings. Applied to every part-2 point whose input
-    * is persisted state (warm retrieve, IVF probe, build, pairs,
-    * neardup, ivf_build) — for those a rerun is real compute, and
-    * single-shot numbers swung up to 4× with VM state in r4. Only
-    * cold-read and load points stay single-shot: re-running those would
-    * measure the OS page cache, not the operator.
-    */
-  private def timedMedian3[A](body: => A): Double = {
-    val ts = (1 to 3).map(_ => timed(body)).sorted
-    ts(1)
-  }
-
   /** retrieve(query_vec, n=100) as a DataFrame job: the query vector is
     * a literal (the reference embeds the query text outside the store,
     * `kb.py:1616-1620`), so the whole retrieval is ONE stage —
@@ -540,7 +646,6 @@ object Bench {
   }
 
   private def svsProtocol(spark: SparkSession, n: Long, tag: String,
-      results: scala.collection.mutable.LinkedHashMap[String, Double],
       keep: Boolean = false): String = {
     val path = s"/tmp/graft_bench_$tag"
     val staging = s"/tmp/graft_stage_$tag"
@@ -556,10 +661,10 @@ object Bench {
     // 'load into store', 8s @ 1M). Uncompressed parquet: random f32
     // vectors are incompressible, so snappy only burns CPU (the columns
     // a real store would compress — ids, text — still would be).
-    // median-of-3: each rep re-reads staging and rewrites the full store
-    // — real compute + IO, not a page-cache echo (r4: single-shot heavy
-    // points swung up to 4× with VM state)
-    results(s"svs_build_$tag") = timedMedian3 {
+    // up-to-median-of-3 (each rep re-reads staging and rewrites the full
+    // store — real compute + IO, not a page-cache echo); at 1M a single
+    // rep is ~100s, so the 20s adaptive rule makes it single-shot
+    record(s"svs_build_$tag", estS = if (n > 100000) 110.0 else 5.0) {
       spark.read.parquet(staging).write.mode("overwrite")
         .option("compression", "none")
         .option("parquet.enable.dictionary", "false")
@@ -569,17 +674,19 @@ object Bench {
 
     // cold: fresh read from disk, score, top-100 (reference 2min @ 1M)
     val cold = spark.read.parquet(path)
-    results(s"svs_cold_$tag") = timed { retrieveJob(cold, queryId = 1L) }
+    record(s"svs_cold_$tag", estS = if (n > 100000) 160.0 else 5.0,
+      reps = 1) { retrieveJob(cold, queryId = 1L) }
 
     // warm: the batch-built in-memory index — block-contiguous f32
     // matrix shards, the engine's analog of the reference's cached
     // matrix (0.24s @ 1M)
+    setup(if (n > 100000) 60.0 else 10.0)
     val blocks = math.max(1, math.min(32, n / 20000)).toInt
     val idx = graft.ops.VectorIndex
       .fromPacked(spark.read.parquet(path), Dim, blocks).materialize()
     idx.topK(syntheticVec(1L), 100) // warm-up passes (JIT)
     idx.topK(syntheticVec(3L), 100)
-    results(s"svs_warm_$tag") = timedMedian3 { idx.topK(syntheticVec(2L), 100) }
+    record(s"svs_warm_$tag", estS = 3.0) { idx.topK(syntheticVec(2L), 100) }
     idx.unpersist()
     if (!keep) KbStoreCleanup.delete(path)
     path

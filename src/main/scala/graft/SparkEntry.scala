@@ -239,18 +239,18 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
-    // BPE merge learning over the corpus (tokenizer training). No SQL
-    // oracle — the merge loop is iterative — so the driver records the
-    // rows-only check; determinism and hand-computed merges are pinned
-    // by BpeSpec
+    // BPE merge learning over the corpus (tokenizer training).
+    // Oracle-exact: the oracle UNROLLS the 12 merge ranks as CTE
+    // blocks (bpeOracleSql — pair-count, argmax, left-to-right apply);
+    // hand-computed merges additionally pinned by BpeSpec
     "x15_bpe_merges" -> ((s, dir) =>
       graft.ops.Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 12)
         .orderBy(col("rank"))),
 
     // tokenizer application: greedy lowest-rank BPE encode of the
-    // corpus under the merges x15 learns from it. No SQL oracle — the
-    // merge loop and the greedy encode are iterative — rows-only check
-    // here; hand-computed encodes are pinned by BpeSpec
+    // corpus under the merges x15 learns from it. Oracle-exact via the
+    // same unrolled chain (greedy-by-rank ≡ rank-order exhaustive
+    // application — see bpeOracleSql); encodes also pinned by BpeSpec
     "x19_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.ops.Bpe.bpeTrain(docs, numMerges = 12)
@@ -307,8 +307,9 @@ object SparkEntry {
     // MMR-diversified retrieval (redundancy-penalized rerank of the
     // vector top-m). No SQL oracle — the greedy selection is iterative
     // — so the driver records the rows-only check; hand-computed
-    // selection order and the near-dup-displacement property are pinned
-    // by OpsSpec
+    // Oracle-exact: the oracle unrolls the k greedy selection steps as
+    // CTE argmax blocks (mmrOracleSql); selection order and the
+    // near-dup-displacement property additionally pinned by OpsSpec
     "k4_mmr_rerank" -> ((s, dir) =>
       graft.ops.SimilaritySearch.mmrRerank(t(s, dir, "embeddings"),
           queryVecId = 2L, k = 10, lambdaRel = 0.7, m = 50)
@@ -325,18 +326,21 @@ object SparkEntry {
 
     // Z-order (Morton) layout key over (user_id, event-hour): the
     // multi-dimensional clustering key writeZordered range-partitions
-    // files by. The ntile here is the oracle-visible bucket twin of
-    // repartitionByRange's sampled boundaries (which are not
-    // engine-portable); the scale path is Layout.writeZordered.
+    // files by. Buckets are equal-WIDTH slices of the 32-bit z domain
+    // (zval >> 28 → 16 buckets) — the same width_bucket discipline
+    // compactZordered uses, fully parallel and engine-portable. (r6
+    // used ntile over a global ORDER BY window: a single-partition
+    // sort of the whole table inside the timed set — a scale-killer
+    // shape; equal-count boundaries belong to repartitionByRange's
+    // sampling, not to a timed oracle query.) Scale path:
+    // Layout.writeZordered.
     "x23_zorder" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events").select($"event_id",
         ($"user_id" % 65536L).as("a"),
         expr("(unix_micros(ts) div 3600000000) % 65536").as("b"))
       ev.withColumn("zval", graft.ops.Layout.zValue(16, $"a", $"b"))
-        .withColumn("bucket",
-          ntile(16).over(Window.orderBy($"zval", $"event_id")).cast("long"))
+        .withColumn("bucket", (shiftright($"zval", 28) + 1L).cast("long"))
         .select($"event_id", $"zval", $"bucket")
         .orderBy($"event_id")
     }),
@@ -949,6 +953,43 @@ object SparkEntry {
       import s.implicits._
       t(s, dir, "region").select($"r_regionkey", $"r_name")
         .orderBy($"r_regionkey")
+    }),
+
+    // S9 CSV ingest (the reference's only external ingest —
+    // `Build Dad Jokes KB.ipynb` cell 5: read_csv → strip → unique),
+    // driven end-to-end through a REAL file round-trip: a deterministic
+    // messy CSV fixture is rendered from the documents table (embedded
+    // comma+quote text every 7th row, in-quote padding every 3rd,
+    // duplicated lines every 5th, plus malformed rows), written,
+    // re-parsed via Csv.readWithQuarantine, then strip+distinct via
+    // Csv.ingestDistinct. The oracle states the recovery contract
+    // directly over `documents`: parse, quarantine, trim and dedup must
+    // reproduce exactly the injected clean rows — any quoting bug,
+    // swallowed malformed line, or missed duplicate breaks the hash.
+    "s9_csv_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = "/tmp/graft_s9_fixture"
+      val docs = t(s, dir, "documents").select($"doc_id",
+        when(pmod($"doc_id", lit(7)) === 0, concat($"text", lit(" x,\"y")))
+          .otherwise($"text").as("txt"))
+      val qtxt = regexp_replace($"txt", "\"", "\"\"")
+      val line = concat($"doc_id".cast("string"), lit(",\""),
+        when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit("  "), qtxt, lit(" "))).otherwise(qtxt),
+        lit("\""))
+      val clean = docs.select(line.as("value"))
+      val dups = docs.where(pmod($"doc_id", lit(5)) === 0)
+        .select(line.as("value"))
+      val bad = s.range(10).select(
+        concat(lit("BADROW-"), $"id", lit(",\"unterminated")).as("value"))
+      clean.union(dups).union(bad).coalesce(1)
+        .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val (good, _) = graft.ops.Csv.readWithQuarantine(
+        s, path, schema, Seq("doc_id", "text"))
+      graft.ops.Csv.ingestDistinct(good, "text").orderBy($"doc_id")
     }),
 
     // S5 embedding-matrix scan + A4 dim probe (kb.py:573-618): row count +
@@ -3440,11 +3481,137 @@ object SparkEntry {
                FROM events),
           z AS (SELECT event_id, $terms AS zval FROM e)
           SELECT event_id, zval,
-                 CAST(ntile(16) OVER (ORDER BY zval, event_id) AS BIGINT)
-                   AS bucket
+                 CAST((zval // 268435456) + 1 AS BIGINT) AS bucket
           FROM z ORDER BY event_id"""
-    }
+    },
+
+    "x15_bpe_merges" -> bpeOracleSql(12, encode = false),
+    "x19_bpe_encode" -> bpeOracleSql(12, encode = true),
+    "k4_mmr_rerank" -> mmrOracleSql(k = 10, lambdaRel = "0.7", m = 50,
+      queryVecId = 2L)
   )
+
+  /** Unrolled BPE oracle (one CTE block per merge rank) for both the
+    * merge table (x15) and the encoded corpus (x19).
+    *
+    * State encoding: each word's symbol sequence is ONE string with
+    * every symbol wrapped in a 0x1F separator — `␟s1␟␟s2␟…` (the corpus
+    * is ASCII; a probe pins that 0x1F never occurs in it). Applying a
+    * merge (l,r) is then `replace(s, '␟l␟␟r␟', '␟lr␟')`: SQL replace
+    * consumes matches left-to-right non-overlapping, which is EXACTLY
+    * Bpe.bpeTrain's greedy `i += 2` application, and the full wrapping
+    * makes partial-symbol matches impossible. Each rank is a
+    * (pair-count, argmax, apply) CTE triple — the same unroll genre as
+    * the x22 GD and c1 k-means oracles. MATERIALIZED hints keep the
+    * 12-step chain linear (each w_r is referenced twice).
+    *
+    * The encode branch reuses the training chain's FINAL word state:
+    * greedy lowest-rank-first encoding (Bpe.bpeEncode) is equivalent to
+    * applying the merges in rank order, each exhaustively left-to-right
+    * — any pair CREATED by a merge involves the merged symbol and was
+    * therefore learned at a strictly later rank, so rank order never
+    * has to revisit an earlier merge. w12 already holds every distinct
+    * word fully merged; per-doc output is a positional join back to the
+    * token stream.
+    */
+  private def bpeOracleSql(numMerges: Int, encode: Boolean): String = {
+    val S = "\u001f"
+    val sb = new StringBuilder
+    sb ++= s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         wf AS (SELECT word, count(*) AS freq FROM tk
+                WHERE word <> '' GROUP BY word),
+         w0 AS MATERIALIZED (SELECT word,
+                regexp_replace(word, '(?s)(.)', '$S\\1$S', 'g')
+                  || '$S</w>$S' AS s, freq FROM wf)"""
+    for (r <- 0 until numMerges) {
+      sb ++= s""",
+         pc$r AS (SELECT ls[i+1] AS lft, ls[i+2] AS rgt, sum(freq) AS f
+                  FROM (SELECT ls, freq, unnest(range(len(ls)-1)) AS i
+                        FROM (SELECT string_split(trim(s, '$S'), '$S$S') AS ls,
+                                     freq FROM w$r))
+                  GROUP BY 1, 2),
+         b$r AS MATERIALIZED (SELECT lft, rgt, f FROM pc$r
+                ORDER BY f DESC, lft, rgt LIMIT 1),
+         w${r + 1} AS MATERIALIZED (SELECT w.word,
+                replace(w.s, '$S'||b.lft||'$S$S'||b.rgt||'$S',
+                             '$S'||b.lft||b.rgt||'$S') AS s, w.freq
+                FROM w$r w CROSS JOIN b$r b)"""
+    }
+    if (!encode) {
+      sb ++= "\n SELECT * FROM (\n"
+      sb ++= (0 until numMerges).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS rank, lft AS "left",
+            rgt AS "right", CAST(f AS BIGINT) AS freq FROM b$r""")
+        .mkString(" UNION ALL ")
+      sb ++= ") ORDER BY rank"
+    } else {
+      sb ++= s""",
+         encp AS (SELECT word,
+                replace(trim(s, '$S'), '$S$S', ' ') AS pieces_w,
+                len(string_split(trim(s, '$S'), '$S$S')) AS n_w
+                FROM w$numMerges),
+         tok AS (SELECT doc_id, ws, unnest(range(len(ws))) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents)),
+         tokf AS (SELECT doc_id, i, ws[i+1] AS word FROM tok
+                  WHERE ws[i+1] <> ''),
+         agg AS (SELECT t.doc_id, sum(e.n_w) AS n_pieces,
+                        string_agg(e.pieces_w, ' ' ORDER BY t.i) AS pieces_str
+                 FROM tokf t JOIN encp e USING (word) GROUP BY t.doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+                coalesce(a.pieces_str, '') AS pieces_str
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+    }
+    sb.toString
+  }
+
+  /** Unrolled MMR oracle: k greedy selection steps, each an argmax over
+    * the ≤m candidates (the same unroll genre as c1's k-means). Mirrors
+    * SimilaritySearch.mmrRerank exactly: relevance rounded to 6 dp, the
+    * max-sim penalty on UNROUNDED dots, tie order = candidate-array
+    * position (score DESC, vec_id ASC) via strict `>`, λ constants
+    * written as the identical double expressions ((1.0 - λ) — not a
+    * pre-folded literal — so both engines evaluate the same double).
+    */
+  private def mmrOracleSql(k: Int, lambdaRel: String, m: Int,
+      queryVecId: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+         q AS (SELECT v AS qv FROM emb WHERE vec_id = $queryVecId),
+         cand AS MATERIALIZED (
+           SELECT e.vec_id, e.v,
+                  round(list_dot_product(e.v, q.qv), 6) AS score
+           FROM emb e CROSS JOIN q WHERE e.vec_id <> $queryVecId
+           ORDER BY score DESC, e.vec_id LIMIT $m),
+         sel1 AS MATERIALIZED (
+           SELECT vec_id, v, score, $lambdaRel * score AS s, 1 AS rnk
+           FROM cand ORDER BY s DESC, score DESC, vec_id LIMIT 1),
+         selall1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    for (r <- 2 to k) {
+      val p = r - 1
+      sb ++= s""",
+         ms$r AS (SELECT c.vec_id, c.v, c.score,
+                        max(list_dot_product(c.v, s.v)) AS msim
+                  FROM cand c CROSS JOIN selall$p s
+                  WHERE c.vec_id NOT IN (SELECT vec_id FROM selall$p)
+                  GROUP BY c.vec_id, c.v, c.score),
+         sel$r AS MATERIALIZED (
+           SELECT vec_id, v, score,
+                  $lambdaRel * score - (1.0 - $lambdaRel) * msim AS s,
+                  $r AS rnk
+           FROM ms$r ORDER BY s DESC, score DESC, vec_id LIMIT 1),
+         selall$r AS MATERIALIZED (
+           SELECT * FROM selall$p UNION ALL SELECT * FROM sel$r)"""
+    }
+    sb ++= s"""
+         SELECT vec_id, score,
+                round(s * 1000000.0) / 1000000.0 AS mmr_score,
+                CAST(rnk AS BIGINT) AS mmr_rank
+         FROM selall$k ORDER BY mmr_rank"""
+    sb.toString
+  }
 
   /** Unrolled full-batch logistic-regression oracle: feature hash =
     * polynomial-31 over char codes mod 2²⁰ mod dim (list_reduce with a
@@ -3585,6 +3752,19 @@ object SparkEntry {
   private def coreOracle: Map[String, String] = Map(
     "s4_scan" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // the CSV round-trip recovery contract: quarantine drops the
+    // malformed rows, trim undoes the in-quote padding, distinct
+    // undoes the duplicated lines — what remains is exactly the
+    // injected clean corpus
+    "s9_csv_ingest" ->
+      """SELECT DISTINCT doc_id,
+                trim(CASE WHEN doc_id % 7 = 0 THEN text || ' x,"y'
+                          ELSE text END) AS text
+         FROM documents
+         WHERE trim(CASE WHEN doc_id % 7 = 0 THEN text || ' x,"y'
+                         ELSE text END) <> ''
+         ORDER BY doc_id""",
 
     "s5_emb_scan_dims" ->
       """SELECT count(*) AS n_vecs,

@@ -439,6 +439,10 @@ object Dedup {
     // stage rejects anyway (a spec asserts bit-parity with the
     // unfiltered path).
     val preTrRaw = prefixes(postsTr)
+    // cache the (small) test-side prefixes: the Bloom path otherwise
+    // evaluates preTe three times (count, bloomFilter, join), re-running
+    // the window-over-shingles prefix computation each time
+    if (bloomFpp > 0) preTe.cache()
     val preTr =
       if (bloomFpp <= 0) preTrRaw
       else {

@@ -67,12 +67,16 @@ object Layout {
     val row = df.agg(aggs.head, aggs.tail: _*).head
     val n = 1 << bits
     val scaled = cols.zipWithIndex.map { case (c, i) =>
+      // empty table / all-null column: aggregate is null — one bucket
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
       if (hi <= lo) lit(0L) // constant column: one bucket
       else least(lit(n.toLong - 1),
         greatest(lit(0L),
           (width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n))
             - 1).cast("long")))
+      }
     }
     df.withColumn(zName, zValue(bits, scaled: _*))
   }

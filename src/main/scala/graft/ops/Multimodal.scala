@@ -441,7 +441,8 @@ object Multimodal {
         }
       }
       if (malformed || bits != 16 || rate <= 0 || channels <= 0 ||
-          dataOff < 0 || dataOff + dataSize > p.length) return None
+          dataOff < 0 || dataSize < 0 ||
+          dataOff.toLong + dataSize.toLong > p.length) return None
       val n = dataSize / 2
       var (i, peak, sumSq) = (0, 0L, 0.0)
       while (i < n) {

@@ -65,7 +65,11 @@ object Sketches {
     val m = 1 << p
     val regs = new Array[Int](m)
     registers.collect().foreach { r =>
-      regs(r.getLong(0).toInt) = r.getLong(1).toInt
+      val bucket = r.getLong(0)
+      require(bucket >= 0 && bucket < m,
+        s"register bucket $bucket out of range for p=$p (m=$m) — " +
+          "estimate p must match the p the register table was built with")
+      regs(bucket.toInt) = r.getLong(1).toInt
     }
     val alpha = m match {
       case 16 => 0.673
