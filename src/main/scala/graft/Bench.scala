@@ -268,6 +268,14 @@ object Bench {
         col("a.vec_id").as("cand_id"), col("e.vec").as("cv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     preAssigned.count()
+    // the raw corpus and the flattened assignment EMBED THE SAME ~6 GB
+    // of packed vectors; caching both exceeds the 40g heap's ~12 GB
+    // eviction-safe storage region, which silently demoted the indexed
+    // point's reads to disk while the plain point ran fully in memory —
+    // the r6 "ladder inversion". A deployment holds ONE candidate
+    // layout at a time; so does the bench: the raw cache drops while a
+    // derived layout is the working set, and re-warms after.
+    corpus1m.unpersist(true)
     record("svs_knn_join_indexed_1m", estS = 60.0) {
       graft.ops.SimilaritySearch.knnJoinIvfAssigned(
         queries10k, preAssigned, cents, k = 10, nProbe = 4)
@@ -305,6 +313,9 @@ object Bench {
     spark.catalog.uncacheTable("graft_bench_knn_bucketed")
     spark.sql("DROP TABLE IF EXISTS graft_bench_knn_bucketed")
     queries10k.unpersist()
+    // re-warm the raw corpus for the quantization points (untimed)
+    corpus1m.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus1m.count()
 
     // compressed-tier points over the same 1M × d1536 corpus — the
     // memory story at 100 TB (6 KB/vector raw): int8 scalar
@@ -372,16 +383,18 @@ object Bench {
     setup(120.0)
     val centsArr = cents.collect().map(r =>
       (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
+    // NOT persisted: the decoded residuals are another ~6 GB that
+    // would fight the raw corpus for the storage pool (the r6 ladder
+    // lesson); they derive from the cached corpus by a narrow map, so
+    // the train (1% sample) and encode (one pass) recomputes are
+    // cheaper than the eviction they'd cause
     val res1m = graft.ops.VectorQuant.ivfResiduals(corpus1m, centsArr)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    res1m.count()
     val rbooks = graft.ops.VectorQuant.pqTrain(
       res1m.select(col("id"), col("rvec").as("vec")), m = 96,
       ncodes = 256, sampleMod = 100, iters = 2)
     val ivfpqCodes = graft.ops.VectorQuant.ivfPqEncode(res1m, rbooks)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ivfpqCodes.count()
-    res1m.unpersist()
     record("svs_ivfpq_probe_1m", estS = 3.0) {
       graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes, corpus1m,
         centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,

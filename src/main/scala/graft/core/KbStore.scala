@@ -133,28 +133,79 @@ final class KbStore private (
     * point-mutations affordable when one table is 100 TB and another is
     * a 5-row keyval).
     */
+  /** Manifest CAS with disjoint-footprint adoption (r7) — the
+    * multi-writer relaxation of the single-writer contract: if another
+    * writer published since this store snapshotted the manifest, the
+    * commit may still proceed PROVIDED the interloper's footprint is
+    * provably disjoint from ours, by adopting the interloper's head as
+    * the new base snapshot. Disjoint means:
+    *
+    *   - no table whose pointer/base/delta-chain the interloper moved
+    *     is in our write set (`touched`), AND
+    *   - no manifest field the interloper changed (id high-water marks,
+    *     embedding/index params, schema version) is also changed by our
+    *     `newMeta` — checked by applying `newMeta` to the interloper's
+    *     head and diffing fieldwise, so a keyval writer (identity on
+    *     max_doc_id) retries across a doc-add writer's bump, while two
+    *     doc-add writers (both setting max_doc_id) still conflict.
+    *
+    * Anything else throws ConcurrentModificationException, as before.
+    * Check BEFORE staging: version N+1 staging dirs are deterministic,
+    * so a stale writer that proceeded would overwrite the other
+    * writer's just-published v<N+1> tables — failing (or adopting)
+    * here costs nothing. The check-then-write window during staging
+    * remains documented best-effort, not a true filesystem CAS.
+    *
+    * Correctness caveat, documented: adoption re-applies OUR patch
+    * plans (computed under the old snapshot) against the new head.
+    * That is sound exactly because the tables those plans read — their
+    * own write set, per the mutation API's read-your-writes shape —
+    * were not moved by the interloper; cross-table reads of moved
+    * tables would be stale, which is why any overlap rejects.
+    */
+  private def casOrAdopt(touched: Set[String],
+      newMeta: KbMeta => KbMeta): KbMeta = synchronized {
+    val cur = metaCache
+    val onDisk = KbStore.readMeta(path)
+    if (onDisk.version == cur.version) return cur
+    def metaFieldDiff(a: KbMeta, b: KbMeta): Set[String] = {
+      val d = Set.newBuilder[String]
+      if (a.schema_version != b.schema_version) d += "schema_version"
+      if (a.embedding_params != b.embedding_params) d += "embedding_params"
+      if (a.max_doc_id != b.max_doc_id) d += "max_doc_id"
+      if (a.max_edge_id != b.max_edge_id) d += "max_edge_id"
+      if (a.index_params != b.index_params) d += "index_params"
+      d.result()
+    }
+    val movedTables =
+      (onDisk.table_versions.keySet ++ cur.table_versions.keySet).filter {
+        t => onDisk.table_versions.get(t) != cur.table_versions.get(t) ||
+          onDisk.table_bases.get(t) != cur.table_bases.get(t) ||
+          onDisk.table_deltas.get(t) != cur.table_deltas.get(t)
+      }
+    val tableOverlap = movedTables.intersect(touched)
+    val fieldOverlap = metaFieldDiff(cur, onDisk)
+      .intersect(metaFieldDiff(onDisk, newMeta(onDisk)))
+    if (onDisk.version < cur.version || tableOverlap.nonEmpty ||
+        fieldOverlap.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"store $path: manifest version moved ${cur.version} -> " +
+          s"${onDisk.version} since this writer's snapshot and the " +
+          s"concurrent writer's footprint overlaps ours (tables: " +
+          s"${tableOverlap.mkString(",")}; fields: " +
+          s"${fieldOverlap.mkString(",")}) — not retryable")
+    // disjoint: adopt the interloper's head and commit on top of it
+    metaCache = onDisk
+    invalidate()
+    onDisk
+  }
+
   private def commit(updated: Map[String, DataFrame],
       newMeta: KbMeta => KbMeta, codec: String = "snappy",
       preserveIndex: Boolean = false,
       partitionBy: Map[String, Seq[String]] = Map.empty): Unit = {
-    val cur = metaCache
+    val cur = casOrAdopt(updated.keySet, newMeta)
     val next = cur.version + 1
-    // manifest CAS — the single-writer contract, enforced: if another
-    // writer published since this store snapshotted the manifest, the
-    // on-disk version moved past our snapshot. Check BEFORE staging:
-    // version N+1 staging dirs are deterministic, so a stale writer
-    // that proceeded would overwrite the other writer's just-published
-    // v<N+1> tables — failing here costs nothing and turns every
-    // stale-snapshot commit (the realistic double-writer mistake) into
-    // an error instead of silent last-writer-wins. The check-then-write
-    // window during staging is documented best-effort, not a true
-    // filesystem CAS.
-    val onDisk = KbStore.readMeta(path)
-    if (onDisk.version != cur.version)
-      throw new java.util.ConcurrentModificationException(
-        s"store $path: manifest version moved ${cur.version} -> " +
-          s"${onDisk.version} since this writer's snapshot; concurrent " +
-          "writer detected (this store is single-writer)")
     try {
       updated.foreach { case (name, df) =>
         val w = df.write.mode(SaveMode.Overwrite)
@@ -220,14 +271,11 @@ final class KbStore private (
       newMeta: KbMeta => KbMeta,
       preserveIndex: Boolean = true,
       statsDelta: Option[() => KbStore.StatsDelta] = None): Unit = {
-    val cur = metaCache
+    // same CAS + disjoint-footprint adoption as the full commit; the
+    // stats-card fold below runs AFTER adoption, so two disjoint
+    // writers' deltas both accumulate onto the card
+    val cur = casOrAdopt(patches0.keySet, newMeta)
     val next = cur.version + 1
-    val onDisk = KbStore.readMeta(path)
-    if (onDisk.version != cur.version)
-      throw new java.util.ConcurrentModificationException(
-        s"store $path: manifest version moved ${cur.version} -> " +
-          s"${onDisk.version} since this writer's snapshot; concurrent " +
-          "writer detected (this store is single-writer)")
     // dataset-card maintenance: when the stats table exists and this
     // mutation touches user data, fold the caller-supplied delta into
     // the card IN the same atomic publish (the thunk runs only here, so

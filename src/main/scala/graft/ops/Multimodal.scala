@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque BINARY payloads with typed metadata, and run decode /
   * feature-extract as *batched per-partition* transforms.
   *
-  * [[HeaderDecoder]] really parses the two containers that need no
-  * codec library (BMP headers, WAV RIFF chunks); every other format is
-  * STUBBED (no image/audio libraries in this environment) via
+  * Decode tiers, most-portable first: [[HeaderDecoder]] parses
+  * container headers that need no codec (BMP/PNG/GIF/JPEG dims, WAV
+  * RIFF chunks); [[PnmDecoder]] decodes full PNM rasters byte-exactly
+  * (engine-portable — the DuckDB-oracle pixel queries use it);
+  * [[ImageIoDecoder]] decodes JPEG/PNG/GIF/BMP pixels via the JDK's
+  * own javax.imageio (r7 — no external library, JVM-deterministic,
+  * spec-pinned against raster stats rather than the cross-engine
+  * oracle); [[PcmDecoder]] decodes WAV PCM samples. Only exotic
+  * codecs (video frames, compressed audio) remain stubbed via
   * [[FakeDecoder]]'s deterministic pseudo-features. Everything
   * Spark-side — schema, binary column handling, partition-batched UDF
-  * shape, and the frame-sampling explode — is real and tested. Swapping
-  * in a full decoder is a one-function change inside `mapPartitions`
-  * (same batch shape a Pandas-UDF / Arrow batch would have).
+  * shape, and the frame-sampling explode — is real and tested.
   */
 object Multimodal {
 
@@ -321,17 +325,77 @@ object Multimodal {
     }
   }
 
-  /** Per-partition batched full-pixel feature extraction over PNM
-    * payloads — the same mapPartitions batch shape as
-    * [[extractFeatures]], with genuinely decoded pixels. Non-PNM rows
-    * are dropped (use [[extractFeatures]] for header-level metadata).
+  /** Codec-image decoder via the JDK's own ImageIO (javax.imageio —
+    * JPEG/PNG/GIF/BMP readers ship with every JVM, headless-safe, no
+    * external library): decodes the payload to sRGB and folds the SAME
+    * luma/thumbnail statistics as [[PnmDecoder]] (integer BT.601
+    * weights over 8-bit samples), so [[imageNearDups]] works on real
+    * JPEG/PNG corpora, not only PNM.
+    *
+    * Determinism note: ImageIO's JPEG IDCT is deterministic within a
+    * JVM (and across runs of one corpus), which is what the mining
+    * pipeline needs; it is NOT engine-portable bit-for-bit, so the
+    * DuckDB-oracle m-family queries stay on the header/PNM paths and
+    * the ImageIO path is pinned by spec parity against raster stats
+    * instead. Anything unreadable returns None (corrupt payloads must
+    * quarantine out of a 100 TB decode pass, never fail the task).
+    */
+  object ImageIoDecoder {
+    def decode(r: MediaRow, side: Int = 4): Option[PixelFeatures] = {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val channels =
+            if (img.getColorModel.getNumColorComponents >= 3) 3 else 1
+          val t = math.min(side, math.min(w, h))
+          val cells = Array.ofDim[Long](t * t)
+          val counts = Array.ofDim[Long](t * t)
+          var total = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            val cy = math.min((y.toLong * t / h).toInt, t - 1)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              val l = (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)) / 1000L
+              total += l
+              val cx = math.min((x.toLong * t / w).toInt, t - 1)
+              cells(cy * t + cx) += l
+              counts(cy * t + cx) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Some(PixelFeatures(r.media_id, w, h, channels, 255,
+            total.toDouble / (w.toLong * h),
+            cells.zip(counts).map { case (s, n) => s.toDouble / n }))
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Per-partition batched full-pixel feature extraction — the same
+    * mapPartitions batch shape as [[extractFeatures]], with genuinely
+    * decoded pixels. PNM payloads take the byte-exact engine-portable
+    * [[PnmDecoder]]; JPEG/PNG/GIF/BMP fall through to
+    * [[ImageIoDecoder]] (JDK codecs). Rows neither can read are
+    * dropped (use [[extractFeatures]] for header-level metadata).
     */
   def extractPixelFeatures(media: DataFrame,
       side: Int = 4): Dataset[PixelFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      it.flatMap(r => PnmDecoder.decode(r, side))
+      it.flatMap(r => PnmDecoder.decode(r, side)
+        .orElse(ImageIoDecoder.decode(r, side)))
     }
   }
 

@@ -103,9 +103,10 @@ object TimeJoins {
     * process in parallel, each key's events sort in that task. State
     * is the key's event list: bounded by events-per-key, the same
     * contract as any per-entity sequence op (sessionize). A key with
-    * unbounded history wants the streaming formulation instead (carry
-    * the EWMA in `GroupState` — [[graft.streaming.StreamingIngest]]'s
-    * pattern).
+    * unbounded history wants the streaming formulation instead:
+    * [[graft.streaming.StreamingIngest.streamingEwma]] carries the
+    * recurrence in `GroupState` (O(horizon) per key, batch-parity
+    * spec-pinned).
     *
     * Input: (key LONG, event_id LONG, ts LONG, value DOUBLE) as column
     * names given; output (key, event_id, rn, ewma) — ewma unrounded

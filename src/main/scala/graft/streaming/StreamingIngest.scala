@@ -318,6 +318,96 @@ object StreamingIngest {
       }
   }
 
+  /** One observation for the streaming EWMA. */
+  case class EwmaObs(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** Per-key EWMA state: events buffered until the watermark passes
+    * them (flat arrays for Janino encoder codegen — same constraint as
+    * EventBuffer/BandSeen), plus the running recurrence (acc, n) and
+    * the newest observation for idle-key eviction.
+    */
+  case class EwmaHold(bufTs: Array[Long], bufId: Array[Long],
+      bufVal: Array[Double], acc: Double, n: Long, newestMs: Long)
+
+  /** One finalized EWMA point — the batch op's output row
+    * ([[graft.ops.TimeJoins.ewma]]: (key, event_id, rn, ewma)). */
+  case class EwmaPoint(user_id: Long, event_id: Long, rn: Long,
+      ewma: Double)
+
+  /** Streaming per-key EWMA — the stateful twin of the batch
+    * [[graft.ops.TimeJoins.ewma]] (ewma₁ = x₁, ewmaₜ = α·xₜ +
+    * (1−α)·ewmaₜ₋₁ over events ordered by (ts, event_id) per key),
+    * the formulation TimeJoins' scaladoc promises for unbounded keys.
+    *
+    * A recurrence is order-sensitive, so arrivals BUFFER in state until
+    * the watermark passes them and only then fold into the running
+    * average, in (ts, event_id) order — this is what makes the emitted
+    * points bit-equal to the batch operator over every event inside the
+    * watermark horizon (parity is spec-pinned), instead of
+    * order-of-arrival approximations. State per key = the buffered
+    * horizon (bounded by the watermark) + one (acc, n) pair; the fold
+    * prefix is emitted and dropped from state, so a key's steady-state
+    * footprint is O(events inside the horizon), not O(history).
+    *
+    * Eviction mirrors the other stateful ops: a key whose newest
+    * observation falls behind the watermark is dropped (its recurrence
+    * restarts if the key returns — the documented horizon contract);
+    * beyond-watermark arrivals are dropped, never folded out of order.
+    */
+  def streamingEwma(events: DataFrame, alpha: Double,
+      watermark: String = "1 hour"): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[EwmaObs]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaHold, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[EwmaHold]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(EwmaHold(
+            Array.empty, Array.empty, Array.empty, 0.0, 0L, Long.MinValue))
+          val arrivals =
+            if (state.hasTimedOut) Nil
+            else it.filter(_.ts.getTime > wm).toList
+          val all = (prev.bufTs.indices.map(i =>
+              (prev.bufTs(i), prev.bufId(i), prev.bufVal(i))) ++
+            arrivals.map(o => (o.ts.getTime, o.event_id, o.value)))
+            .sortBy(e => (e._1, e._2)).toArray
+          // fold the prefix the watermark has passed, in event order
+          var acc = prev.acc
+          var n = prev.n
+          val out = List.newBuilder[EwmaPoint]
+          var i = 0
+          while (i < all.length && all(i)._1 <= wm) {
+            val x = all(i)._3
+            acc = if (n == 0L) x else alpha * x + (1.0 - alpha) * acc
+            n += 1
+            out += EwmaPoint(uid, all(i)._2, n, acc)
+            i += 1
+          }
+          val rest = all.drop(i)
+          val newest = math.max(prev.newestMs,
+            if (all.isEmpty) Long.MinValue else all.last._1)
+          if (rest.isEmpty && newest <= wm) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(EwmaHold(rest.map(_._1), rest.map(_._2),
+              rest.map(_._3), acc, n, newest))
+            // wake when the watermark reaches the oldest buffered event
+            // (to finalize it), else when it passes the key's newest
+            // observation (to evict the idle key)
+            val t = if (rest.nonEmpty) math.max(rest.head._1, wm + 1L)
+              else math.max(newest, wm + 1L)
+            state.setTimeoutTimestamp(t)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream as-of ENRICHMENT (the streaming twin of the batch
     * as-of join `o1`): left-outer join a fact stream (purchases)
     * against a context stream (views) on the same key, keeping context

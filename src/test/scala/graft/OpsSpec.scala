@@ -1482,6 +1482,50 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.aHash(new Array[Double](65)))
   }
 
+  test("ImageIO decode: PNG stats match the PNM decoder exactly; JPEG " +
+      "near-dups mine across codecs; corrupt payloads drop") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // gray horizontal gradient: r=g=b=v, so BT.601 luma == v exactly
+    val (w, h) = (16, 16)
+    val px = Array.tabulate(w * h)(i => ((i % w) * 255) / (w - 1))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    px.zipWithIndex.foreach { case (v, i) =>
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v) }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val pgm = s"P5\n$w $h\n255\n".getBytes("UTF-8") ++ px.map(_.toByte)
+    val inverse = s"P5\n$w $h\n255\n".getBytes("UTF-8") ++
+      px.map(v => (255 - v).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pgm),          // PnmDecoder path
+      Multimodal.MediaRow(2L, "image", enc("png")),   // ImageIO lossless
+      Multimodal.MediaRow(3L, "image", enc("jpg")),   // ImageIO lossy
+      Multimodal.MediaRow(4L, "image", inverse),
+      Multimodal.MediaRow(5L, "image", enc("jpg").take(40))) // corrupt
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractPixelFeatures(media, side = 8)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L, 4L),
+      "corrupt JPEG must drop, the rest decode")
+    val Seq(fPnm, fPng, fJpg, _) = feats.toSeq
+    // PNG is lossless and the luma fold is shared: bit-equal to PNM
+    assert(fPng.width == w && fPng.height == h && fPng.channels == 3)
+    assert(fPng.mean_luma == fPnm.mean_luma)
+    assert(fPng.thumb.toSeq == fPnm.thumb.toSeq)
+    // JPEG is lossy: stats near, not equal
+    assert(math.abs(fJpg.mean_luma - fPnm.mean_luma) < 3.0,
+      s"jpeg drifted: ${fJpg.mean_luma} vs ${fPnm.mean_luma}")
+    // and the miner pairs all three codec variants of the same picture
+    // (never the photometric inverse)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+  }
+
   test("jsonl: parse-and-quarantine round trip") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan regression gate (r7): the x23 lesson was that a
+  * scale-killer SHAPE (a single-partition global window) can hide
+  * behind a green oracle row and only surface as a timed-out driver
+  * bench. This spec pins the plan shape of the structurally riskiest
+  * queries so the next one fails `sbt test` instead.
+  *
+  * Three audited properties, in order of severity:
+  *   - NO WindowExec with an empty partitionSpec, in ANY audited query
+  *     — a global-ORDER-BY window funnels the whole table through one
+  *     task (the final presentation `orderBy` of an oracle query is a
+  *     Sort/TakeOrdered, not a Window, and stays allowed);
+  *   - NO CartesianProductExec — broadcast-singleton cross joins plan
+  *     as BroadcastNestedLoopJoin and stay allowed; a real cartesian
+  *     product means a join lost its equi-keys;
+  *   - a per-query SHUFFLE-COUNT ceiling — a refactor that doubles a
+  *     query's exchanges changes its scale behavior even when the
+  *     answer stays right. Ceilings are the audited r7 counts; lower
+  *     is always fine.
+  *
+  * Plans are compiled with AQE off (AQE rewrites would hide the static
+  * exchange count) and never executed — the audit is shape, not time.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private case class Shape(shuffles: Int, globalWindows: Int,
+      cartesians: Int)
+
+  private def audit(name: String): Shape = {
+    val fn = SparkEntry.queries(name)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = fn(spark, sf("0.001")).queryExecution.executedPlan
+      Shape(
+        plan.collect { case _: ShuffleExchangeExec => 1 }.size,
+        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => 1 }.size,
+        plan.collect { case _: CartesianProductExec => 1 }.size)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** The audited set: the bench's most expensive part-1 queries plus
+    * every shape-risky family (windows, self-joins, explodes, z-order).
+    * Values are the r7 shuffle-count ceilings.
+    */
+  private val budgets: Map[String, Int] = Map(
+    "v1_retrieve_topk" -> 4,
+    "j3_pairwise_topk" -> 1,
+    "j3b_pairwise_blocked" -> 0,
+    "x11_repetition" -> 4,
+    "x23_zorder" -> 1,
+    "x5_dup_ngram_fraction" -> 5,
+    "d2_minhash_lsh" -> 4,
+    "d13_substring_dedup" -> 9,
+    "b1_bm25_topk" -> 5,
+    "w1_window_lag" -> 2,
+    "w2_topk_per_group" -> 2,
+    "w3_running_distinct" -> 3,
+    "e3_sliding_count" -> 2,
+    "q18_large_volume" -> 2,
+    "u3_distinct" -> 3)
+
+  test("no audited query plans a single-partition window, a cartesian " +
+      "product, or more shuffles than its pinned ceiling") {
+    val shapes = budgets.keys.toSeq.sorted.map(n => n -> audit(n))
+    val report = shapes.map { case (n, s) =>
+      s"$n: shuffles=${s.shuffles} globalWindows=${s.globalWindows} " +
+        s"cartesians=${s.cartesians} (ceiling ${budgets(n)})"
+    }.mkString("\n")
+    val bad = shapes.filter { case (n, s) =>
+      s.globalWindows > 0 || s.cartesians > 0 || s.shuffles > budgets(n)
+    }
+    assert(bad.isEmpty, s"plan-shape regressions:\n$report")
+  }
+}

@@ -790,4 +790,43 @@ class StoreScaleSpec extends SparkSpec {
     assert(fresh.meta.version == a.meta.version)
     fresh.close(); b.close(); a.close()
   }
+
+  test("manifest CAS adoption: interleaved writers with DISJOINT " +
+      "footprints both land; overlapping footprints still conflict") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val a = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    a.bulkAddDocs(p) { ad =>
+      (0 until 5).foreach(i => ad.add(s"seed document $i"))
+    }
+    val b = KbStore.open(spark, path) // snapshots here — goes stale below
+    val c = KbStore.open(spark, path) // ditto
+    a.bulkAddDocs(p)(_.add("writer A's doc")) // head moves past b and c
+    val vAfterA = KbStore.open(spark, path).meta.version
+    // B touches only keyval (newMeta identity on the id marks): the
+    // interloper's footprint (docs/embeddings/max_doc_id) is disjoint,
+    // so B adopts A's head and its commit lands on top
+    b.setKey("cursor", 42L)
+    val fresh = KbStore.open(spark, path)
+    assert(fresh.countDocs == 6, "A's doc add must survive B's commit")
+    assert(fresh.getKey("cursor") == 42L, "B's key must land")
+    assert(fresh.meta.version == vAfterA + 1)
+    assert(fresh.meta.max_doc_id == a.meta.max_doc_id,
+      "B's identity newMeta must not clobber A's id high-water mark")
+    // C also adds a doc from its stale snapshot: docs/embeddings moved
+    // AND both writers bump max_doc_id — not retryable
+    intercept[java.util.ConcurrentModificationException] {
+      c.bulkAddDocs(p)(_.add("writer C's doc"))
+    }
+    fresh.close(); c.close(); b.close(); a.close()
+  }
 }

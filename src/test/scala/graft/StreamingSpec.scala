@@ -511,4 +511,49 @@ class StreamingSpec extends SparkSpec {
     // true count 9 must lie within [lo, hi]
     assert(heavy.get._2 <= 9L && heavy.get._3 >= 9L, heavy.toString)
   }
+
+  test("streaming EWMA: watermark-ordered fold matches the batch ewma " +
+      "bit-for-bit, incl out-of-order arrivals and cross-batch folds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val alpha = 0.3
+    def ts(s: Long) = new java.sql.Timestamp((1000 + s) * 1000)
+    // out-of-order WITHIN each slice (the buffer must reorder by
+    // (ts, event_id), incl a same-ts tie broken by id); slice gaps are
+    // wide enough that each batch's watermark finalizes the previous
+    // slice — exercising the incremental cross-batch fold, not just
+    // one flush at the end
+    val s1 = Seq((1L, 103L, ts(30), 2.0), (1L, 101L, ts(10), 1.0),
+      (2L, 201L, ts(20), 5.0), (1L, 102L, ts(30), 4.0))
+    val s2 = Seq((1L, 104L, ts(2000), 3.0), (2L, 202L, ts(1900), 1.0))
+    val s3 = Seq((2L, 203L, ts(4000), 2.0), (1L, 105L, ts(4100), 0.5))
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = StreamingIngest.streamingEwma(
+        stream.toDF().toDF("user_id", "event_id", "ts", "value"),
+        alpha, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_out").start()
+    Seq(s1, s2, s3).foreach { s => stream.addData(s); q.processAllAvailable() }
+    val sentinel = (999L, 1L, ts(30L * 24 * 3600), 0.0)
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+
+    // an event far behind the watermark: dropped, never folded out of
+    // order (the horizon contract)
+    stream.addData(Seq((1L, 900L, ts(50), 9.9))); q.processAllAvailable()
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ewma_out").filter($"user_id" < 100L)
+      .as[StreamingIngest.EwmaPoint].collect()
+      .map(p => (p.user_id, p.event_id, p.rn, p.ewma))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(!got.exists(_._2 == 900L), s"late event folded: $got")
+    val batch = graft.ops.TimeJoins.ewma(
+        (s1 ++ s2 ++ s3).toDF("user_id", "event_id", "ts", "value"),
+        alpha, keyCol = "user_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == batch && got.size == 8, s"got $got\nbatch $batch")
+  }
 }
