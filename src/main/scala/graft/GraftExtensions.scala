@@ -15,6 +15,10 @@ import graft.functions.{BitHamming, FloatVecDot, FloatVecPack, Int8VecDot, Sorte
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator tier: the co-partitioned ADC block-join node
+    // (graft.plans.AdcCodesJoin) — also installable per-session via
+    // AdcCodesJoinStrategy.install (the facade does this itself)
+    e.injectPlannerStrategy(_ => graft.plans.AdcCodesJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),

@@ -77,6 +77,46 @@ object SparkEntry {
       graft.ops.Sketches.hllRegisters(t(s, dir, "events"), "user_id", p = 9)
         .orderBy(col("bucket"))),
 
+    // Count-Min register table over the token stream (the frequency
+    // twin of x25: persist once, answer any point-frequency query with
+    // d cell lookups, merge scopes with groupBy-sum). Integer-only
+    // construction → oracle-exact
+    "x26_cms_registers" -> ((s, dir) =>
+      graft.ops.Sketches.cmsRegisters(
+        t(s, dir, "documents")
+          .select(explode(graft.ops.TextAnalysis.tokens(col("text")))
+            .as("tok"))
+          .where(col("tok") =!= ""),
+        "tok", depth = 4, width = 256)
+        .orderBy(col("row"), col("cell"))),
+
+    // dataset-overlap diagnostics: per-source bottom-16 min-hash
+    // signatures (bounded typed aggregator — k longs per source cross
+    // the shuffle, never the vocabulary) + pairwise bottom-k Jaccard
+    // estimates. Integer counts + one rounded division → oracle-exact
+    "x27_source_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      val sig = graft.ops.Sketches.bottomKSignatures(
+        toks, "source", "tok", k = 16)
+      graft.ops.Sketches.signatureJaccard(sig, k = 16)
+        .orderBy(col("group_a"), col("group_b"))
+    }),
+
+    // grouped HLL: one 2^9 sketch PER SOURCE (distinct tokens per
+    // source without collect_set) — same integer-only registers as
+    // x25, keyed by the group column
+    "x28_grouped_hll" -> ((s, dir) =>
+      graft.ops.Sketches.hllRegistersGrouped(
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= ""),
+        Seq("source"), "tok", p = 9)
+        .orderBy(col("source"), col("bucket"))),
+
     // deterministic hash sampling (training-data subsetting without RNG
     // state: a narrow map, reproducible across engines and runs)
     "d7_hash_sample" -> ((s, dir) =>
@@ -1859,6 +1899,64 @@ object SparkEntry {
                FROM r)
          SELECT bucket, max(rho)::BIGINT AS rho
          FROM x GROUP BY bucket ORDER BY bucket""",
+
+    "x26_cms_registers" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         tkf AS (SELECT tok FROM tk WHERE tok <> ''),
+         j AS (SELECT unnest(range(4)) AS jr),
+         cells AS (SELECT j.jr AS jr,
+                     ('0x' || substr(md5(tok || ':cms' ||
+                        CAST(j.jr AS VARCHAR)), 1, 15))::BIGINT % 256
+                       AS cell
+                   FROM tkf, j)
+         SELECT jr AS "row", cell, count(*)::BIGINT AS cnt
+         FROM cells GROUP BY jr, cell ORDER BY jr, cell""",
+
+    "x27_source_overlap" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         hs AS (SELECT DISTINCT source::VARCHAR AS g,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM tk WHERE tok <> ''),
+         sig AS (SELECT g, h FROM (
+                   SELECT g, h, row_number() OVER
+                     (PARTITION BY g ORDER BY h) AS rk FROM hs)
+                 WHERE rk <= 16),
+         gs AS (SELECT DISTINCT g FROM sig),
+         pairs AS (SELECT a.g AS ga, b.g AS gb
+                   FROM gs a JOIN gs b ON a.g < b.g),
+         un AS (SELECT DISTINCT p.ga, p.gb, s.h
+                FROM pairs p JOIN sig s ON s.g = p.ga OR s.g = p.gb),
+         bk AS (SELECT ga, gb, h FROM (
+                  SELECT ga, gb, h, row_number() OVER
+                    (PARTITION BY ga, gb ORDER BY h) AS rk FROM un)
+                WHERE rk <= 16),
+         cnt AS (SELECT bk.ga, bk.gb,
+                   sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                            THEN 1 ELSE 0 END) AS n_shared
+                 FROM bk
+                 LEFT JOIN sig sa ON sa.g = bk.ga AND sa.h = bk.h
+                 LEFT JOIN sig sb ON sb.g = bk.gb AND sb.h = bk.h
+                 GROUP BY bk.ga, bk.gb)
+         SELECT ga AS group_a, gb AS group_b,
+                CAST(n_shared AS BIGINT) AS n_shared,
+                round(n_shared / 16.0, 6) AS est_jaccard
+         FROM cnt ORDER BY group_a, group_b""",
+
+    "x28_grouped_hll" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         h AS (SELECT source,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+               FROM tk WHERE tok <> ''),
+         r AS (SELECT source, h % 512 AS bucket, h // 512 AS w FROM h),
+         x AS (SELECT source, bucket,
+                      CASE WHEN w = 0 THEN 52
+                           ELSE 52 - len(bin(w)) END AS rho
+               FROM r)
+         SELECT source, bucket, max(rho)::BIGINT AS rho
+         FROM x GROUP BY source, bucket ORDER BY source, bucket""",
 
     "d1_exact_dedup" ->
       """WITH fp AS (

@@ -227,7 +227,7 @@ object VectorQuant {
     * L2 norms) for [[nearestCodeFlat]]'s SIMD argmin form. Built once
     * per partition — k·dsub floats, trivial against the scan.
     */
-  private[ops] def flattenBook(book: Array[Array[Float]]): (Array[Float], Array[Double]) = {
+  private[graft] def flattenBook(book: Array[Array[Float]]): (Array[Float], Array[Double]) = {
     val k = book.length
     val dsub = if (k == 0) 0 else book(0).length
     val flat = new Array[Float](k * dsub)
@@ -718,5 +718,87 @@ object VectorQuant {
       .where(!isnan(col("score")))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Persist an IVF-PQ code table `(cid, id, code)` as a catalog table
+    * BUCKETED by the list id — the layout [[knnJoinIvfPqBucketed]]'s
+    * custom plan consumes exchange-free. The code rows are ~100 B each
+    * (1 B per subspace + ids), so at 100 TB raw this table is ~1% of
+    * the corpus — but re-shuffling even that per join call is the
+    * cost the bucketing amortizes to zero. Keep `buckets` at (a
+    * multiple of) the cluster's shuffle parallelism.
+    */
+  def writeCodesBucketed(codes: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    codes.select(col("cid"), col("id"), col("code"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cid")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** [[knnJoinIvfPq]] over a [[writeCodesBucketed]] table, through the
+    * custom [[graft.plans.AdcCodesJoin]] physical operator: identical
+    * results (same ADC kernel, same tie discipline, same exact
+    * re-rank), but the codes side enters the block kernel WITHOUT an
+    * exchange — the node's `requiredChildDistribution` lets the
+    * planner accept the bucketed scan's `HashPartitioning(cid)` as-is
+    * and shuffle only the probe rows (queries × nProbe). The
+    * DataFrame-level kernel cannot express this: its tagged-union
+    * `repartition` re-shuffles both sides regardless of layout
+    * (measured and documented in SURVEY r7). Spec pins result parity
+    * with [[knnJoinIvfPq]] and the codes-side exchange elision.
+    */
+  def knnJoinIvfPqBucketed(queries: DataFrame, table: String,
+      cents: Array[(Long, Array[Float])], books: Codebooks,
+      candidates: DataFrame, k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
+    require(cents.nonEmpty, "knnJoinIvfPqBucketed: no centroids")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import graft.functions.FloatVecDot.floatVecDot
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.AdcCodesJoinStrategy.install(spark)
+    val sorted = cents.sortBy(_._1)
+    val sel = math.max(k, rerank)
+    val probes = SimilaritySearch.probeRanks(queries, sorted, nProbe)
+      .select(col("qid"), col("qv"), col("cid"), col("qc"))
+    val codes = spark.table(table)
+      .select(col("cid"), col("id"), col("code"))
+    val partial = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.AdcCodesJoin(probes.queryExecution.analyzed,
+        codes.queryExecution.analyzed, books, sel))
+    val worstFirst = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c1 = java.lang.Double.compare(b._1, a._1)
+        if (c1 != 0) c1 else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val candPairs = partial.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val h = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        rows.foreach { case (_, c2, s) =>
+          if (h.size < sel) h.enqueue((s, c2))
+          else if (worstFirst.compare((s, c2), h.head) < 0) {
+            h.dequeue(); h.enqueue((s, c2))
+          }
+        }
+        h.iterator.map { case (_, c2) => (qid, c2) }
+      }.toDF("qid", "cand_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score"), col("cid"))
+    candPairs
+      .join(candidates.select(col("id").as("cand_id"), col("vec").as("cv")),
+        "cand_id")
+      .join(queries.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+      .select(col("qid"), col("cand_id").as("cid"),
+        round(floatVecDot(col("cv"), col("qv")), 6).as("score"))
+      .where(!isnan(col("score")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("score"), col("rk"))
   }
 }

@@ -637,6 +637,65 @@ class OpsSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("AdcCodesJoin custom plan: bucketed-codes knn join is result-" +
+      "identical to knnJoinIvfPq and elides the codes-side exchange") {
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    val packed = emb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec"))
+    val centsArr = emb.filter($"vec_id" >= 50 && $"vec_id" < 58).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = VectorQuant.ivfResiduals(packed, centsArr).persist()
+    val books = VectorQuant.pqTrain(res.select($"id", $"rvec".as("vec")),
+      m = 16, ncodes = 32, sampleMod = 1, iters = 2)
+    val codes = VectorQuant.ivfPqEncode(res, books)
+    val queries = packed.filter($"id" < 20)
+    VectorQuant.writeCodesBucketed(codes, "adc_codes_spec", buckets = 4)
+
+    val viaKernel = VectorQuant.knnJoinIvfPq(queries, codes, centsArr,
+        books, packed, k = 5, nProbe = 8, rerank = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val viaPlan = VectorQuant.knnJoinIvfPqBucketed(queries,
+        "adc_codes_spec", centsArr, books, packed, k = 5, nProbe = 8,
+        rerank = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaPlan == viaKernel,
+      "custom-plan bucketed join must equal the union-kernel join")
+
+    // the custom node must be in the plan, and NO shuffle exchange may
+    // sit between the bucketed table scan and it — the exchange-
+    // elision property the node exists for. (The probe side and the
+    // downstream merge/rerank still shuffle, so total exchange count
+    // stays > 0; the assertion is structural, not a count.) AQE off:
+    // its stage wrappers hide the static node structure.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val execPlan = VectorQuant.knnJoinIvfPqBucketed(queries,
+        "adc_codes_spec", centsArr, books, packed, k = 5, nProbe = 8,
+        rerank = 40).queryExecution.executedPlan
+      val adc = execPlan.collectFirst {
+        case a: graft.plans.AdcCodesJoinExec => a }
+        .getOrElse(fail(s"AdcCodesJoinExec not planned:\n$execPlan"))
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val codesSideShuffles = adc.right.collect {
+        case _: ShuffleExchangeExec => 1 }.size
+      // count only planner-inserted HASH exchanges: the fixture's own
+      // RoundRobin repartition upstream is test scaffolding, not the
+      // property under audit
+      val probeHashShuffles = adc.left.collect {
+        case s: ShuffleExchangeExec if s.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => 1
+      }.size
+      assert(codesSideShuffles == 0,
+        s"bucketed codes side must not re-shuffle:\n${adc.right}")
+      assert(probeHashShuffles == 1,
+        s"probe side hash-shuffles once to the bucketed layout:\n${adc.left}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    res.unpersist()
+  }
+
   test("packed IVF paths drop NaN vectors instead of emitting bogus centroids") {
     import spark.implicits._
     import graft.functions.FloatVecDot
@@ -1656,6 +1715,70 @@ class OpsSpec extends SparkSpec {
     val se = 1.04 / math.sqrt((1 << p).toDouble)
     assert(math.abs(est - exact) / exact <= 3 * se,
       s"HLL estimate $est vs exact $exact outside 3*se ($se)")
+  }
+
+  test("CMS sketch: merge equals whole-corpus sketch; point estimates " +
+      "never underestimate and hit exact counts for heavy tokens") {
+    import spark.implicits._
+    val toks = docs.select(explode(TextAnalysis.tokens($"text")).as("t"))
+      .where($"t" =!= "")
+    val (d, w) = (4, 256)
+    val all = Sketches.cmsRegisters(toks, "t", d, w)
+    // mergeability: arbitrary split, sketch halves, groupBy-sum merge
+    val a = Sketches.cmsRegisters(toks.where(length($"t") <= 5), "t", d, w)
+    val b = Sketches.cmsRegisters(toks.where(length($"t") > 5), "t", d, w)
+    val merged = Sketches.cmsMerge(a, b)
+    assert(merged.except(all).isEmpty && all.except(merged).isEmpty)
+    // upward-biased point estimates: est >= true, and for tokens far
+    // above the collision noise floor the min-row estimate is exact
+    // within eps*N (CMS guarantee at e/w error with ~N total tokens)
+    val truth = toks.groupBy($"t").count()
+      .orderBy(desc("count")).limit(5)
+      .as[(String, Long)].collect()
+    val n = toks.count()
+    truth.foreach { case (tok, cnt) =>
+      val est = Sketches.cmsEstimate(all, tok, d, w)
+      assert(est >= cnt, s"CMS underestimated $tok: $est < $cnt")
+      assert(est - cnt <= (2.72 * n / w).toLong + 1,
+        s"CMS overestimate for $tok beyond the e/w bound: $est vs $cnt")
+    }
+    // param-mismatch guard
+    intercept[IllegalArgumentException](
+      Sketches.cmsEstimate(all, "x", depth = 2, width = 64))
+  }
+
+  test("bottom-k signatures: exact k smallest distinct hashes per group; " +
+      "pairwise estimate tracks true token jaccard") {
+    import spark.implicits._
+    val toks = docs.select($"source",
+        explode(TextAnalysis.tokens($"text")).as("t"))
+      .where($"t" =!= "")
+    val k = 16
+    val sig = Sketches.bottomKSignatures(toks, "source", "t", k).cache()
+    // signature = EXACT bottom-k of the distinct hash set (oracle twin)
+    val expect = toks.select($"source".cast("string").as("g"),
+        TextAnalysis.hash60($"t").as("h")).distinct()
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"g").orderBy($"h")))
+      .where($"rk" <= k)
+      .select($"g".as("group"), ($"rk" - 1).cast("long").as("slot"), $"h".as("minhash"))
+    assert(sig.except(expect).isEmpty && expect.except(sig).isEmpty)
+    // the estimator lands within the bottom-k error envelope of the
+    // true distinct-token jaccard for every source pair
+    val est = Sketches.signatureJaccard(sig, k).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val sets = toks.select($"source".cast("string"), $"t").distinct()
+      .as[(String, String)].collect().groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val eps = 2.0 / math.sqrt(k.toDouble) // ~2 standard errors
+    est.foreach { case ((ga, gb), e) =>
+      val truth = sets(ga).intersect(sets(gb)).size.toDouble /
+        sets(ga).union(sets(gb)).size
+      assert(math.abs(e - truth) <= eps,
+        s"pair ($ga,$gb): est $e vs true $truth beyond $eps")
+    }
+    assert(est.nonEmpty)
   }
 
   private def round6(x: Double): Double =
