@@ -100,23 +100,29 @@ case class AdcCodesJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(Seq(left.output(2))),
     ClusteredDistribution(Seq(right.output.head)))
 
+  // both children sorted by cid, so doExecute streams them in a
+  // SortMergeJoin-like sweep: only the CURRENT cid block's probe ADC
+  // tables are resident (probes-per-list × m×ncodes×8 B), matching the
+  // DataFrame kernel's memory contract. Without this the node held
+  // every cid's tables for the whole partition at once — measured as
+  // a ~250 MB-per-partition GC drag at 10k×1M.
+  override def requiredChildOrdering: Seq[Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]] = Seq(
+    Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+      left.output(2), org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+      right.output.head, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val m = books.length
     val dsub = if (m == 0 || books(0).isEmpty) 0 else books(0)(0).length
     val bcB = sparkContext.broadcast(books)
     val selN = sel
-    left.execute().zipPartitions(right.execute()) { (pIt, cIt) =>
+    left.execute().zipPartitions(right.execute()) { (pIt0, cIt) =>
       val bs = bcB.value
       val flats = bs.map(VectorQuant.flattenBook)
-      // per-cid probe state: (qid, q·c offset, ADC lookup table)
-      val byCid = new java.util.HashMap[Long,
-        scala.collection.mutable.ArrayBuffer[(Long, Double, Array[Array[Double]])]]()
-      pIt.foreach { row =>
-        val qid = row.getLong(0)
-        val q = graft.functions.FloatVecDot.unpack(row.getBinary(1))
-        val cid = row.getLong(2)
-        val qc = row.getDouble(3)
-        val t = Array.tabulate(m) { s =>
+      val pIt = pIt0.buffered
+      def buildTable(q: Array[Float]): Array[Array[Double]] =
+        Array.tabulate(m) { s =>
           if ((s + 1) * dsub <= q.length) {
             val fl = flats(s)
             Array.tabulate(fl._2.length)(j => graft.functions.VecKernels
@@ -130,14 +136,6 @@ case class AdcCodesJoinExec(left: SparkPlan, right: SparkPlan,
             acc
           }
         }
-        var buf = byCid.get(cid)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Double, Array[Array[Double]])]
-          byCid.put(cid, buf)
-        }
-        buf += ((qid, qc, t))
-      }
       // (score desc, cand asc)-best heaps, worst at head — the same
       // tie discipline as the DataFrame kernel
       val worstFirst = new Ordering[(Double, Long)] {
@@ -148,9 +146,24 @@ case class AdcCodesJoinExec(left: SparkPlan, right: SparkPlan,
       }
       val heaps = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      // current cid block's probe state: (qid, q·c offset, ADC table)
+      var curCid = Long.MinValue
+      val blockQ = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Array[Array[Double]])]
       cIt.foreach { row =>
-        val blockQ = byCid.get(row.getLong(0))
-        if (blockQ != null && blockQ.nonEmpty) {
+        val cid = row.getLong(0)
+        if (cid != curCid) {
+          blockQ.clear()
+          // advance the sorted probe stream to this cid block
+          while (pIt.hasNext && pIt.head.getLong(2) < cid) pIt.next()
+          while (pIt.hasNext && pIt.head.getLong(2) == cid) {
+            val p = pIt.next()
+            blockQ += ((p.getLong(0), p.getDouble(3),
+              buildTable(graft.functions.FloatVecDot.unpack(p.getBinary(1)))))
+          }
+          curCid = cid
+        }
+        if (blockQ.nonEmpty) {
           val id = row.getLong(1)
           val code = row.getBinary(2)
           var j = 0

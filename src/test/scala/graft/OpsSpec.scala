@@ -1717,6 +1717,29 @@ class OpsSpec extends SparkSpec {
       s"HLL estimate $est vs exact $exact outside 3*se ($se)")
   }
 
+  test("grouped HLL: per-group registers merge exactly like the flat " +
+      "sketch (groupBy-max over (group, bucket))") {
+    import spark.implicits._
+    val toks = docs.select($"source",
+        explode(TextAnalysis.tokens($"text")).as("t"))
+      .where($"t" =!= "")
+    val all = Sketches.hllRegistersGrouped(toks, Seq("source"), "t", p = 9)
+    val a = Sketches.hllRegistersGrouped(
+      toks.where(length($"t") <= 5), Seq("source"), "t", p = 9)
+    val b = Sketches.hllRegistersGrouped(
+      toks.where(length($"t") > 5), Seq("source"), "t", p = 9)
+    val merged = a.unionByName(b)
+      .groupBy($"source", $"bucket").agg(max($"rho").as("rho"))
+    assert(merged.except(all).isEmpty && all.except(merged).isEmpty)
+    // each group's registers equal the FLAT sketch of that group alone
+    val one = docs.select($"source").distinct().limit(1)
+      .collect().head.getString(0)
+    val flat = Sketches.hllRegisters(
+      toks.where($"source" === one).select($"t"), "t", p = 9)
+    val grouped = all.where($"source" === one).select($"bucket", $"rho")
+    assert(grouped.except(flat).isEmpty && flat.except(grouped).isEmpty)
+  }
+
   test("CMS sketch: merge equals whole-corpus sketch; point estimates " +
       "never underestimate and hit exact counts for heavy tokens") {
     import spark.implicits._

@@ -63,7 +63,9 @@ class PlanAuditSpec extends SparkSpec {
     "w3_running_distinct" -> 3,
     "e3_sliding_count" -> 2,
     "q18_large_volume" -> 2,
-    "u3_distinct" -> 3)
+    "u3_distinct" -> 3,
+    "x26_cms_registers" -> 3,
+    "x28_grouped_hll" -> 3)
 
   test("no audited query plans a single-partition window, a cartesian " +
       "product, or more shuffles than its pinned ceiling") {
