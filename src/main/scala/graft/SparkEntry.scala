@@ -146,6 +146,34 @@ object SparkEntry {
       graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"), Seq("the", "a"))
         .orderBy(col("doc_id"))),
 
+    // per-language keep-rate calibration: rank by quality within each
+    // lang, keep the top 40% (rank cutoff, not an interpolated
+    // quantile — integer logic, engine-portable)
+    "x29_keep_rate" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.ops.TextAnalysis.qualityScore(
+          t(s, dir, "documents"), Seq("the", "a"))
+        .join(t(s, dir, "documents").select($"doc_id", $"lang"), "doc_id")
+      graft.ops.TextAnalysis.keepTopRate(scored, "lang", "quality",
+          keepRate = 0.4)
+        .select($"doc_id", $"lang", $"quality", $"rk", $"n_group")
+        .orderBy($"doc_id")
+    }),
+
+    // per-language token-budget selection (data mixing: "the best
+    // 20k chars per language", greedy by quality, strict prefix)
+    "x30_budget_select" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.ops.TextAnalysis.qualityScore(
+          t(s, dir, "documents"), Seq("the", "a"))
+        .join(t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars"), "doc_id")
+      graft.ops.TextAnalysis.budgetSelect(scored, "lang", "quality",
+          "n_chars", budget = 20000L)
+        .select($"doc_id", $"lang", $"quality", $"cum_cost")
+        .orderBy($"doc_id")
+    }),
+
     "x3_lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(t(s, dir, "documents"), langMarkers)
         .orderBy(col("doc_id"))),
@@ -1862,6 +1890,49 @@ object SparkEntry {
                 round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
                       + (ns / nu) * 0.2, 6) AS quality
          FROM u ORDER BY doc_id""",
+
+    "x29_keep_rate" ->
+      """WITH u AS (
+           SELECT doc_id, lang,
+                  len(string_split(text, ' '))::DOUBLE AS nt,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE AS nu,
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a']))::DOUBLE AS ns
+           FROM documents),
+         q AS (SELECT doc_id, lang,
+                      round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
+                            + (ns / nu) * 0.2, 6) AS quality
+               FROM u),
+         r AS (SELECT doc_id, lang, quality,
+                      CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n_group
+               FROM q)
+         SELECT doc_id, lang, quality, rk, CAST(n_group AS BIGINT) AS n_group
+         FROM r WHERE rk <= CAST(ceil(n_group * 0.4) AS BIGINT)
+         ORDER BY doc_id""",
+
+    "x30_budget_select" ->
+      """WITH u AS (
+           SELECT doc_id, lang, n_chars,
+                  len(string_split(text, ' '))::DOUBLE AS nt,
+                  len(list_distinct(string_split(text, ' ')))::DOUBLE AS nu,
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a']))::DOUBLE AS ns
+           FROM documents),
+         q AS (SELECT doc_id, lang, n_chars,
+                      round(least(nt / 200.0, 1.0) * 0.5 + (nu / nt) * 0.3
+                            + (ns / nu) * 0.2, 6) AS quality
+               FROM u),
+         r AS (SELECT doc_id, lang, quality,
+                      CAST(sum(n_chars) OVER (PARTITION BY lang
+                        ORDER BY quality DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_cost
+               FROM q)
+         SELECT doc_id, lang, quality, cum_cost
+         FROM r WHERE cum_cost <= 20000
+         ORDER BY doc_id""",
 
     "x3_lang_id" ->
       """WITH u AS (

@@ -591,4 +591,50 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lwsum"), lit(0.0)).as("log_weight"))
   }
+
+  /** Per-group keep-rate calibration (the "keep the best X% of every
+    * language/source" step of DataComp/CCNet-style pipelines): within
+    * each group, rank by (score desc, doc_id asc) and keep the top
+    * `ceil(keepRate · n_group)` rows. Rank-based rather than an
+    * interpolated quantile threshold on purpose — pure integer cutoff
+    * logic, deterministic under score ties, and engine-portable with
+    * no quantile-interpolation FP hazard (the oracle is the identical
+    * window).
+    *
+    * Scale shape: one ranking window + one count window, both
+    * partitioned by the group — groups parallelize, the sort is
+    * spill-backed; no global window, no collect.
+    */
+  def keepTopRate(scored: DataFrame, groupCol: String, scoreCol: String,
+      keepRate: Double, idCol: String = "doc_id"): DataFrame = {
+    require(keepRate > 0.0 && keepRate <= 1.0, s"keepRate: $keepRate")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(desc(scoreCol), col(idCol))
+    val cw = Window.partitionBy(col(groupCol))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_group", count(lit(1)).over(cw))
+      .where(col("rk") <= ceil(col("n_group") * keepRate).cast("long"))
+  }
+
+  /** Per-group TOKEN-BUDGET selection (the data-mixing step "take the
+    * best `budget` tokens from each source"): within each group, order
+    * by (score desc, id asc) and keep rows while the RUNNING total of
+    * `costCol` stays within `budget` — the strict-prefix rule, so the
+    * kept set is a deterministic function of the scores (a large doc
+    * at the boundary blocks the tail, the standard greedy-prefix
+    * semantics). Same partitioned-window scale shape as
+    * [[keepTopRate]].
+    */
+  def budgetSelect(docs: DataFrame, groupCol: String, scoreCol: String,
+      costCol: String, budget: Long, idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(desc(scoreCol), col(idCol))
+    docs
+      .withColumn("cum_cost", sum(col(costCol)).over(w))
+      .where(col("cum_cost") <= budget)
+  }
 }

@@ -1717,6 +1717,28 @@ class OpsSpec extends SparkSpec {
       s"HLL estimate $est vs exact $exact outside 3*se ($se)")
   }
 
+  test("keepTopRate / budgetSelect: rank cutoff is ceil(rate*n) with " +
+      "ties to the smaller id; budget is a strict prefix rule") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", 0.9, 100L), (2L, "en", 0.8, 100L), (3L, "en", 0.8, 50L),
+      (4L, "en", 0.2, 10L), (5L, "en", 0.1, 10L),
+      (6L, "de", 0.5, 300L), (7L, "de", 0.4, 100L))
+      .toDF("doc_id", "lang", "quality", "n_chars")
+    // en: ceil(5*0.4)=2 -> docs 1,2 (tie 0.8: doc 2 outranks doc 3);
+    // de: ceil(2*0.4)=1 -> doc 6
+    val kept = TextAnalysis.keepTopRate(df, "lang", "quality", 0.4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 6L))
+    // en budget 220: 100+100=200 ok, +50 (doc 3) = 250 > 220 -> STOPS;
+    // doc 4 (cum 260) stays blocked even though 10 alone would fit
+    // (strict prefix); de: 300 > 220 -> nothing
+    val sel = TextAnalysis.budgetSelect(df, "lang", "quality",
+        "n_chars", budget = 220L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L, 2L))
+  }
+
   test("grouped HLL: per-group registers merge exactly like the flat " +
       "sketch (groupBy-max over (group, bucket))") {
     import spark.implicits._
