@@ -18,6 +18,13 @@ import graft.functions.FloatVecDot
   * scoring shrank ~5× and the candidate exchange is now a visible
   * 26%, so the cid-bucketed layout (knnJoinIvfBucketed) is worth
   * taking alongside the kernel win.
+  *
+  * REVISED (round 7): measured end-to-end, the raw-blob bucketed
+  * RELATIONAL join runs ~2.7× slower than the blocked kernel — its
+  * per-pair 6 KB blob copy dwarfs the exchange it elides — so the
+  * bucketed layout was retargeted at SMALL-payload code tables via
+  * the custom co-partitioned plan (plans/AdcCodesJoin +
+  * VectorQuant.knnJoinIvfPqBucketed). See SURVEY round-7 notes.
   */
 object ProfileKnnIdx {
   private final val Dim = 1536
