@@ -9,31 +9,43 @@ import graft.functions.FloatVecDot
 /** Benchmark main. Emits ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}
   *
-  * Two parts:
-  *  1. every SparkEntry query timed at SPARK_GRAFT_SF_DIR;
-  *  2. the reference's published benchmark protocol (BASELINE.md):
-  *     synthetic unit vectors d=1536 at N=10,548 and N=1,000,000, then
-  *     cold-then-warm `retrieve(query, n=100)` — reported as
-  *     svs_{build,cold,warm}_{10k,1m} entries in the queries map, directly
-  *     comparable to the reference's 0.5s/0.011s (10k) and 120s/0.24s (1M)
-  *     numbers (`/root/reference/README.md:126-129`).
+  * Two parts, run in PRIORITY order (r8):
+  *  0. an IO-calibration probe (fixed-size raw parquet write + cold
+  *     read) that seeds the budget estimator's slowdown factor;
+  *  2. the reference's published benchmark protocol (BASELINE.md) and
+  *     the round's design-claim points — the knn ladder, the z-order
+  *     scan trio, the load-docs pair — FIRST, ordered so the headline
+  *     points always land inside the wall-clock budget;
+  *  1. every SparkEntry query timed at SPARK_GRAFT_SF_DIR, LAST — on a
+  *     slow-IO day the budget clips part-1 medians, never the ladder
+  *     (the r7 lesson: the driver's run spent its budget on the
+  *     132-query sweep and skipped exactly the headline points).
   *
-  * BUDGET DISCIPLINE (r7): the whole run fits a wall-clock budget
+  * BUDGET DISCIPLINE: the whole run fits a wall-clock budget
   * (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1380 s) so the driver's
   * timeout can never void the round's numbers again (r5: tail
-  * truncation; r6: rc 124, total loss). Three mechanisms:
+  * truncation; r6: rc 124, total loss; r7: budget overshoot clipped the
+  * ladder). Mechanisms:
   *   - every point is recorded through [[record]], which (a) skips the
   *     point if the remaining budget can't cover its estimate, (b) runs
   *     ONE rep instead of a median-of-3 when the first rep exceeds
   *     ~20 s (medians only matter where noise > signal), and (c)
   *     rewrites BENCH_FULL.json after EVERY point, so even a SIGKILL
   *     loses at most the in-flight point;
+  *   - per-point estimates RESCALE by the observed slowdown vs the last
+  *     recorded healthy run ([[expectedS]]): the sandbox's IO variance
+  *     is 2-5× run-to-run on disk-bound points (r7: svs_build_1m 299 s
+  *     driver vs 61 s builder, same tree), so static estimates clip
+  *     unpredictably — the running median of measured/expected ratios
+  *     ([[calib]]) absorbs that;
   *   - heavy setup blocks are gated by [[setup]] — if the remaining
-  *     budget can't cover setup + its points, the run jumps straight
-  *     to emission with everything measured so far;
+  *     budget can't cover setup + its points, the section unwinds and
+  *     later INDEPENDENT sections still run;
   *   - a JVM shutdown hook emits the contract JSON line from whatever
   *     has been measured if the process is SIGTERMed mid-point (the
-  *     `timeout(1)` default signal), so a partial map still parses.
+  *     `timeout(1)` default signal). All result/skip state is guarded
+  *     by [[lock]] so the hook always formats a consistent snapshot
+  *     even when it fires concurrently with an in-flight [[record]].
   *
   * The retrieval kernel is the packed-f32 BINARY column + the codegen'd
   * [[FloatVecDot]] expression — the Spark-native analog of the
@@ -52,41 +64,106 @@ object Bench {
   private var budgetS: Double = 1380.0
   private def remainS: Double = budgetS - elapsedS
 
+  /** Extra seconds held back for the part-1 warmup + sweep: set once
+    * the headline ladder has been recorded, so the LOW-priority part-2
+    * sections (compressed tiers, pairs/neardup sweeps) skip rather
+    * than eat the oracle inventory's slot — the r8 dry-run lesson: a
+    * part-1 sweep run cold (no warmup budget left) times 5-10× slow
+    * and clips its tail. Cleared when part 1 actually starts. */
+  private var extraReserveS: Double = 0.0
+  private def part1Reserve: Double = math.min(430.0, budgetS * 0.35)
+
+  /** Guards results/skipped/ratios AND the BENCH_FULL/stdout emission:
+    * the SIGTERM shutdown hook runs [[emitAll]] concurrently with the
+    * main thread's [[record]] mutations, and an unsynchronized
+    * LinkedHashMap iteration mid-insert can throw AFTER the hook has
+    * claimed [[emitted]] — losing the contract lines entirely (the
+    * exact failure the hook exists to prevent). */
+  private val lock = new Object
   private val results = scala.collection.mutable.LinkedHashMap[String, Double]()
   private val skipped = scala.collection.mutable.ArrayBuffer[String]()
   private var sfDirG: String = ""
   private var repsG: Int = 3
   private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Last recorded healthy complete run (r8 refresh; r7's was commit
+    * 6948c20) — the denominator for the estimator's slowdown
+    * calibration. Only points ≥ 1 s feed ratios (below that, job-floor
+    * noise dominates). Values are seconds. */
+  private val expectedS: Map[String, Double] = Map(
+    "svs_io_probe_write" -> 3.3,
+    "svs_io_probe_read" -> 5.2,
+    "svs_build_1m" -> 150.0,
+    "svs_cold_1m" -> 10.4,
+    "svs_knn_join_1m" -> 64.0,
+    "svs_knn_join_indexed_1m" -> 19.0,
+    "svs_knn_join_pq_1m" -> 29.0,
+    "svs_knn_join_pq_bucketed_1m" -> 30.0,
+    "svs_pairs_1m" -> 36.0,
+    "svs_neardup_1m" -> 20.0,
+    "svs_ivf_build_1m" -> 5.7,
+    "svs_pq_encode_1m" -> 40.0,
+    "svs_zorder_write_6m" -> 18.5,
+    "svs_load_docs_1m" -> 4.0,
+    "svs_bpe_train_1k" -> 27.0,
+    "svs_image_neardup_100k" -> 8.7)
+
+  /** measured/expected ratios of completed points (expected ≥ 1 s). */
+  private val ratios = scala.collection.mutable.ArrayBuffer[Double]()
+
+  /** Observed environment slowdown vs the recorded healthy run: median
+    * of per-point ratios, clamped to [0.5, 5]. 1.0 until the first
+    * calibrated point (the IO probe, by construction the first thing
+    * the run does). */
+  private def calib: Double = lock.synchronized {
+    if (ratios.isEmpty) 1.0
+    else {
+      val s = ratios.sorted
+      val m = if (s.size % 2 == 1) s(s.size / 2)
+              else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      math.min(5.0, math.max(0.5, m))
+    }
+  }
+
+  private def addSkip(name: String): Unit =
+    lock.synchronized { skipped += name }
+
   /** Thrown when the remaining budget only covers emission — unwinds
-    * straight to the emit path. */
+    * to the enclosing section boundary (independent later sections
+    * still get their chance; their gates re-check the budget). */
   private final class BudgetUp extends RuntimeException("bench budget exhausted")
 
   /** Gate an UNTIMED setup block: if the remaining budget can't cover
-    * `estS` plus the emission reserve, stop measuring. */
+    * `estS` (calibration-scaled) plus the emission reserve, stop
+    * measuring this section. */
   private def setup(estS: Double): Unit =
-    if (remainS < estS + ReserveS) throw new BudgetUp
+    if (remainS < estS * calib + ReserveS + extraReserveS) throw new BudgetUp
 
   /** Time one point, budget-aware and adaptively repped (see class doc).
-    * `estS` is a conservative single-rep estimate used only for the
-    * skip decision; `reps=1` pins single-shot points (cold reads, loads
-    * — re-running those measures the page cache, not the operator).
+    * `estS` is a conservative single-rep estimate — taken from the last
+    * healthy run where one exists — scaled by the observed slowdown
+    * [[calib]] for the skip decision; `reps=1` pins single-shot points
+    * (cold reads, loads — re-running those measures the page cache,
+    * not the operator).
     */
   private def record(name: String, estS: Double = 10.0, reps: Int = 3,
       longRepS: Double = 20.0)(body: => Any): Unit = {
-    if (remainS < ReserveS) { skipped += name; throw new BudgetUp }
-    if (remainS < estS + ReserveS) { skipped += name; return }
+    if (remainS < ReserveS) { addSkip(name); throw new BudgetUp }
+    if (remainS < estS * calib + ReserveS + extraReserveS) { addSkip(name); return }
     val first = timed(body)
+    expectedS.get(name).filter(_ >= 1.0).foreach { e =>
+      lock.synchronized { ratios += first / e }
+    }
     val more = reps > 1 && first < longRepS &&
       remainS - ReserveS > first * (reps - 1)
-    results(name) =
+    val v =
       if (!more) first
       else {
         val ts = (Seq(first) ++ (2 to reps).map(_ => timed(body))).sorted
         if (ts.size % 2 == 1) ts(ts.size / 2)
         else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
       }
-    writeFull()
+    lock.synchronized { results(name) = v; writeFullLocked() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,11 +190,24 @@ object Bench {
     // emit the contract lines from whatever has been measured so far
     Runtime.getRuntime.addShutdownHook(new Thread(() => emitAll()))
 
-    // ---- part 1: the operator inventory at sfDir ----
-    // (optional args = run only the named queries — dev profiling knob)
+    repsG = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // (optional args = run only the named part-1 queries — dev knob)
     val only = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
+
+    // ---- part 0: IO calibration probe (always first) ----
+    try ioProbe(spark)
+    catch { case _: BudgetUp => addSkip("(budget too small for io probe)") }
+
+    // ---- part 2 FIRST: reference protocol + design-claim points ----
+    // (SPARK_GRAFT_SVS=0 skips it — dev-loop knob)
+    if (sys.env.getOrElse("SPARK_GRAFT_SVS", "1") != "0") {
+      try svsPart2(spark, cpus)
+      catch { case _: BudgetUp =>
+        addSkip(s"(budget reached at ${f"$elapsedS%.0f"}s — later part-2 points not run)")
+      }
+    }
 
     // operators cache/checkpoint internally (shingle sets, CC labels,
     // index blocks); drop it all between queries so timings measure the
@@ -126,6 +216,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    clearState()
 
     // evaluate via a noop sink, not count(): under count() Catalyst prunes
     // every projected column, so scan-shaped queries would time an empty
@@ -133,13 +224,17 @@ object Bench {
     def evalAll(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup at the smallest SF: pays JIT + codegen + shuffle-service
-    // init once, so the timed runs below measure the operators, not the
-    // JVM (SPARK_GRAFT_WARMUP=0 disables). Budget-capped at 20% of the
-    // run: warm timings beat cold-JIT timings, but complete coverage
-    // beats warm timings.
+    // ---- part 1 LAST: the operator inventory at sfDir ----
+    // warmup at the smallest SF: pays JIT + codegen for the query shapes
+    // part 2 didn't touch (SPARK_GRAFT_WARMUP=0 disables). Capped at 12%
+    // of the budget AND skipped entirely when the remaining budget is
+    // tight — warm timings beat cold-JIT timings, but recording the
+    // sweep at all beats warm timings.
+    extraReserveS = 0.0
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      selected.iterator.takeWhile(_ => elapsedS < budgetS * 0.12)
+      val warm0 = elapsedS
+      selected.iterator
+        .takeWhile(_ => elapsedS - warm0 < budgetS * 0.12 && remainS > 60)
         .foreach { case (_, fn) =>
           try { evalAll(fn(spark, "/root/testdata/sf0.001")) }
           catch { case _: Throwable => () }
@@ -149,11 +244,8 @@ object Bench {
 
     // median of SPARK_GRAFT_REPS runs (default 3) for fast queries;
     // single runs vary 2-3× with VM/GC noise, and a median is what the
-    // baseline rows are. Part-1 queries whose first rep exceeds ~3 s
-    // run once — above that, signal > noise, and the rep budget is
-    // better spent completing the part-2 point set (the r6/r7 budget
-    // lesson: the full sweep must fit 1380 s).
-    repsG = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // baseline rows are. Queries whose first rep exceeds ~3 s run once —
+    // above that, signal > noise.
     try {
       selected.foreach { case (name, fn) =>
         record(name, estS = 5.0, reps = repsG, longRepS = 3.0) {
@@ -161,97 +253,186 @@ object Bench {
           clearState()
         }
       }
-
-      // ---- part 2: reference protocol (cold-then-warm retrieval) ----
-      // (SPARK_GRAFT_SVS=0 skips it — dev-loop knob)
-      if (sys.env.getOrElse("SPARK_GRAFT_SVS", "1") != "0") {
-        svsPart2(spark, cpus)
-      }
     } catch { case _: BudgetUp =>
-      // a setup() gate tripped: name the truncation instead of
-      // silently dropping the unreached tail (r7: a run that spent its
-      // budget on the knn leg reported skipped:[] while nine points
-      // were missing)
-      skipped += s"(budget reached at ${f"$elapsedS%.0f"}s — later part-2 points not run)"
+      addSkip(s"(budget reached at ${f"$elapsedS%.0f"}s — later part-1 queries not run)")
     }
 
     emitAll()
     spark.stop()
   }
 
+  /** Fixed-size raw IO probe: ~1 GB uncompressed parquet written from a
+    * cached source, then read back with the page cache dropped. Its
+    * ratio vs [[expectedS]] seeds [[calib]], and the recorded numbers
+    * let any two runs' disk-bound deltas be attributed to environment
+    * vs code (r7: 299 s vs 61 s for the same build, same tree).
+    */
+  private def ioProbe(spark: SparkSession): Unit = {
+    setup(20.0)
+    val dir = "/tmp/graft_bench_ioprobe"
+    KbStoreCleanup.delete(dir)
+    // 2M rows × 512-char payload ≈ 1.0 GB; md5-hex is incompressible
+    // enough that "uncompressed" is the honest size. Cached + counted
+    // first so the timed write measures IO, not payload generation.
+    val df = spark.range(2000000L).select(col("id"),
+      concat_ws("", (0 until 16).map(i =>
+        md5(concat(col("id"), lit(i)))): _*).as("payload"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    record("svs_io_probe_write", estS = 5.0, reps = 1) {
+      df.repartition(32).write.mode("overwrite")
+        .option("compression", "none").parquet(dir)
+    }
+    df.unpersist()
+    record("svs_io_probe_read", estS = 5.0, reps = 1) {
+      KbStoreCleanup.dropPageCache()
+      spark.read.parquet(dir)
+        .agg(count(lit(1)), sum(length(col("payload")))).collect()
+    }
+    KbStoreCleanup.delete(dir)
+  }
+
+  /** Part 2 in PRIORITY order: cheap headline points first (10k
+    * protocol, load-docs, z-order trio, image near-dup), then the 1M
+    * protocol + knn ladder (the round's design claims), then the
+    * compressed tiers, then the most expensive non-headline points
+    * (pairs/neardup sweeps) last — so a slow-IO day's budget clip
+    * falls on the tail, never the ladder. Sections are independently
+    * BudgetUp-gated where they have no data dependency.
+    */
   private def svsPart2(spark: SparkSession, cpus: String): Unit = {
     setup(15.0)
     svsProtocol(spark, n = 10548, tag = "10k")
-    // the 1M protocol's minimum useful slice is build + cold (the two
-    // BASELINE.md headline rows): ~account staging 40 + build 100 +
-    // cold 150 + warm index 60
+
+    // text-only bulk load — the phase the reference's 0.07s @ 10k and
+    // 8s @ 1M numbers measure (fn2 in BASELINE.md). Writes are
+    // coalesced to ~1 task per 100k rows: a 32-task write of 10k rows
+    // times Spark's task-dispatch floor, not the load.
+    // untimed warmup: the very first string-column parquet write pays
+    // ~1.2s of one-time classload/JIT; the reference's 0.07s SQLite
+    // number is steady-state, so ours should be too
+    setup(30.0)
+    syntheticDocs(spark, 10000).coalesce(1).write.mode("overwrite")
+      .parquet("/tmp/graft_bench_docs_warm")
+    KbStoreCleanup.delete("/tmp/graft_bench_docs_warm")
+    Seq(10548L -> "10k", 1000000L -> "1m").foreach { case (n, tag) =>
+      val docsPath = s"/tmp/graft_bench_docs_$tag"
+      KbStoreCleanup.delete(docsPath)
+      val docsDf = syntheticDocs(spark, n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      docsDf.count() // generation excluded, like the reference's
+      val parts = math.max(1, (n / 100000L).toInt)
+      record(s"svs_load_docs_$tag", estS = 3.0, reps = 1) {
+        docsDf.coalesce(parts).write.mode("overwrite").parquet(docsPath)
+      }
+      docsDf.unpersist()
+      KbStoreCleanup.delete(docsPath)
+    }
+
+    // lakehouse layout + data skipping, measured on a 6M-row table
+    // with a ~256-byte payload (~1.5 GB raw) and a 1/8-range predicate
+    // on one of two z-interleaved dimensions, payload in the
+    // aggregate so scans are decode-bound like a real wide table.
+    // (r7 interlude: a 3M variant proved too SMALL to demonstrate
+    // anything — at 0.77 GB both layouts scan under the ~0.25 s job
+    // floor; at 6M the unordered scan is decode-bound and the layout
+    // delta is real.)
+    //  - svs_zscan_pruned_6m: z-ordered layout, plain scan — the
+    //    engine's own row-group stats prune because the LAYOUT made
+    //    ranges tight (and the same layout serves BOTH dims);
+    //  - svs_scan_unordered_6m: identical data, naive layout — every
+    //    row group straddles the predicate; the delta vs pruned is
+    //    the measured z-order win;
+    //  - svs_skip_scan_6m: the manifest file-skipping path (15/64
+    //    files read). At local-NVMe scale its timed cost ≈ pruned
+    //    plus a fixed ~0.2 s manifest lookup — the honest local
+    //    story; its real win (one manifest read replacing per-file
+    //    footer opens, 4× fewer tasks) is object-store metadata
+    //    latency, which this VM cannot exhibit. Result parity for
+    //    the composition is LayoutSpec-pinned.
+    setup(60.0)
+    val zdir = "/tmp/graft_bench_zorder"
+    val udir = "/tmp/graft_bench_unordered"
+    KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
+    val zdf = spark.range(6000000L).select(col("id"),
+      pmod(hash(col("id")), lit(1024)).cast("long").as("x"),
+      pmod(hash(col("id") + 7L), lit(1024)).cast("long").as("y"),
+      concat_ws("", (0 until 8).map(i =>
+        md5(concat(col("id"), lit(i)))): _*).as("payload"))
+    record("svs_zorder_write_6m", estS = 8.0, reps = 1) {
+      graft.ops.Layout.writeZordered(zdf, zdir,
+        graft.ops.Layout.zValue(10, col("x"), col("y")), numFiles = 64)
+    }
+    zdf.repartition(64).write.mode("overwrite").parquet(udir)
+    val zstats = graft.ops.Layout
+      .parquetFileStats(spark, zdir, Seq("x", "y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    zstats.count()
+    def scanAgg(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.agg(count(lit(1)), sum(length(col("payload")))).collect(); ()
+    }
+    // each rep drops the page cache first: at this VM's scan speed a
+    // cache-warm 1.5 GB table decodes under the job floor and BOTH
+    // layouts time identically — the honest comparison is IO-bound,
+    // which is what any real cluster reading cold data sees (and what
+    // the r6 numbers, taken under incidental memory pressure, were
+    // accidentally measuring)
+    record("svs_skip_scan_6m", estS = 3.0) {
+      KbStoreCleanup.dropPageCache()
+      scanAgg(graft.ops.Layout.skippingScan(spark, zdir, zstats,
+        "x", 0, 127))
+    }
+    record("svs_zscan_pruned_6m", estS = 3.0) {
+      KbStoreCleanup.dropPageCache()
+      scanAgg(spark.read.parquet(zdir).where(col("x").between(0, 127)))
+    }
+    record("svs_scan_unordered_6m", estS = 3.0) {
+      KbStoreCleanup.dropPageCache()
+      scanAgg(spark.read.parquet(udir).where(col("x").between(0, 127)))
+    }
+    zstats.unpersist()
+    KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
+
+    // real-codec image near-dup mining at 100k (r8): synthetic JPEG
+    // corpus through ImageIoDecoder → aHash → banded Hamming join —
+    // the measured throughput behind the r7 "real pixel decode" claim.
+    // Corpus-independent of the 1M vector protocol, so it certifies
+    // even when a slow day clips the ladder's setup.
+    try imageNearDupPoint(spark)
+    catch { case _: BudgetUp => addSkip("(image neardup section skipped on budget)") }
+
+    // batched BPE training at a production-ish merge count (r8): the
+    // jobs-per-merge fix, measured — the naive loop is 1000 jobs for
+    // 1000 merges; the batched passes run ~2 jobs per batch of
+    // disjoint merges (Bpe.bpeTrain scaladoc), exactly greedy-
+    // equivalent (BpeSpec + the x15/x19 oracles pin it)
+    try {
+      setup(60.0)
+      val bpeDocs = Tables.t(spark, sfDirG, "documents")
+      record("svs_bpe_train_1k", estS = 30.0, reps = 1) {
+        graft.ops.Bpe.bpeTrain(bpeDocs, numMerges = 1000).count()
+      }
+    } catch { case _: BudgetUp => addSkip("(bpe train section skipped on budget)") }
+
+    // ---- the 1M protocol + knn ladder (the design-claim core) ----
+    // minimum useful slice is build + cold (the two BASELINE.md
+    // headline rows): ~staging 40 + build 100 + cold 150 + warm 60
     setup(350.0)
     val kept1m = svsProtocol(spark, n = 1000000, tag = "1m", keep = true)
 
-    // §3.3 scale point: top-25 pairwise scores over the SAME 1M × d1536
-    // corpus via the sketch-candidates + exact-re-rank path. The exact
-    // all-pairs formulation is 5×10¹¹ pairs × 1536 flops ≈ 8×10¹⁴ flops
-    // — infeasible on any engine — so this measures the path that
-    // actually runs at that cardinality (PairwiseTopK scaladoc).
     setup(30.0)
     val corpus1m = spark.read.parquet(kept1m)
       .persist(StorageLevel.MEMORY_AND_DISK)
     corpus1m.count() // warm the cache: time the operator, not the disk
-    record("svs_pairs_1m", estS = 70.0) {
-      graft.ops.PairwiseTopK.sketchTopKPairs(
-        corpus1m, dim = Dim, k = 25,
-        sketchBits = 320, bands = 16, rerank = 20000)
-        .collect()
-    }
-    // threshold near-dup mining at the same 1M × d1536 scale: the
-    // embeddingNearDups scale path (sketch banding + Hamming cutoff +
-    // exact verify). A random corpus has no cos ≥ 0.8 pairs, so this
-    // measures the candidate pipeline itself completing at 1M.
-    record("svs_neardup_1m", estS = 65.0) {
-      graft.ops.PairwiseTopK.sketchThresholdPairs(
-        corpus1m, dim = Dim, threshold = 0.8).count()
-    }
-    // batch IVF index build over the same 1M corpus: per-row argmax
-    // against 256 broadcast centroids via the packed-f32 kernel, and
-    // the inverted-list table written out — the "Spark builds the
-    // vector index in batch" flagship at scale
-    val ivfPath = "/tmp/graft_bench_ivf"
-    KbStoreCleanup.delete(ivfPath)
     val cents = corpus1m.where(col("id") < 256)
       .select(col("id").as("cid"), col("vec").as("cvec"))
-    record("svs_ivf_build_1m", estS = 15.0) {
-      graft.ops.SimilaritySearch.ivfAssignPacked(corpus1m, cents)
-        .write.mode("overwrite").option("compression", "none")
-        .parquet(ivfPath)
-    }
-    // probe: 8 of 256 lists → ~1/32 of the corpus scored. The probed
-    // member ids broadcast back against the corpus — the DataFrame
-    // form of partition pruning on the list id.
-    setup(15.0)
-    val assigned1m = spark.read.parquet(ivfPath)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    assigned1m.count()
-    record("svs_ivf_probe_1m", estS = 5.0) {
-      val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
-      val probes = cents
-        .select(col("cid"), FloatVecDot.floatVecDot(col("cvec"), qv).as("ps"))
-        .orderBy(desc("ps")).limit(8).select(col("cid"))
-      val candIds = assigned1m.join(broadcast(probes), "cid")
-        .select(col("vec_id"))
-      corpus1m.join(broadcast(candIds), corpus1m("id") === col("vec_id"))
-        .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv).as("score"))
-        .orderBy(desc("score"), desc("id")).limit(100)
-        .collect()
-    }
-    assigned1m.unpersist()
-    KbStoreCleanup.delete(ivfPath)
 
     // large-query-side k-NN join: 10k queries × 1M candidates, both
     // shuffled on the centroid id (knnJoinIvfPacked) — the path whose
     // raison d'être is inputs too big to broadcast. Packed kernels
     // end-to-end: argmax assign + probe ranking decode each blob once,
     // the post-join scoring is the codegen'd FloatVecDot.
-    setup(100.0)
+    setup(140.0)
     val queries10k = syntheticEmbeddings(spark, 10000)
       .persist(StorageLevel.MEMORY_AND_DISK)
     queries10k.count()
@@ -263,7 +444,7 @@ object Bench {
     graft.ops.SimilaritySearch.knnJoinIvfPacked(
       queries10k, queries10k, cents, k = 10, nProbe = 4)
       .write.format("noop").mode("overwrite").save()
-    record("svs_knn_join_1m", estS = 90.0) {
+    record("svs_knn_join_1m", estS = 80.0) {
       graft.ops.SimilaritySearch.knnJoinIvfPacked(
         queries10k, corpus1m, cents, k = 10, nProbe = 4)
         .write.format("noop").mode("overwrite").save()
@@ -292,7 +473,7 @@ object Bench {
     // layout at a time; so does the bench: the raw cache drops while a
     // derived layout is the working set, and re-warms after.
     corpus1m.unpersist(true)
-    record("svs_knn_join_indexed_1m", estS = 60.0) {
+    record("svs_knn_join_indexed_1m", estS = 50.0) {
       graft.ops.SimilaritySearch.knnJoinIvfAssigned(
         queries10k, preAssigned, cents, k = 10, nProbe = 4)
         .write.format("noop").mode("overwrite").save()
@@ -313,82 +494,20 @@ object Bench {
     // belong to the tagged-union blocked kernel, whose one exchange is
     // the cheapest part of the job. Operator + plan spec remain in the
     // library (SimilaritySearch.knnJoinIvfBucketed).
-    queries10k.unpersist()
-    // re-warm the raw corpus for the quantization points (untimed)
+
+    // re-warm the raw corpus for the compressed ladder legs (untimed)
     corpus1m.persist(StorageLevel.MEMORY_AND_DISK)
     corpus1m.count()
 
-    // compressed-tier points over the same 1M × d1536 corpus — the
-    // memory story at 100 TB (6 KB/vector raw): int8 scalar
-    // quantization (1.5 KB/vector, near-lossless ranking) and product
-    // quantization (96 bytes/vector + ADC lookup scoring + exact
-    // refine). Encode is a narrow map; probes never shuffle the
-    // corpus.
-    setup(30.0)
-    record("svs_sq_encode_1m", estS = 8.0) {
-      graft.ops.VectorQuant.sqEncodePacked(corpus1m)
-        .write.format("noop").mode("overwrite").save()
-    }
-    val sqCodes = graft.ops.VectorQuant.sqEncodePacked(corpus1m)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sqCodes.count()
-    val (qCode, qScale) = graft.functions.Int8VecDot.quantize(syntheticVec(2L))
-    record("svs_sq_probe_1m", estS = 3.0) {
-      graft.ops.VectorQuant.sqTopKPacked(sqCodes, qCode, qScale, 100)
-        .collect()
-    }
-    sqCodes.unpersist()
-
-    // binary (sign-bit) tier: 192 B/vector — the XOR+popcount
-    // prefilter scan plus exact re-rank of the 1000 survivors
-    setup(25.0)
-    record("svs_bin_encode_1m", estS = 8.0) {
-      graft.ops.VectorQuant.binEncodePacked(corpus1m)
-        .write.format("noop").mode("overwrite").save()
-    }
-    val binCodes = graft.ops.VectorQuant.binEncodePacked(corpus1m)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    binCodes.count()
-    record("svs_bin_probe_1m", estS = 5.0) {
-      graft.ops.VectorQuant.binTopKPacked(binCodes, corpus1m,
-        syntheticVec(2L), k = 100, rerank = 1000).collect()
-    }
-    binCodes.unpersist()
-
-    // PQ train on a 10k id-mod sample (2 Lloyd iterations, 96
-    // subspaces × 256 codes), then encode the full corpus
-    setup(60.0)
-    var books: graft.ops.VectorQuant.Codebooks = null
-    record("svs_pq_train_1m", estS = 5.0) {
-      books = graft.ops.VectorQuant.pqTrain(corpus1m, m = 96,
-        ncodes = 256, sampleMod = 100, iters = 2)
-    }
-    record("svs_pq_encode_1m", estS = 30.0) {
-      graft.ops.VectorQuant.pqEncode(corpus1m, books)
-        .write.format("noop").mode("overwrite").save()
-    }
-    setup(60.0)
-    val pqCodes = graft.ops.VectorQuant.pqEncode(corpus1m, books)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pqCodes.count()
-    record("svs_pq_probe_1m", estS = 3.0) {
-      graft.ops.VectorQuant.pqTopKRefined(pqCodes, corpus1m, books,
-        syntheticVec(2L), k = 100, rerank = 1000).collect()
-    }
-    pqCodes.unpersist()
-
-    // IVF-PQ: residual-encoded inverted lists (build untimed — its
-    // cost is the already-timed ivf assign + pq encode shapes); the
-    // probe touches 4/256 lists of 96-byte codes + a 1000-candidate
-    // exact refine
-    setup(120.0)
-    val centsArr = cents.collect().map(r =>
-      (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
-    // NOT persisted: the decoded residuals are another ~6 GB that
+    // IVF-PQ: residual-encoded inverted lists feeding the compressed
+    // ladder legs. Residuals are NOT persisted: the decoded ~6 GB
     // would fight the raw corpus for the storage pool (the r6 ladder
     // lesson); they derive from the cached corpus by a narrow map, so
     // the train (1% sample) and encode (one pass) recomputes are
     // cheaper than the eviction they'd cause
+    setup(120.0)
+    val centsArr = cents.collect().map(r =>
+      (r.getLong(0), FloatVecDot.unpack(r.getAs[Array[Byte]](1))))
     val res1m = graft.ops.VectorQuant.ivfResiduals(corpus1m, centsArr)
     val rbooks = graft.ops.VectorQuant.pqTrain(
       res1m.select(col("id"), col("rvec").as("vec")), m = 96,
@@ -396,24 +515,15 @@ object Bench {
     val ivfpqCodes = graft.ops.VectorQuant.ivfPqEncode(res1m, rbooks)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ivfpqCodes.count()
-    record("svs_ivfpq_probe_1m", estS = 3.0) {
-      graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes, corpus1m,
-        centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,
-        rerank = 1000).collect()
-    }
 
-    // compressed k-NN JOIN over the same residual codes: ADC
-    // pre-filters the 10k × 1M candidate stream through
-    // 96-byte-per-vector codes (the join never ships raw candidate
-    // vectors), exact re-rank of the top-50 survivors per query —
-    // the probe-depth lever ProfileKnnIdx pointed at after the
-    // persisted-assignment variant showed pair scoring dominates
-    setup(60.0)
-    val queriesPq = syntheticEmbeddings(spark, 10000)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    queriesPq.count()
-    record("svs_knn_join_pq_1m", estS = 45.0) {
-      graft.ops.VectorQuant.knnJoinIvfPq(queriesPq, ivfpqCodes,
+    // compressed k-NN JOIN over the residual codes: ADC pre-filters
+    // the 10k × 1M candidate stream through 96-byte-per-vector codes
+    // (the join never ships raw candidate vectors), exact re-rank of
+    // the top-50 survivors per query — the probe-depth lever
+    // ProfileKnnIdx pointed at after the persisted-assignment variant
+    // showed pair scoring dominates
+    record("svs_knn_join_pq_1m", estS = 35.0) {
+      graft.ops.VectorQuant.knnJoinIvfPq(queries10k, ivfpqCodes,
         centsArr, rbooks, corpus1m, k = 10, nProbe = 4, rerank = 50)
         .write.format("noop").mode("overwrite").save()
     }
@@ -434,152 +544,245 @@ object Bench {
       "graft_bench_pq_codes", buckets = cpus.toInt)
     spark.catalog.cacheTable("graft_bench_pq_codes")
     spark.table("graft_bench_pq_codes").count()
-    record("svs_knn_join_pq_bucketed_1m", estS = 45.0) {
-      graft.ops.VectorQuant.knnJoinIvfPqBucketed(queriesPq,
+    record("svs_knn_join_pq_bucketed_1m", estS = 40.0) {
+      graft.ops.VectorQuant.knnJoinIvfPqBucketed(queries10k,
         "graft_bench_pq_codes", centsArr, rbooks, corpus1m,
         k = 10, nProbe = 4, rerank = 50)
         .write.format("noop").mode("overwrite").save()
     }
     spark.catalog.uncacheTable("graft_bench_pq_codes")
     spark.sql("DROP TABLE IF EXISTS graft_bench_pq_codes")
-    queriesPq.unpersist()
+
+    // every design-claim point is now recorded — from here on, hold
+    // back the part-1 slot so tiers/pairs skip before they can starve
+    // the oracle sweep of its warmup
+    extraReserveS = part1Reserve
+
+    // ---- compressed-tier encode/probe points (cheap, post-ladder) ----
+    // the memory story at 100 TB (6 KB/vector raw): int8 scalar
+    // quantization (1.5 KB/vector, near-lossless ranking) and product
+    // quantization (96 bytes/vector + ADC lookup scoring + exact
+    // refine). Encode is a narrow map; probes never shuffle the corpus.
+    record("svs_ivfpq_probe_1m", estS = 2.0) {
+      graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes, corpus1m,
+        centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,
+        rerank = 1000).collect()
+    }
+    queries10k.unpersist()
     ivfpqCodes.unpersist()
+
+    setup(30.0)
+    record("svs_sq_encode_1m", estS = 10.0) {
+      graft.ops.VectorQuant.sqEncodePacked(corpus1m)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sqCodes = graft.ops.VectorQuant.sqEncodePacked(corpus1m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sqCodes.count()
+    val (qCode, qScale) = graft.functions.Int8VecDot.quantize(syntheticVec(2L))
+    record("svs_sq_probe_1m", estS = 3.0) {
+      graft.ops.VectorQuant.sqTopKPacked(sqCodes, qCode, qScale, 100)
+        .collect()
+    }
+    sqCodes.unpersist()
+
+    // binary (sign-bit) tier: 192 B/vector — the XOR+popcount
+    // prefilter scan plus exact re-rank of the 1000 survivors
+    setup(25.0)
+    record("svs_bin_encode_1m", estS = 3.0) {
+      graft.ops.VectorQuant.binEncodePacked(corpus1m)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val binCodes = graft.ops.VectorQuant.binEncodePacked(corpus1m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    binCodes.count()
+    record("svs_bin_probe_1m", estS = 3.0) {
+      graft.ops.VectorQuant.binTopKPacked(binCodes, corpus1m,
+        syntheticVec(2L), k = 100, rerank = 1000).collect()
+    }
+    binCodes.unpersist()
+
+    // PQ train on a 10k id-mod sample (2 Lloyd iterations, 96
+    // subspaces × 256 codes), then encode the full corpus
+    setup(40.0)
+    var books: graft.ops.VectorQuant.Codebooks = null
+    record("svs_pq_train_1m", estS = 3.0) {
+      books = graft.ops.VectorQuant.pqTrain(corpus1m, m = 96,
+        ncodes = 256, sampleMod = 100, iters = 2)
+    }
+    record("svs_pq_encode_1m", estS = 20.0) {
+      graft.ops.VectorQuant.pqEncode(corpus1m, books)
+        .write.format("noop").mode("overwrite").save()
+    }
+    setup(40.0)
+    val pqCodes = graft.ops.VectorQuant.pqEncode(corpus1m, books)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pqCodes.count()
+    record("svs_pq_probe_1m", estS = 2.0) {
+      graft.ops.VectorQuant.pqTopKRefined(pqCodes, corpus1m, books,
+        syntheticVec(2L), k = 100, rerank = 1000).collect()
+    }
+    pqCodes.unpersist()
+
+    // batch IVF index build over the same 1M corpus: per-row argmax
+    // against 256 broadcast centroids via the packed-f32 kernel, and
+    // the inverted-list table written out — the "Spark builds the
+    // vector index in batch" flagship at scale
+    setup(25.0)
+    val ivfPath = "/tmp/graft_bench_ivf"
+    KbStoreCleanup.delete(ivfPath)
+    record("svs_ivf_build_1m", estS = 9.0) {
+      graft.ops.SimilaritySearch.ivfAssignPacked(corpus1m, cents)
+        .write.mode("overwrite").option("compression", "none")
+        .parquet(ivfPath)
+    }
+    // probe: 8 of 256 lists → ~1/32 of the corpus scored. The probed
+    // member ids broadcast back against the corpus — the DataFrame
+    // form of partition pruning on the list id.
+    setup(15.0)
+    val assigned1m = spark.read.parquet(ivfPath)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned1m.count()
+    record("svs_ivf_probe_1m", estS = 2.0) {
+      val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
+      val probes = cents
+        .select(col("cid"), FloatVecDot.floatVecDot(col("cvec"), qv).as("ps"))
+        .orderBy(desc("ps")).limit(8).select(col("cid"))
+      val candIds = assigned1m.join(broadcast(probes), "cid")
+        .select(col("vec_id"))
+      corpus1m.join(broadcast(candIds), corpus1m("id") === col("vec_id"))
+        .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv).as("score"))
+        .orderBy(desc("score"), desc("id")).limit(100)
+        .collect()
+    }
+    assigned1m.unpersist()
+    KbStoreCleanup.delete(ivfPath)
+
+    // ---- most expensive non-headline sweeps LAST ----
+    // §3.3 scale point: top-25 pairwise scores over the SAME 1M × d1536
+    // corpus via the sketch-candidates + exact-re-rank path. The exact
+    // all-pairs formulation is 5×10¹¹ pairs × 1536 flops ≈ 8×10¹⁴ flops
+    // — infeasible on any engine — so this measures the path that
+    // actually runs at that cardinality (PairwiseTopK scaladoc).
+    setup(120.0)
+    record("svs_pairs_1m", estS = 115.0) {
+      graft.ops.PairwiseTopK.sketchTopKPairs(
+        corpus1m, dim = Dim, k = 25,
+        sketchBits = 320, bands = 16, rerank = 20000)
+        .collect()
+    }
+    // threshold near-dup mining at the same 1M × d1536 scale: the
+    // embeddingNearDups scale path (sketch banding + Hamming cutoff +
+    // exact verify). A random corpus has no cos ≥ 0.8 pairs, so this
+    // measures the candidate pipeline itself completing at 1M.
+    record("svs_neardup_1m", estS = 35.0) {
+      graft.ops.PairwiseTopK.sketchThresholdPairs(
+        corpus1m, dim = Dim, threshold = 0.8).count()
+    }
 
     corpus1m.unpersist()
     KbStoreCleanup.delete(kept1m)
+  }
 
-    // text-only bulk load — the phase the reference's 0.07s @ 10k and
-    // 8s @ 1M numbers measure (fn2 in BASELINE.md). Writes are
-    // coalesced to ~1 task per 100k rows: a 32-task write of 10k rows
-    // times Spark's task-dispatch floor, not the load.
-    // untimed warmup: the very first string-column parquet write pays
-    // ~1.2s of one-time classload/JIT; the reference's 0.07s SQLite
-    // number is steady-state, so ours should be too
-    setup(30.0)
-    syntheticDocs(spark, 10000).coalesce(1).write.mode("overwrite")
-      .parquet("/tmp/graft_bench_docs_warm")
-    KbStoreCleanup.delete("/tmp/graft_bench_docs_warm")
-    Seq(10548L -> "10k", 1000000L -> "1m").foreach { case (n, tag) =>
-      val docsPath = s"/tmp/graft_bench_docs_$tag"
-      KbStoreCleanup.delete(docsPath)
-      val docsDf = syntheticDocs(spark, n)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      docsDf.count() // generation excluded, like the reference's
-      val parts = math.max(1, (n / 100000L).toInt)
-      record(s"svs_load_docs_$tag", estS = 6.0, reps = 1) {
-        docsDf.coalesce(parts).write.mode("overwrite").parquet(docsPath)
+  /** Synthetic JPEG corpus (in-JVM javax.imageio encode, untimed) +
+    * the banded aHash near-dup miner over real codec decode. ~1% of
+    * images are noisy re-encodes of their predecessor (same coarse
+    * 8×8 block pattern, ±2 pixel noise), so the miner has genuine
+    * clusters to find; the other 99% have unique random patterns, so
+    * band keys stay near-uniform and the join never degenerates.
+    */
+  private def imageNearDupPoint(spark: SparkSession): Unit = {
+    setup(40.0)
+    import spark.implicits._
+    val n = 100000L
+    val media = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        // pattern seed: pairs (id-1, id) share one when id % 100 == 1
+        val patternSeed: Long = if (id % 100 == 1) id - 1 else id
+        val prnd = new java.util.Random(patternSeed * 2654435761L + 11)
+        val blocks = Array.fill(64)(if (prnd.nextBoolean()) 235 else 20)
+        val nrnd = new java.util.Random(id * 40503L + 7)
+        val img = new java.awt.image.BufferedImage(64, 64,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            val v0 = blocks((y / 8) * 8 + (x / 8)) + nrnd.nextInt(5) - 2
+            val v = math.max(0, math.min(255, v0))
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream(2048)
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        (id, "image/jpeg", bos.toByteArray)
       }
-      docsDf.unpersist()
-      KbStoreCleanup.delete(docsPath)
-    }
-
-    // lakehouse layout + data skipping, measured on a 6M-row table
-    // with a ~256-byte payload (1.5 GB raw) and a 1/8-range predicate
-    // on one of two z-interleaved dimensions, payload in the
-    // aggregate so scans are decode-bound like a real wide table.
-    // (r7 interlude: a 3M variant proved too SMALL to demonstrate
-    // anything — at 0.77 GB both layouts scan under the ~0.25 s job
-    // floor; at 6M the unordered scan is decode-bound and the layout
-    // delta is real. The budgeted harness now fits the 6M block with
-    // ~400 s to spare.)
-    //  - svs_zscan_pruned_6m: z-ordered layout, plain scan — the
-    //    engine's own row-group stats prune because the LAYOUT made
-    //    ranges tight (and the same layout serves BOTH dims);
-    //  - svs_scan_unordered_6m: identical data, naive layout — every
-    //    row group straddles the predicate; the delta vs pruned is
-    //    the measured z-order win;
-    //  - svs_skip_scan_6m: the manifest file-skipping path (15/64
-    //    files read). At local-NVMe scale its timed cost ≈ pruned
-    //    plus a fixed ~0.2 s manifest lookup — the honest local
-    //    story; its real win (one manifest read replacing per-file
-    //    footer opens, 4× fewer tasks) is object-store metadata
-    //    latency, which this VM cannot exhibit. Result parity for
-    //    the composition is LayoutSpec-pinned.
-    setup(90.0)
-    val zdir = "/tmp/graft_bench_zorder"
-    val udir = "/tmp/graft_bench_unordered"
-    KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
-    val zdf = spark.range(6000000L).select(col("id"),
-      pmod(hash(col("id")), lit(1024)).cast("long").as("x"),
-      pmod(hash(col("id") + 7L), lit(1024)).cast("long").as("y"),
-      concat_ws("", (0 until 8).map(i =>
-        md5(concat(col("id"), lit(i)))): _*).as("payload"))
-    record("svs_zorder_write_6m", estS = 45.0, reps = 1) {
-      graft.ops.Layout.writeZordered(zdf, zdir,
-        graft.ops.Layout.zValue(10, col("x"), col("y")), numFiles = 64)
-    }
-    zdf.repartition(64).write.mode("overwrite").parquet(udir)
-    val zstats = graft.ops.Layout
-      .parquetFileStats(spark, zdir, Seq("x", "y"))
+      .toDF("media_id", "kind", "payload")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    zstats.count()
-    def scanAgg(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.agg(count(lit(1)), sum(length(col("payload")))).collect(); ()
+    media.count() // corpus generation untimed, like every other point
+    record("svs_image_neardup_100k", estS = 10.0) {
+      graft.ops.Multimodal.imageNearDups(media, maxHamming = 2).count()
     }
-    // each rep drops the page cache first: at this VM's scan speed a
-    // cache-warm 1.5 GB table decodes under the job floor and BOTH
-    // layouts time identically — the honest comparison is IO-bound,
-    // which is what any real cluster reading cold data sees (and what
-    // the r6 numbers, taken under incidental memory pressure, were
-    // accidentally measuring)
-    record("svs_skip_scan_6m", estS = 8.0) {
-      KbStoreCleanup.dropPageCache()
-      scanAgg(graft.ops.Layout.skippingScan(spark, zdir, zstats,
-        "x", 0, 127))
-    }
-    record("svs_zscan_pruned_6m", estS = 8.0) {
-      KbStoreCleanup.dropPageCache()
-      scanAgg(spark.read.parquet(zdir).where(col("x").between(0, 127)))
-    }
-    record("svs_scan_unordered_6m", estS = 8.0) {
-      KbStoreCleanup.dropPageCache()
-      scanAgg(spark.read.parquet(udir).where(col("x").between(0, 127)))
-    }
-    zstats.unpersist()
-    KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
+    media.unpersist()
   }
 
   /** Emit everything measured so far: BENCH_FULL.json (pretty, complete)
     * plus the three stdout lines the driver's 2000-char tail window
     * reads. Idempotent — called from the normal end of main AND from
-    * the SIGTERM shutdown hook; whichever fires first wins.
+    * the SIGTERM shutdown hook; whichever fires first wins, and the
+    * whole emission runs under [[lock]] so a hook firing mid-[[record]]
+    * still formats a consistent snapshot.
     */
   private def emitAll(): Unit = {
     if (!emitted.compareAndSet(false, true)) return
-    // part-2 svs_* points FIRST, part-1 oracle queries LAST: the driver
-    // archives only the final ~2000 chars of output, and r5's part-1
-    // numbers fell out of that window. With the oracle queries at the
-    // tail, all of them land inside it; anything clipped at the front is
-    // in BENCH_FULL.json (written incrementally) which the round-end
-    // commit picks up.
-    val ordered = results.toSeq.sortBy { case (k, _) =>
-      if (k.startsWith("svs_")) 0 else 1 }
-    val qs = ordered.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.values.sum
-    writeFull()
-    println(s"""{"notes":${notesJson()},"tail_format":"final line = part-1 oracle query seconds, space-separated name:sec, 2dp, trailing zeros and leading 0 stripped; full detail incl. part-2 svs_* in BENCH_FULL.json and the canonical JSON line above it"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","full":"BENCH_FULL.json","budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"skipped":${skippedJson()},"queries":$qs}""")
-    // ultra-compact part-1-only LAST line: ~90 oracle query numbers are
-    // ~2100 chars as strict JSON — they never all fit the window behind
-    // the canonical line, so the window gets them bare
-    def trim2(v: Double): String = {
-      var s = f"$v%.2f"
-      while (s.endsWith("0")) s = s.dropRight(1)
-      if (s.endsWith(".")) s = s.dropRight(1)
-      if (s.startsWith("0.")) s = s.substring(1)
-      if (s.isEmpty) "0" else s
+    lock.synchronized {
+      // part-2 svs_* points FIRST, part-1 oracle queries LAST: the driver
+      // archives only the final ~2000 chars of output, and r5's part-1
+      // numbers fell out of that window. With the oracle queries at the
+      // tail, all of them land inside it; anything clipped at the front is
+      // in BENCH_FULL.json (written incrementally) which the round-end
+      // commit picks up.
+      val ordered = results.toSeq.sortBy { case (k, _) =>
+        if (k.startsWith("svs_")) 0 else 1 }
+      val qs = ordered.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.values.sum
+      writeFullLocked()
+      println(s"""{"notes":${notesJson()},"tail_format":"final line = part-1 oracle query seconds, space-separated name:sec, 2dp, trailing zeros and leading 0 stripped; full detail incl. part-2 svs_* in BENCH_FULL.json and the canonical JSON line above it"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","full":"BENCH_FULL.json","budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"skipped":${skippedJson()},"queries":$qs}""")
+      // ultra-compact part-1-only LAST line: ~90 oracle query numbers are
+      // ~2100 chars as strict JSON — they never all fit the window behind
+      // the canonical line, so the window gets them bare
+      def trim2(v: Double): String = {
+        var s = f"$v%.2f"
+        while (s.endsWith("0")) s = s.dropRight(1)
+        if (s.endsWith(".")) s = s.dropRight(1)
+        if (s.startsWith("0.")) s = s.substring(1)
+        if (s.isEmpty) "0" else s
+      }
+      // ascending by time: the window clips the FRONT of an over-long
+      // line, so the entries it loses are the fastest (least diagnostic)
+      // ones; the slowest always land in the archived tail. Complete data
+      // is in BENCH_FULL.json regardless.
+      println(ordered.filterNot(_._1.startsWith("svs_"))
+        .sortBy(_._2)
+        .map { case (k, v) => s"$k:${trim2(v)}" }
+        .mkString("part1_sec_asc ", " ", ""))
+      Console.out.flush()
     }
-    // ascending by time: the window clips the FRONT of an over-long
-    // line, so the entries it loses are the fastest (least diagnostic)
-    // ones; the slowest always land in the archived tail. Complete data
-    // is in BENCH_FULL.json regardless.
-    println(ordered.filterNot(_._1.startsWith("svs_"))
-      .sortBy(_._2)
-      .map { case (k, v) => s"$k:${trim2(v)}" }
-      .mkString("part1_sec_asc ", " ", ""))
-    Console.out.flush()
   }
+
+  /** [[calib]] without re-taking [[lock]] — for callers already in it. */
+  private def calibUnlocked: Double =
+    if (ratios.isEmpty) 1.0
+    else {
+      val s = ratios.sorted
+      val m = if (s.size % 2 == 1) s(s.size / 2)
+              else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      math.min(5.0, math.max(0.5, m))
+    }
 
   private def skippedJson(): String = {
     // cap at 20 names so a deeply-truncated run can't bloat the
@@ -592,12 +795,12 @@ object Bench {
 
   /** Rewrite BENCH_FULL.json from the current results map — called
     * after every recorded point, so a kill at any moment loses only
-    * the in-flight point. */
-  private def writeFull(): Unit = {
+    * the in-flight point. Callers must hold [[lock]]. */
+  private def writeFullLocked(): Unit = {
     val ordered = results.toSeq.sortBy { case (k, _) =>
       if (k.startsWith("svs_")) 0 else 1 }
     val total = results.values.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"skipped":${skippedJson()},"notes":${notesJson()},"queries":{${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"skipped":${skippedJson()},"notes":${notesJson()},"queries":{${
       ordered.map { case (k, v) => "\n    \"" + k + "\": " + f"$v%.4f" }
         .mkString(",")}\n}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -609,11 +812,15 @@ object Bench {
   /** Workload annotations: which engine numbers pair with which
     * BASELINE.md rows (and which have no published counterpart). */
   private def notesJson(): String = Seq(
-    "noise" -> s"part-1 query times are medians of $repsG runs when the first rep is under 20s, else single-shot (medians only matter where noise > signal); part-2 svs_* points follow the reference protocol — points on persisted state are medians of up to 3 under the same 20s rule; cold/load stay single-shot (rerunning those would measure the page cache). The whole run fits SPARK_GRAFT_BENCH_BUDGET_S (default 1380s): points that would overflow the budget are listed in `skipped`, never silently dropped",
+    "ordering" -> "r8: design-claim points run FIRST (io probe, 10k protocol, load-docs, z-order trio, image neardup, then the 1M protocol + knn ladder), the 132-query part-1 sweep runs LAST — a slow-IO day's budget clip falls on part-1 medians, never the headline ladder (r7 clipped exactly the ladder)",
+    "noise" -> s"part-1 query times are medians of $repsG runs when the first rep is under 20s, else single-shot (medians only matter where noise > signal); part-2 svs_* points follow the reference protocol — points on persisted state are medians of up to 3 under the same 20s rule; cold/load stay single-shot (rerunning those would measure the page cache). The whole run fits SPARK_GRAFT_BENCH_BUDGET_S (default 1380s): points that would overflow the budget are listed in `skipped`, never silently dropped; per-point estimates rescale by `calib` (median measured/expected vs the recorded healthy run) so IO-contended days skip early instead of overshooting",
+    "svs_io_probe_read" -> "fixed-size IO calibration: ~1 GB uncompressed parquet written from cache then read with the page cache dropped; the ratio vs the recorded healthy run seeds the budget estimator, and the pair attributes any run-to-run delta on disk-bound points to environment vs code (r7: same-tree svs_build_1m measured 299s vs 61s purely from IO contention)",
     "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
     "svs_build_1m" -> "writes the full 6.3GB packed-f32 vector store; no published counterpart (reference folds it into the ~2h embed phase; its 8s fn2 number is text-only -> compare svs_load_docs_1m)",
     "svs_pairs_1m" -> "approximate top-k pairs (sketch candidates + exact re-rank); exact all-pairs at 1M x d1536 is ~8e14 flops and has no published counterpart",
     "svs_neardup_1m" -> "threshold near-dup candidates + exact verify over 1M x d1536 (embeddingNearDups scale path); random corpus has no qualifying pairs, so this measures the pipeline completing at 1M; no published counterpart",
+    "svs_image_neardup_100k" -> "real-codec image near-dup mining: 100k synthetic 64x64 JPEGs (in-JVM javax.imageio encode, untimed) decoded by ImageIoDecoder, 8x8 luma aHash, banded Hamming<=2 join; ~1% of the corpus are noisy re-encodes so the miner finds genuine clusters; no published counterpart",
+    "svs_bpe_train_1k" -> "batched greedy-equivalent BPE training, 1000 merges over the sfDir documents corpus: ~2 distributed jobs per pass of pairwise-disjoint merges instead of 1 job per merge (the r7 scale caveat, fixed); no published counterpart",
     "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
     "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
     "svs_cold_1m" -> "single-shot read-from-DISK retrieve: the OS page cache is sync+dropped first (privileged container) so the number measures disk, not the cache echo of the store written moments earlier; where the drop is not permitted the number degrades to a cache-warm read and this note is the caveat",
@@ -622,8 +829,8 @@ object Bench {
     "svs_knn_join_pq_1m" -> "the same 10k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate",
     "svs_knn_join_pq_bucketed_1m" -> "the same compressed join through the CUSTOM physical operator (plans/AdcCodesJoin: requiredChildDistribution = ClusteredDistribution(cid) on both children) over a cid-bucketed codes catalog table: the planner accepts the bucketed scan as-is and shuffles only the probe rows per call — codes-side exchange elision a DataFrame-level kernel cannot express; at this local scale the codes exchange is only ~100 MB so the timed delta vs svs_knn_join_pq_1m sits inside run noise — the elision is asserted STRUCTURALLY by the plan spec (zero shuffles under the codes child), and the payoff is at scale: at 100 TB raw the codes are ~1.5 TB per call that never cross the wire",
     "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)",
-    "svs_zscan_pruned_6m" -> "z-ordered 3M x 256B table, 1/8-range predicate on one interleaved dim, payload-reading aggregate, page cache dropped before every rep (disk-bound, as any real cluster reading cold data): the engine's row-group stats prune because the LAYOUT made ranges tight; vs svs_scan_unordered_6m (identical data, naive layout, row groups straddle the predicate) the delta is the measured z-order win — and one layout serves range predicates on BOTH interleaved dims",
-    "svs_skip_scan_6m" -> "the manifest file-skipping path over the same table (reads ~8/32 files): reads only the manifest-selected files; times as svs_zscan_pruned_6m plus a fixed ~0.2s manifest lookup — honest local number; the file-level win (one manifest read replacing per-file footer opens, 4x fewer tasks) is object-store metadata latency this VM cannot exhibit; result parity LayoutSpec-pinned"
+    "svs_zscan_pruned_6m" -> "z-ordered 6M x 256B table (~1.5 GB raw), 1/8-range predicate on one interleaved dim, payload-reading aggregate, page cache dropped before every rep (disk-bound, as any real cluster reading cold data): the engine's row-group stats prune because the LAYOUT made ranges tight; vs svs_scan_unordered_6m (identical data, naive layout, row groups straddle the predicate) the delta is the measured z-order win — and one layout serves range predicates on BOTH interleaved dims",
+    "svs_skip_scan_6m" -> "the manifest file-skipping path over the same table (reads 15/64 files): reads only the manifest-selected files; times as svs_zscan_pruned_6m plus a fixed ~0.2s manifest lookup — honest local number; the file-level win (one manifest read replacing per-file footer opens, 4x fewer tasks) is object-store metadata latency this VM cannot exhibit; result parity LayoutSpec-pinned"
   ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
     .mkString("{", ",", "}")
 
@@ -714,12 +921,23 @@ object Bench {
     // a real store would compress — ids, text — still would be).
     // up-to-median-of-3 (each rep re-reads staging and rewrites the full
     // store — real compute + IO, not a page-cache echo); at 1M a single
-    // rep is ~100s, so the 20s adaptive rule makes it single-shot
-    record(s"svs_build_$tag", estS = if (n > 100000) 110.0 else 5.0) {
+    // rep is ~60-300s depending on IO weather, so the 20s adaptive rule
+    // makes it single-shot
+    val buildEst = if (n > 100000) 70.0 else 2.0
+    def doBuild(): Unit =
       spark.read.parquet(staging).write.mode("overwrite")
         .option("compression", "none")
         .option("parquet.enable.dictionary", "false")
         .parquet(path)
+    record(s"svs_build_$tag", estS = buildEst) { doBuild() }
+    // if the timed build was budget-skipped the store was never
+    // written; every downstream point (cold/warm, and at 1M the whole
+    // ladder) reads it — build untimed rather than crash on a missing
+    // path (setup() still gates the attempt, so a truly exhausted
+    // budget unwinds cleanly instead)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      setup(buildEst)
+      doBuild()
     }
     KbStoreCleanup.delete(staging)
 
@@ -731,7 +949,7 @@ object Bench {
     // elsewhere, and the honest caveat stays in the notes).
     KbStoreCleanup.dropPageCache()
     val cold = spark.read.parquet(path)
-    record(s"svs_cold_$tag", estS = if (n > 100000) 160.0 else 5.0,
+    record(s"svs_cold_$tag", estS = if (n > 100000) 25.0 else 2.0,
       reps = 1) { retrieveJob(cold, queryId = 1L) }
 
     // warm: the batch-built in-memory index — block-contiguous f32

@@ -65,9 +65,21 @@ final class Kb private (
 
   // ---- persistent IVF-PQ tier (scale extension, round 6) ----
   def buildPqIndex(nlist: Int = 64, m: Int = 8, ncodes: Int = 256,
-      iters: Int = 2): Unit = store.buildPqIndex(nlist, m, ncodes, iters)
+      iters: Int = 2, bucketCodes: Boolean = false,
+      buckets: Int = 32): Unit =
+    store.buildPqIndex(nlist, m, ncodes, iters,
+      bucketCodes = bucketCodes, buckets = buckets)
   def refreshPqIndex(): Unit = store.refreshPqIndex()
   def pqIndexState: KbStore.AnnState = store.pqIndexState
+  /** Materialize the cid-bucketed codes mirror so [[pqKnnJoin]] takes
+    * the exchange-free AdcCodesJoin path. */
+  def bucketPqCodes(buckets: Int = 32): Unit = store.bucketPqCodes(buckets)
+  /** Batch compressed k-NN join through the IVF-PQ tier (ADC prefilter
+    * + exact re-rank); codes-side exchange-free when the bucketed
+    * mirror is current. */
+  def pqKnnJoin(queries: org.apache.spark.sql.DataFrame, k: Int,
+      nProbe: Int = 8, rerank: Int = 100): org.apache.spark.sql.DataFrame =
+    store.pqKnnJoin(queries, k, nProbe, rerank)
   def pqRetrieve(query: String, n: Int, nProbe: Int = 8,
       rerank: Int = 100): Seq[Retrieval] =
     store.pqRetrieve(query, n, checked, nProbe, rerank)

@@ -39,6 +39,11 @@ final class KbStore private (
   import spark.implicits._
 
   @volatile private var metaCache: KbMeta = KbStore.readMeta(path)
+
+  /** Test seam (no-op in production): runs between a commit's staging
+    * and its manifest publish, so a spec can inject a racing writer
+    * deterministically and exercise the publish-conflict retry. */
+  private[graft] var prePublishHook: () => Unit = () => ()
   private var cachedEmb: Option[Dataset[Emb]] = None
   private var cachedIdx: Option[graft.ops.VectorIndex] = None
 
@@ -156,15 +161,19 @@ final class KbStore private (
     * here costs nothing. The check-then-write window during staging
     * remains documented best-effort, not a true filesystem CAS.
     *
-    * Correctness caveat, documented: adoption re-applies OUR patch
+    * Correctness caveat, ENFORCED (r8): adoption re-applies OUR patch
     * plans (computed under the old snapshot) against the new head.
-    * That is sound exactly because the tables those plans read — their
-    * own write set, per the mutation API's read-your-writes shape —
-    * were not moved by the interloper; cross-table reads of moved
-    * tables would be stale, which is why any overlap rejects.
+    * That is sound only when every table those plans READ was not
+    * moved by the interloper. Most mutations read exactly their write
+    * set (read-your-writes), but e.g. an index refresh reads the
+    * embeddings table while writing only the codes table — `readSet`
+    * carries those extra reads into the overlap check, so a commit
+    * whose inputs the interloper moved rejects instead of silently
+    * committing stale derived rows.
     */
   private def casOrAdopt(touched: Set[String],
-      newMeta: KbMeta => KbMeta): KbMeta = synchronized {
+      newMeta: KbMeta => KbMeta,
+      readSet: Set[String] = Set.empty): KbMeta = synchronized {
     val cur = metaCache
     val onDisk = KbStore.readMeta(path)
     if (onDisk.version == cur.version) return cur
@@ -183,7 +192,7 @@ final class KbStore private (
           onDisk.table_bases.get(t) != cur.table_bases.get(t) ||
           onDisk.table_deltas.get(t) != cur.table_deltas.get(t)
       }
-    val tableOverlap = movedTables.intersect(touched)
+    val tableOverlap = movedTables.intersect(touched ++ readSet)
     val fieldOverlap = metaFieldDiff(cur, onDisk)
       .intersect(metaFieldDiff(onDisk, newMeta(onDisk)))
     if (onDisk.version < cur.version || tableOverlap.nonEmpty ||
@@ -203,46 +212,68 @@ final class KbStore private (
   private def commit(updated: Map[String, DataFrame],
       newMeta: KbMeta => KbMeta, codec: String = "snappy",
       preserveIndex: Boolean = false,
-      partitionBy: Map[String, Seq[String]] = Map.empty): Unit = {
-    val cur = casOrAdopt(updated.keySet, newMeta)
-    val next = cur.version + 1
-    try {
-      updated.foreach { case (name, df) =>
-        val w = df.write.mode(SaveMode.Overwrite)
-          .option("compression", codec)
-        partitionBy.get(name).filter(_.nonEmpty)
-          .fold(w)(cols => w.partitionBy(cols: _*))
-          .parquet(tableDir(name, next))
-      }
-      var pointers = cur.table_versions ++ updated.keys.map(_ -> next)
-      // a full rewrite replaces the whole table at the new version, so
-      // any merge-on-read segment chain it had is obsolete
-      var bases = cur.table_bases -- updated.keys
-      var deltaChains = cur.table_deltas -- updated.keys
-      // a new embeddings version invalidates a batch-built ANN index:
-      // REPLACED vectors drop its pointers entirely (the dirs are
-      // reclaimed by the next vacuum); add/delete-only mutations pass
-      // `preserveIndex` and merely leave it STALE (older version than
-      // embeddings) — existing assignments stay valid and
-      // refreshAnnIndex() catches the index up incrementally
-      if (updated.contains("embeddings") &&
-          !updated.contains(KbStore.IvfAssignTable) && !preserveIndex) {
-        pointers = pointers -- KbStore.VectorIndexTables
-        bases = bases -- KbStore.VectorIndexTables
-        deltaChains = deltaChains -- KbStore.VectorIndexTables
-      }
-      val m = newMeta(cur).copy(version = next, table_versions = pointers,
-        table_bases = bases, table_deltas = deltaChains)
-      KbStore.writeMetaAtomic(path, m)
-      metaCache = m
-      invalidate()
-    } catch {
-      case e: Throwable =>
-        // rollback: remove staged dirs, meta still points at `cur`
-        updated.keys.foreach { name =>
-          KbStore.deleteRecursively(Paths.get(tableDir(name, next)))
+      partitionBy: Map[String, Seq[String]] = Map.empty,
+      readSet: Set[String] = Set.empty): Unit = {
+    // bounded CAS retry (r8): if ANOTHER disjoint writer published
+    // between our adoption and our manifest swap, the publish-time
+    // version check raises PublishConflict and the whole
+    // adopt→stage→publish cycle re-runs against the new head — so N
+    // interleaved disjoint writers all land. Overlapping footprints
+    // still throw ConcurrentModificationException from casOrAdopt on
+    // the FIRST attempt (loud, not retried), and retries are capped.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val cur = casOrAdopt(updated.keySet, newMeta, readSet)
+      val next = cur.version + 1
+      try {
+        updated.foreach { case (name, df) =>
+          val w = df.write.mode(SaveMode.Overwrite)
+            .option("compression", codec)
+          partitionBy.get(name).filter(_.nonEmpty)
+            .fold(w)(cols => w.partitionBy(cols: _*))
+            .parquet(tableDir(name, next))
         }
-        throw e
+        var pointers = cur.table_versions ++ updated.keys.map(_ -> next)
+        // a full rewrite replaces the whole table at the new version, so
+        // any merge-on-read segment chain it had is obsolete
+        var bases = cur.table_bases -- updated.keys
+        var deltaChains = cur.table_deltas -- updated.keys
+        // a new embeddings version invalidates a batch-built ANN index:
+        // REPLACED vectors drop its pointers entirely (the dirs are
+        // reclaimed by the next vacuum); add/delete-only mutations pass
+        // `preserveIndex` and merely leave it STALE (older version than
+        // embeddings) — existing assignments stay valid and
+        // refreshAnnIndex() catches the index up incrementally
+        if (updated.contains("embeddings") &&
+            !updated.contains(KbStore.IvfAssignTable) && !preserveIndex) {
+          pointers = pointers -- KbStore.VectorIndexTables
+          bases = bases -- KbStore.VectorIndexTables
+          deltaChains = deltaChains -- KbStore.VectorIndexTables
+        }
+        val m = newMeta(cur).copy(version = next, table_versions = pointers,
+          table_bases = bases, table_deltas = deltaChains)
+        prePublishHook()
+        KbStore.writeMetaAtomic(path, m, expectVersion = Some(cur.version))
+        metaCache = m
+        invalidate()
+        done = true
+      } catch {
+        case e: Throwable =>
+          // rollback: remove staged dirs, meta still points at `cur`
+          updated.keys.foreach { name =>
+            KbStore.deleteRecursively(Paths.get(tableDir(name, next)))
+          }
+          e match {
+            case _: KbStore.PublishConflict
+                if attempt < KbStore.CasMaxRetries => attempt += 1
+            case _: KbStore.PublishConflict =>
+              throw new java.util.ConcurrentModificationException(
+                s"store $path: manifest publish raced " +
+                  s"${KbStore.CasMaxRetries + 1} consecutive times — giving up")
+            case _ => throw e
+          }
+      }
     }
   }
 
@@ -270,11 +301,16 @@ final class KbStore private (
   private def commitDelta(patches0: Map[String, KbStore.TablePatch],
       newMeta: KbMeta => KbMeta,
       preserveIndex: Boolean = true,
-      statsDelta: Option[() => KbStore.StatsDelta] = None): Unit = {
-    // same CAS + disjoint-footprint adoption as the full commit; the
-    // stats-card fold below runs AFTER adoption, so two disjoint
-    // writers' deltas both accumulate onto the card
-    val cur = casOrAdopt(patches0.keySet, newMeta)
+      statsDelta: Option[() => KbStore.StatsDelta] = None,
+      readSet: Set[String] = Set.empty): Unit = {
+    // same CAS + disjoint-footprint adoption + bounded publish-retry
+    // as the full commit; the stats-card fold below runs AFTER
+    // adoption (inside the retry loop), so two disjoint writers'
+    // deltas both accumulate onto the card
+    var attempt = 0
+    var done = false
+    while (!done) {
+    val cur = casOrAdopt(patches0.keySet, newMeta, readSet)
     val next = cur.version + 1
     // dataset-card maintenance: when the stats table exists and this
     // mutation touches user data, fold the caller-supplied delta into
@@ -386,15 +422,26 @@ final class KbStore private (
       }
       val m = newMeta(cur).copy(version = next, table_versions = pointers,
         table_bases = bases, table_deltas = deltaChains)
-      KbStore.writeMetaAtomic(path, m)
+      prePublishHook()
+      KbStore.writeMetaAtomic(path, m, expectVersion = Some(cur.version))
       metaCache = m
       invalidate()
+      done = true
     } catch {
       case e: Throwable =>
         patches.keys.foreach { name =>
           KbStore.deleteRecursively(Paths.get(tableDir(name, next)))
         }
-        throw e
+        e match {
+          case _: KbStore.PublishConflict
+              if attempt < KbStore.CasMaxRetries => attempt += 1
+          case _: KbStore.PublishConflict =>
+            throw new java.util.ConcurrentModificationException(
+              s"store $path: manifest publish raced " +
+                s"${KbStore.CasMaxRetries + 1} consecutive times — giving up")
+          case _ => throw e
+        }
+    }
     }
   }
 
@@ -1022,7 +1069,8 @@ final class KbStore private (
         newEmb.select($"vec_id".as("id"), floatVecPack($"embedding").as("vec")),
         packedCents)
       commitDelta(Map(KbStore.IvfAssignTable ->
-        KbStore.TablePatch(del = Some(removed), add = Some(added))), identity)
+        KbStore.TablePatch(del = Some(removed), add = Some(added))), identity,
+        readSet = Set("embeddings", KbStore.IvfCentroidsTable))
   }
 
   /** Build (or rebuild) the persistent IVF index as store tables:
@@ -1087,7 +1135,7 @@ final class KbStore private (
       commit(
         Map(KbStore.IvfCentroidsTable -> centsDf,
           KbStore.IvfAssignTable -> assign),
-        identity)
+        identity, readSet = Set("embeddings"))
     } finally cleanup()
   }
 
@@ -1220,7 +1268,8 @@ final class KbStore private (
       .select($"id", floatVecPack($"vec").as("vec"))
     commit(Map(KbStore.SqCodesTable ->
       graft.ops.VectorQuant.sqEncodePacked(packed)
-        .withColumnRenamed("id", "vec_id")), identity)
+        .withColumnRenamed("id", "vec_id")), identity,
+      readSet = Set("embeddings"))
   }
 
   /** Incremental catch-up, mirroring [[refreshAnnIndex]]: deleted ids
@@ -1246,7 +1295,8 @@ final class KbStore private (
       // ENCODE work was already O(changed); the delta commit makes the
       // WRITE O(changed) too (the r5 verdict's remaining disclosure)
       commitDelta(Map(KbStore.SqCodesTable ->
-        KbStore.TablePatch(del = Some(removed), add = Some(added))), identity)
+        KbStore.TablePatch(del = Some(removed), add = Some(added))), identity,
+        readSet = Set("embeddings"))
   }
 
   /** Retrieval through the compressed tier: the int8 codegen'd scan
@@ -1315,10 +1365,14 @@ final class KbStore private (
   /** Build (or rebuild) the IVF-PQ tier: deterministic-seeded packed
     * k-means for the coarse centroids, residual codebook training, and
     * per-vector (cid, code) rows — three tables committed atomically.
-    * `m` must divide the embedding dimension.
+    * `m` must divide the embedding dimension. `bucketCodes = true`
+    * additionally materializes the cid-bucketed mirror
+    * ([[bucketPqCodes]]) so [[pqKnnJoin]] gets the exchange-free
+    * AdcCodesJoin path from the first call.
     */
   def buildPqIndex(nlist: Int = 64, m: Int = 8, ncodes: Int = 256,
-      iters: Int = 2, sampleMod: Int = 1): Unit = {
+      iters: Int = 2, sampleMod: Int = 1,
+      bucketCodes: Boolean = false, buckets: Int = 32): Unit = {
     import spark.implicits._
     import graft.functions.FloatVecDot
     import graft.functions.FloatVecPack.floatVecPack
@@ -1355,9 +1409,10 @@ final class KbStore private (
           Map(KbStore.IvfPqCentroidsTable -> centsDf,
             KbStore.IvfPqBooksTable -> booksDf,
             KbStore.IvfPqCodesTable -> codes),
-          identity)
+          identity, readSet = Set("embeddings"))
       } finally res.unpersist(blocking = false)
     } finally packed.unpersist(blocking = false)
+    if (bucketCodes) bucketPqCodes(buckets)
   }
 
   private def loadPqCents(): Array[(Long, Array[Float])] =
@@ -1396,7 +1451,14 @@ final class KbStore private (
           loadPqBooks())
         .withColumnRenamed("id", "vec_id")
       commitDelta(Map(KbStore.IvfPqCodesTable ->
-        KbStore.TablePatch(del = Some(removed), add = Some(added))), identity)
+        KbStore.TablePatch(del = Some(removed), add = Some(added))), identity,
+        readSet = Set("embeddings", KbStore.IvfPqCentroidsTable,
+          KbStore.IvfPqBooksTable))
+      // keep the bucketed mirror current when one was materialized: a
+      // bucketed saveAsTable has no delta form, so this is an O(codes)
+      // layout rewrite — the version marker otherwise benches the
+      // mirror and pqKnnJoin falls back to the plain kernel
+      readBucketMarker().foreach { case (_, b, _) => bucketPqCodes(b) }
   }
 
   /** Retrieval through the IVF-PQ tier: ADC over the probed lists'
@@ -1428,6 +1490,110 @@ final class KbStore private (
     val docByEmb = docs.filter($"emb_id".isin(hits.map(_._1): _*))
       .collect().map(d => d.emb_id.get -> d).toMap
     hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
+  }
+
+  // ------------------------------------------------------------------
+  // cid-bucketed codes mirror (round 8): a DERIVED catalog-table layout
+  // of ivfpq_codes whose HashPartitioning(cid) the custom
+  // plans/AdcCodesJoin operator accepts exchange-free — so store-level
+  // compressed knn joins shuffle only the probe rows per call. The
+  // manifest-managed ivfpq_codes table stays the source of truth; the
+  // mirror carries the codes version it reflects in a sidecar marker
+  // and is never served stale (version mismatch falls back to the
+  // plain-kernel join).
+  // ------------------------------------------------------------------
+  private def bucketedCodesTableName: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    "graft_pq_codes_" + md.take(6).map("%02x".format(_)).mkString
+  }
+
+  private def bucketMarkerPath = Paths.get(s"$path/_pq_codes_bucketed.json")
+
+  private def writeBucketMarker(table: String, buckets: Int,
+      codesVersion: Long): Unit = {
+    val tmp = Paths.get(bucketMarkerPath.toString + ".tmp")
+    Files.writeString(tmp,
+      s"""{"table": "$table", "buckets": $buckets, "codes_version": $codesVersion}""")
+    Files.move(tmp, bucketMarkerPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readBucketMarker(): Option[(String, Int, Long)] = {
+    if (!Files.exists(bucketMarkerPath)) return None
+    val s = Files.readString(bucketMarkerPath)
+    val re = """"table"\s*:\s*"([^"]+)".*"buckets"\s*:\s*(\d+).*"codes_version"\s*:\s*(\d+)""".r
+    re.findFirstMatchIn(s).map(m =>
+      (m.group(1), m.group(2).toInt, m.group(3).toLong))
+  }
+
+  /** Materialize (or refresh) the bucketed mirror of the current codes
+    * table. O(codes) — a layout rewrite, 96 B/vector, so ~1.5 TB at a
+    * 100 TB raw corpus: the cost a deployment pays once per index
+    * build/refresh to make every subsequent [[pqKnnJoin]] call
+    * codes-exchange-free. Requires a current IVF-PQ tier.
+    */
+  def bucketPqCodes(buckets: Int = 32): Unit = {
+    require(pqIndexState == KbStore.AnnCurrent, pqIndexState match {
+      case KbStore.AnnStale =>
+        "IVF-PQ index is stale: call refreshPqIndex() before bucketing"
+      case _ => "no IVF-PQ index: call buildPqIndex()"
+    })
+    val tbl = bucketedCodesTableName
+    val codes = read(KbStore.IvfPqCodesTable).withColumnRenamed("vec_id", "id")
+    graft.ops.VectorQuant.writeCodesBucketed(codes, tbl, buckets)
+    writeBucketMarker(tbl, buckets,
+      metaCache.table_versions(KbStore.IvfPqCodesTable))
+  }
+
+  /** The mirror table name iff it exists and reflects exactly the
+    * current codes version — anything else (never built, store
+    * mutated since, catalog dropped) is None and callers fall back. */
+  private def currentBucketedCodesTable: Option[String] =
+    readBucketMarker().collect {
+      case (tbl, _, v)
+        if metaCache.table_versions.get(KbStore.IvfPqCodesTable)
+            .contains(v) && spark.catalog.tableExists(tbl) => tbl
+    }
+
+  /** Batch compressed k-NN JOIN against the persisted IVF-PQ tier:
+    * every row of `queries` (`id LONG, vec ARRAY<FLOAT>` unit-norm)
+    * gets its top-k neighbors, ADC-prefiltered through the 96-byte
+    * codes and exactly re-ranked against the raw vectors — the
+    * compressed twin of [[knnJoin]]. When the bucketed mirror is
+    * current ([[bucketPqCodes]]), the join routes through the custom
+    * AdcCodesJoin operator and the codes side enters the kernel
+    * WITHOUT an exchange; otherwise the plain tagged-union kernel
+    * runs on the manifest codes table. Results are identical either
+    * way (OpsSpec pins parity; the k3 oracle pins the kernel).
+    * Output: (qid, vec_id, score, rk), score rounded to 6 decimals.
+    */
+  def pqKnnJoin(queries: DataFrame, k: Int, nProbe: Int = 8,
+      rerank: Int = 100): DataFrame = {
+    require(hasPqIndex, pqIndexState match {
+      case KbStore.AnnStale =>
+        "IVF-PQ index is stale: call refreshPqIndex() to catch it up"
+      case _ => "no IVF-PQ index: call buildPqIndex()"
+    })
+    import spark.implicits._
+    import graft.functions.FloatVecPack.floatVecPack
+    val cents = loadPqCents()
+    val books = loadPqBooks()
+    val packedQ = queries.select(col("id"), floatVecPack(col("vec")).as("vec"))
+    val packedEmb = embeddings.toDF()
+      .select($"id", floatVecPack($"vec").as("vec"))
+    val sel = math.max(k, rerank)
+    val joined = currentBucketedCodesTable match {
+      case Some(tbl) =>
+        graft.ops.VectorQuant.knnJoinIvfPqBucketed(packedQ, tbl, cents,
+          books, packedEmb, k, nProbe, sel)
+      case None =>
+        val codes = read(KbStore.IvfPqCodesTable)
+          .withColumnRenamed("vec_id", "id")
+        graft.ops.VectorQuant.knnJoinIvfPq(packedQ, codes, cents,
+          books, packedEmb, k, nProbe, sel)
+    }
+    joined.withColumnRenamed("cid", "vec_id")
   }
 
   // ------------------------------------------------------------------
@@ -1472,7 +1638,8 @@ final class KbStore private (
         KbStore.TextDocLensTable -> docLens),
       m => m.copy(index_params =
         m.index_params + ("text_unicode" -> unicode.toString)),
-      partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
+      partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")),
+      readSet = Set("docs"))
     finally postings.unpersist(blocking = false) // buildIndex caches
   }
 
@@ -1514,7 +1681,7 @@ final class KbStore private (
           add = Some(KbStore.withTermBucket(addPost))),
         KbStore.TextDocLensTable -> KbStore.TablePatch(
           del = Some(goneIds), add = Some(addLens))),
-        identity)
+        identity, readSet = Set("docs"))
       finally addPost.unpersist(blocking = false) // buildIndex caches
   }
 
@@ -2163,10 +2330,36 @@ object KbStore {
     } finally listing.close()
   }
 
-  private[core] def writeMetaAtomic(path: String, m: KbMeta): Unit = {
+  /** Retry cap for the commit paths' publish-conflict loop. */
+  private[core] final val CasMaxRetries = 3
+
+  /** Thrown by [[writeMetaAtomic]] when the on-disk manifest moved
+    * between a writer's adoption and its publish — retryable (the
+    * commit paths re-run adopt→stage→publish, bounded by
+    * [[CasMaxRetries]]), unlike the overlap CME which is not. */
+  private[core] final class PublishConflict(msg: String)
+    extends RuntimeException(msg)
+
+  private[core] def writeMetaAtomic(path: String, m: KbMeta,
+      expectVersion: Option[Long] = None): Unit = {
     // preserve the manifest being replaced as a history file BEFORE the
     // swap — a crash between the two writes leaves both intact
     val curPath = Paths.get(metaPath(path))
+    // publish-time version check (r8): `expectVersion` is the base the
+    // committer adopted; any other on-disk version means a writer
+    // landed inside our stage window. Check-then-move is best-effort
+    // (no filesystem CAS), but it shrinks the documented race from
+    // the whole staging span to microseconds.
+    expectVersion.foreach { ev =>
+      if (Files.exists(curPath)) {
+        val cv = "\"version\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(Files.readString(curPath)).map(_.group(1).toLong)
+        if (!cv.contains(ev))
+          throw new PublishConflict(
+            s"store $path: manifest moved to v${cv.getOrElse(-1L)} while " +
+              s"staging against v$ev")
+      }
+    }
     if (Files.exists(curPath)) {
       try {
         val old = Files.readString(curPath)

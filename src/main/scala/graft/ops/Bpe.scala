@@ -39,10 +39,47 @@ object Bpe {
     * Returns (rank, left, right, freq): the pair merged at each rank
     * and its frequency at merge time. Stops early when no adjacent
     * pair is left (fully merged vocabulary).
+    *
+    * BATCHED PASSES (r8), exactly greedy-equivalent: the naive loop is
+    * one distributed job per merge — fine at 12 merges, hopeless at a
+    * production 30k-merge vocabulary. Each pass instead:
+    *
+    *  1. counts adjacent pairs once and takes the global top-`batchB`
+    *     (one job — same shape as before);
+    *  2. selects the maximal PREFIX of that ranking whose pairs are
+    *     pairwise symbol-disjoint (a prefix, never a skip: sequential
+    *     greedy would have merged a conflicting higher-ranked pair
+    *     first, changing the counts below it). Disjointness makes
+    *     every selected pair's count invariant under the others —
+    *     original pair counts only ever DECREASE under a merge, and
+    *     only when a symbol is shared;
+    *  3. bounds the one remaining hazard — a merge CREATES pairs
+    *     (x, ab)/(ab, y), and sequential greedy would pick such a new
+    *     pair before the batch tail if its count were high enough —
+    *     with one more job: exact trigram-adjacency counts around
+    *     every batch-pair occurrence (an upper bound on any pair the
+    *     batch can create, including compound ones like (cd, ab),
+    *     whose occurrences all embed an original neighbor trigram).
+    *     The batch is cut to the largest prefix whose tail count
+    *     strictly exceeds every bound created by that prefix; a
+    *     single-pair batch needs no check (it IS plain greedy);
+    *  4. applies the surviving merges in ONE narrow left-to-right
+    *     scan per word (disjointness makes the combined scan equal to
+    *     applying them one at a time in rank order), recording each
+    *     pair's pre-pass count — equal to its count at sequential
+    *     merge time, by the invariance above.
+    *
+    * Net: ~2 jobs per pass instead of 1 per merge; Zipfian corpora
+    * batch tens of merges per pass once counts separate. `batchB = 1`
+    * degenerates to the classic per-merge loop (same results either
+    * way — BpeSpec pins batched-vs-sequential identity, and the
+    * x15/x19 oracles pin the sequential semantics).
     */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-      textCol: String = "text", unicode: Boolean = false): DataFrame = {
+      textCol: String = "text", unicode: Boolean = false,
+      batchB: Int = 64): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchB >= 1, s"batchB must be >= 1, got $batchB")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -51,12 +88,14 @@ object Bpe {
       .map { case (w, f) => ((w.map(_.toString) :+ EndOfWord): Seq[String], f) }
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 0
     var done = false
-    while (rank < numMerges && !done) {
-      // adjacent-pair counts weighted by word frequency; argmax with a
-      // total (freq desc, left asc, right asc) order — one driver row
-      val best = words.flatMap { case (syms, f) =>
+    var pass = 0
+    while (merges.size < numMerges && !done) {
+      val want = math.min(batchB, numMerges - merges.size)
+      // adjacent-pair counts weighted by word frequency; global top-K
+      // with a total (freq desc, left asc, right asc) order — K driver
+      // rows, batch-bounded
+      val top = words.flatMap { case (syms, f) =>
         var i = 0
         val out = new scala.collection.mutable.ArrayBuffer[((String, String), Long)](syms.length)
         while (i < syms.length - 1) { out += (((syms(i), syms(i + 1)), f)); i += 1 }
@@ -65,30 +104,78 @@ object Bpe {
         .map { case ((a, b), f) => (a, b, f) }
         .toDF("left", "right", "freq")
         .orderBy(desc("freq"), col("left"), col("right"))
-        .limit(1).as[(String, String, Long)]
-        .collect().headOption
-      best match {
-        case None => done = true
-        case Some((a, b, f)) =>
-          merges += ((rank, a, b, f))
-          val prev = words
-          val merged = words.map { case (syms, fr) =>
-            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-                out += (a + b); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toSeq, fr)
+        .limit(want).as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        // maximal pairwise-disjoint prefix
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var stop = false
+        for (p <- top if !stop) {
+          if (used(p._1) || used(p._2)) stop = true
+          else { prefix += p; used += p._1; used += p._2 }
+        }
+        val batch =
+          if (prefix.size <= 1) prefix.toSeq
+          else {
+            // hazard job: for each occurrence of batch pair i, the
+            // original left/right neighbor symbols bound every pair
+            // the merge can create; cut the prefix where a created
+            // pair could outrank the tail (strict — a tie is cut too:
+            // the tie-break against an unmaterialized name is unknown)
+            val pairIdx = prefix.zipWithIndex
+              .map { case ((a, b, _), i) => (a, b) -> i }.toMap
+            val bcIdx = spark.sparkContext.broadcast(pairIdx)
+            val boundPerI = words.flatMap { case (syms, f) =>
+              val idx = bcIdx.value
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+              var i = 0
+              while (i < syms.length - 1) {
+                idx.get((syms(i), syms(i + 1))).foreach { pi =>
+                  val ab = syms(i) + syms(i + 1)
+                  if (i > 0) out += ((pi, syms(i - 1), ab, f))
+                  if (i + 2 < syms.length) out += ((pi, ab, syms(i + 2), f))
+                }
+                i += 1
+              }
+              out
+            }.toDF("i", "nx", "ny", "f")
+              .groupBy($"i", $"nx", $"ny").agg(sum($"f").as("cnt"))
+              .groupBy($"i").agg(max($"cnt").as("bound"))
+              .as[(Int, Long)].collect().toMap
+            var t = prefix.size
+            while (t > 1 && {
+              val cT = prefix(t - 1)._3
+              (0 until t).exists(i => boundPerI.getOrElse(i, 0L) >= cT)
+            }) t -= 1
+            prefix.take(t).toSeq
           }
-          // rolling persist + periodic lineage truncation: each
-          // iteration's argmax is the materializing action
-          words =
-            (if ((rank + 1) % 8 == 0) merged.localCheckpoint(false)
-             else merged).persist()
-          prev.unpersist()
-          rank += 1
+        val rank0 = merges.size
+        batch.zipWithIndex.foreach { case ((a, b, f), j) =>
+          merges += ((rank0 + j, a, b, f))
+        }
+        val repl = batch.map { case (a, b, _) => (a, b) -> (a + b) }.toMap
+        val bcRepl = spark.sparkContext.broadcast(repl)
+        val prev = words
+        val merged = words.map { case (syms, fr) =>
+          val rp = bcRepl.value
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && rp.contains((syms(i), syms(i + 1)))) {
+              out += rp((syms(i), syms(i + 1))); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, fr)
+        }
+        // rolling persist + periodic lineage truncation: each pass's
+        // top-K collect is the materializing action
+        pass += 1
+        words =
+          (if (pass % 8 == 0) merged.localCheckpoint(false)
+           else merged).persist()
+        prev.unpersist()
       }
     }
     words.unpersist()

@@ -449,6 +449,12 @@ object Dedup {
         val spark = train.sparkSession
         val nTe = math.max(1000L, preTe.count())
         val bf = preTe.stat.bloomFilter("sh", nTe, bloomFpp)
+        // the cache existed for the two EAGER passes above (count +
+        // bloomFilter); release it before returning so repeated calls
+        // don't accumulate blocks in the session's storage pool — the
+        // lazy candidate join below re-derives the (small) test-side
+        // prefixes once at execution
+        preTe.unpersist(blocking = false)
         val bc = spark.sparkContext.broadcast(bf)
         val might = udf((s: String) => bc.value.mightContain(s))
         preTrRaw.where(might(col("sh")))

@@ -144,10 +144,12 @@ object TextAnalysis {
       keyCol: String = "doc_id", salt: String = "tmix"): DataFrame = {
     val n = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).cast("double").as("ns"))
-    import org.apache.spark.sql.expressions.Window
+    // the smallest stratum size is one scalar: an aggregate + a
+    // broadcast-singleton cross join (plans as BroadcastNestedLoopJoin
+    // — allowed by the plan audit), never a window over an empty
+    // partitionSpec (a single-partition funnel the audit bans)
     val rates = n
-      .withColumn("nmin", min(col("ns")).over(
-        Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(n.agg(min(col("ns")).as("nmin"))))
       .select(col(stratumCol),
         least(lit(100L),
           floor(round(lit(100.0) * pow(col("nmin") / col("ns"), 1.0 - alpha), 6))

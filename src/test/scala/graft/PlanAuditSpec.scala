@@ -44,9 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  /** The audited set: the bench's most expensive part-1 queries plus
-    * every shape-risky family (windows, self-joins, explodes, z-order).
-    * Values are the r7 shuffle-count ceilings.
+  /** Shuffle-count ceilings for the bench's most expensive part-1
+    * queries plus every shape-risky family (windows, self-joins,
+    * explodes, z-order, iterative drivers). Values are the audited
+    * r7/r8 counts; lower is always fine.
     */
   private val budgets: Map[String, Int] = Map(
     "v1_retrieve_topk" -> 4,
@@ -65,7 +66,23 @@ class PlanAuditSpec extends SparkSpec {
     "q18_large_volume" -> 2,
     "u3_distinct" -> 3,
     "x26_cms_registers" -> 3,
-    "x28_grouped_hll" -> 3)
+    "x28_grouped_hll" -> 3,
+    // r8 additions: the remaining top-cost part-1 queries
+    "x22_classifier" -> 7,
+    "x15_bpe_merges" -> 1,
+    "x19_bpe_encode" -> 2,
+    "d4_ngram_jaccard" -> 8,
+    "g3_pagerank" -> 4,
+    "g4_triangles" -> 6,
+    "d9_contamination" -> 8,
+    "d6_semantic_dedup" -> 6,
+    "d15_semdedup" -> 7,
+    "d3b_simhash_banded" -> 4,
+    "x14_ngram_ppl" -> 10,
+    "x21_dsir_weights" -> 13,
+    "c1_clusters" -> 4,
+    "b3_hybrid_rrf" -> 8,
+    "q2_min_cost_supplier" -> 6)
 
   test("no audited query plans a single-partition window, a cartesian " +
       "product, or more shuffles than its pinned ceiling") {
@@ -78,5 +95,23 @@ class PlanAuditSpec extends SparkSpec {
       s.globalWindows > 0 || s.cartesians > 0 || s.shuffles > budgets(n)
     }
     assert(bad.isEmpty, s"plan-shape regressions:\n$report")
+  }
+
+  test("EVERY query in the inventory compiles free of single-partition " +
+      "windows and cartesian products (r8: global gate, all queries)") {
+    // the two severity-one properties extended to the full inventory:
+    // any query — not just the pinned-ceiling set — that picks up a
+    // global-ORDER-BY window or loses its join keys fails here before
+    // it can cost a driver bench. Compile-only at sf0.001 (iterative
+    // queries run their tiny driver loops while building the frame;
+    // that is seconds at this SF and buys the audit full coverage).
+    val shapes = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> audit(n))
+    val bad = shapes.filter { case (_, s) =>
+      s.globalWindows > 0 || s.cartesians > 0 }
+    val report = bad.map { case (n, s) =>
+      s"$n: globalWindows=${s.globalWindows} cartesians=${s.cartesians}"
+    }.mkString("\n")
+    assert(bad.isEmpty, s"scale-killer plan shapes:\n$report")
+    assert(shapes.size == SparkEntry.queries.size)
   }
 }

@@ -829,4 +829,161 @@ class StoreScaleSpec extends SparkSpec {
     }
     fresh.close(); c.close(); b.close(); a.close()
   }
+
+  test("bounded CAS retry: three interleaved disjoint writers all land; " +
+      "a publish-window race retries and lands; overlap still fails loudly") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 4
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map { t =>
+          val rnd = new java.util.Random(t.hashCode.toLong)
+          val v = Array.fill(4)(rnd.nextGaussian())
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          v.map(x => (x / norm).toFloat)
+        }
+    }
+    val seed = KbStore.create(spark, path, Map())
+    seed.bulkAddDocs(p) { add =>
+      (0 until 5).foreach(i => add.add(s"seed doc $i"))
+    }
+    seed.close()
+
+    // three writers snapshot the SAME manifest version, then commit in
+    // sequence with pairwise-disjoint footprints: doc-add (docs/
+    // embeddings/max_doc_id), keyval (keyval), edge-add (edges/
+    // max_edge_id). Each later writer adopts the accumulated head —
+    // all three commits must land.
+    val a = KbStore.open(spark, path)
+    val b = KbStore.open(spark, path)
+    val c = KbStore.open(spark, path)
+    val v0 = a.meta.version
+    a.bulkAddDocs(p)(_.add("writer A's doc"))
+    b.setKey("cursor", 7L)
+    c.addEdge(4L, 5L, 0L)
+    val fin = KbStore.open(spark, path)
+    assert(fin.meta.version == v0 + 3)
+    assert(fin.countDocs == 6, "A's doc-add must land")
+    assert(fin.getKey("cursor") == 7L, "B's keyval must land")
+    assert(fin.countEdges == 1, "C's edge-add must land")
+    fin.close(); c.close(); b.close(); a.close()
+
+    // publish-window race: a disjoint writer lands BETWEEN writer D's
+    // staging and its manifest swap (injected via the test seam). D's
+    // publish must detect the moved manifest, retry against the new
+    // head, and land — both commits present afterwards.
+    val d = KbStore.open(spark, path)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    d.prePublishHook = () =>
+      if (fired.compareAndSet(false, true)) {
+        val e = KbStore.open(spark, path)
+        e.setKey("raced", 1L)
+        e.close()
+      }
+    d.bulkAddDocs(p)(_.add("writer D's doc"))
+    d.prePublishHook = () => ()
+    assert(fired.get, "the race injection must have run")
+    val fin2 = KbStore.open(spark, path)
+    assert(fin2.countDocs == 7, "D's doc-add must land after the retry")
+    assert(fin2.getKey("raced") == 1L, "the racing keyval must survive")
+    fin2.close(); d.close()
+
+    // overlap is still loud: two stale doc-adders both bump
+    // max_doc_id — the second must throw, never last-writer-wins
+    val x = KbStore.open(spark, path)
+    val y = KbStore.open(spark, path)
+    x.bulkAddDocs(p)(_.add("X's doc"))
+    intercept[java.util.ConcurrentModificationException] {
+      y.bulkAddDocs(p)(_.add("Y's doc"))
+    }
+    y.close(); x.close()
+  }
+
+  test("bucketed PQ codes mirror: store pqKnnJoin takes the AdcCodesJoin " +
+      "path with zero shuffles under the codes child, parity with the " +
+      "plain kernel, and staleness falls back / refresh re-buckets") {
+    import graft.core.Embeddings.EmbeddingProvider
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      (0 until 120).foreach(i => a.add(s"document number $i"))
+    }
+    val queries = kb.embeddings.toDF()
+      .where(col("id") < 10).select(col("id"), col("vec"))
+
+    // plain build first: pqKnnJoin runs the tagged-union kernel (no
+    // mirror yet) — this is the parity reference
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    val viaKernel = kb.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaKernel.nonEmpty)
+
+    // materialize the mirror: same call now routes through the custom
+    // operator — results must be identical
+    kb.bucketPqCodes(buckets = 4)
+    val viaPlan = kb.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaPlan == viaKernel,
+      "bucketed-mirror join must equal the plain-kernel join")
+
+    // the structural claim: AdcCodesJoinExec is planned and NO shuffle
+    // exchange sits under its codes (right) child — the bucketed scan
+    // satisfies the node's required distribution as-is. AQE off: its
+    // stage wrappers hide the static node structure.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val execPlan = kb.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+        .queryExecution.executedPlan
+      val adc = execPlan.collectFirst {
+        case a: graft.plans.AdcCodesJoinExec => a }
+        .getOrElse(fail(s"AdcCodesJoinExec not planned:\n$execPlan"))
+      val codesSideShuffles = adc.right.collect {
+        case _: ShuffleExchangeExec => 1 }.size
+      assert(codesSideShuffles == 0,
+        s"store's bucketed codes side must not re-shuffle:\n${adc.right}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // staleness: a mutation makes the tier (and mirror) stale — the
+    // join refuses like every other tier; refresh re-buckets the
+    // mirror automatically, so the custom path comes back without any
+    // explicit re-bucketing call
+    kb.bulkAddDocs(p)(_.add("late arrival"))
+    intercept[IllegalArgumentException] {
+      kb.pqKnnJoin(queries, k = 3, nProbe = 4)
+    }
+    kb.refreshPqIndex()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val planAfter = kb.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+        .queryExecution.executedPlan
+      assert(planAfter.collectFirst {
+        case a: graft.plans.AdcCodesJoinExec => a }.isDefined,
+        s"refresh must re-bucket the mirror and keep the custom path:\n$planAfter")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the refreshed mirror serves the post-refresh corpus: the new doc
+    // is findable through the custom path
+    val lateEmb = kb.embeddings.toDF().orderBy(desc("id")).limit(1)
+      .select(col("id"), col("vec"))
+    val hits = kb.pqKnnJoin(lateEmb, k = 1, nProbe = 4, rerank = 500)
+      .collect()
+    assert(hits.length == 1 && hits.head.getDouble(2) > 0.999,
+      "the late doc's own vector must be its top-1 through the mirror")
+    kb.close()
+  }
 }
