@@ -1946,6 +1946,21 @@ final class KbStore private (
       try Files.deleteIfExists(p)
       catch { case _: java.io.IOException => () }
     }
+    // the bucketed codes MIRROR is derived state: once the pq family it
+    // reflects is gone (invalidated + reclaimed above) or has moved past
+    // the marker's version, the catalog table is dead weight — drop it
+    // with the marker (a current mirror is left alone). Best-effort,
+    // like the rest of the sweep.
+    readBucketMarker().foreach { case (tbl, _, v) =>
+      val liveCodes = metaCache.table_versions
+        .get(KbStore.IvfPqCodesTable).contains(v)
+      if (!liveCodes) {
+        try spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        catch { case _: Exception => () }
+        try Files.deleteIfExists(bucketMarkerPath)
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   // ------------------------------------------------------------------

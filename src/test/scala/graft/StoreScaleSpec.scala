@@ -984,6 +984,20 @@ class StoreScaleSpec extends SparkSpec {
       .collect()
     assert(hits.length == 1 && hits.head.getDouble(2) > 0.999,
       "the late doc's own vector must be its top-1 through the mirror")
+
+    // the mirror is derived state: invalidating the pq family
+    // (vector replacement) and vacuuming must drop the catalog table
+    // and its marker — never leave a dead layout behind
+    kb.setDocEmbedding(1L, Some(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    assert(kb.pqIndexState == KbStore.AnnNone)
+    kb.vacuum(retain = 0)
+    assert(!Files.exists(Paths.get(s"$path/_pq_codes_bucketed.json")),
+      "vacuum must remove the stale mirror marker")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    val mirrorTbl = "graft_pq_codes_" + md.take(6).map("%02x".format(_)).mkString
+    assert(!spark.catalog.tableExists(mirrorTbl),
+      "vacuum must drop the stale mirror catalog table")
     kb.close()
   }
 }
