@@ -664,7 +664,9 @@ object Bench {
     // all-pairs formulation is 5×10¹¹ pairs × 1536 flops ≈ 8×10¹⁴ flops
     // — infeasible on any engine — so this measures the path that
     // actually runs at that cardinality (PairwiseTopK scaladoc).
-    setup(120.0)
+    // (no real setup here — the corpus is already cached; each point's
+    // own record gate decides against the part-1 reservation)
+    setup(5.0)
     record("svs_pairs_1m", estS = 115.0) {
       graft.ops.PairwiseTopK.sketchTopKPairs(
         corpus1m, dim = Dim, k = 25,

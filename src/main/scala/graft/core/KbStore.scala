@@ -1830,6 +1830,15 @@ final class KbStore private (
       }.toMap,
       identity, codec, preserveIndex = true,
       partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
+    // a compacted (current) pq family moved the codes version, so a
+    // materialized bucketed mirror just went stale — re-bucket it like
+    // refreshPqIndex does, or a routine compact would silently demote
+    // pqKnnJoin to the plain-kernel path
+    if (pqIndexState == KbStore.AnnCurrent)
+      readBucketMarker().foreach { case (_, b, v) =>
+        if (!metaCache.table_versions.get(KbStore.IvfPqCodesTable).contains(v))
+          bucketPqCodes(b)
+      }
   }
 
   /** Drop old table versions (VACUUM, `kb.py:831-834`). Retention is

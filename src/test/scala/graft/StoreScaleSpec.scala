@@ -985,6 +985,19 @@ class StoreScaleSpec extends SparkSpec {
     assert(hits.length == 1 && hits.head.getDouble(2) > 0.999,
       "the late doc's own vector must be its top-1 through the mirror")
 
+    // a routine compact moves the codes version; the mirror must
+    // re-bucket (like refresh) so pqKnnJoin keeps the custom path
+    kb.compact()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val planPostCompact = kb
+        .pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+        .queryExecution.executedPlan
+      assert(planPostCompact.collectFirst {
+        case a: graft.plans.AdcCodesJoinExec => a }.isDefined,
+        s"compact must re-bucket the mirror:\n$planPostCompact")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
     // the mirror is derived state: invalidating the pq family
     // (vector replacement) and vacuuming must drop the catalog table
     // and its marker — never leave a dead layout behind
