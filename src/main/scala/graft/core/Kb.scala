@@ -72,8 +72,10 @@ final class Kb private (
   def refreshPqIndex(): Unit = store.refreshPqIndex()
   def pqIndexState: KbStore.AnnState = store.pqIndexState
   /** Materialize the cid-bucketed codes mirror so [[pqKnnJoin]] takes
-    * the exchange-free AdcCodesJoin path. */
-  def bucketPqCodes(buckets: Int = 32): Unit = store.bucketPqCodes(buckets)
+    * the exchange-free AdcCodesJoin path; `parts` > 0 shards it for
+    * O(changed-shards) refresh maintenance. */
+  def bucketPqCodes(buckets: Int = 32, parts: Int = 64): Unit =
+    store.bucketPqCodes(buckets, parts)
   /** Batch compressed k-NN join through the IVF-PQ tier (ADC prefilter
     * + exact re-rank); codes-side exchange-free when the bucketed
     * mirror is current. */

@@ -1450,15 +1450,42 @@ final class KbStore private (
           graft.ops.VectorQuant.ivfResiduals(newEmb, loadPqCents()),
           loadPqBooks())
         .withColumnRenamed("id", "vec_id")
+      // mirror maintenance prep (before the commit moves the head):
+      // the shards a sharded mirror must rewrite are those containing
+      // any added or removed row's list id — `old` stays pinned to the
+      // pre-commit version paths, so this is computable either side of
+      // the commit, but the intent reads cleanest here
+      val marker = readBucketMarker()
+      val changedPps: Seq[Long] = marker match {
+        case Some((_, _, parts, _)) if parts > 0 =>
+          added.select($"cid")
+            .union(old.join(removed, Seq("vec_id")).select($"cid"))
+            .select(pmod($"cid", lit(parts.toLong)).as("pp"))
+            .distinct().as[Long].collect().toSeq
+        case _ => Nil
+      }
       commitDelta(Map(KbStore.IvfPqCodesTable ->
         KbStore.TablePatch(del = Some(removed), add = Some(added))), identity,
         readSet = Set("embeddings", KbStore.IvfPqCentroidsTable,
           KbStore.IvfPqBooksTable))
-      // keep the bucketed mirror current when one was materialized: a
-      // bucketed saveAsTable has no delta form, so this is an O(codes)
-      // layout rewrite — the version marker otherwise benches the
-      // mirror and pqKnnJoin falls back to the plain kernel
-      readBucketMarker().foreach { case (_, b, _) => bucketPqCodes(b) }
+      // keep the bucketed mirror current when one was materialized. A
+      // SHARDED mirror (parts > 0) rewrites only the changed shards —
+      // O(changed lists), the same order as the delta commit itself —
+      // unless more than half the shards moved, where the full rewrite
+      // is the same volume with less bookkeeping. While this runs the
+      // marker still names the pre-commit version, so a concurrent
+      // pqKnnJoin falls back to the plain kernel rather than reading a
+      // half-maintained mirror; the marker flips only at the end.
+      marker.foreach { case (tbl, b, parts, _) =>
+        if (parts > 0 && changedPps.size <= parts / 2 &&
+            spark.catalog.tableExists(tbl)) {
+          graft.ops.VectorQuant.overwriteCodeShards(
+            read(KbStore.IvfPqCodesTable).withColumnRenamed("vec_id", "id"),
+            tbl, parts, changedPps)
+          writeBucketMarker(tbl, b, parts,
+            metaCache.table_versions(KbStore.IvfPqCodesTable))
+        } else bucketPqCodes(b, math.max(parts, 1))
+      }
   }
 
   /** Retrieval through the IVF-PQ tier: ADC over the probed lists'
@@ -1510,21 +1537,25 @@ final class KbStore private (
 
   private def bucketMarkerPath = Paths.get(s"$path/_pq_codes_bucketed.json")
 
-  private def writeBucketMarker(table: String, buckets: Int,
+  private def writeBucketMarker(table: String, buckets: Int, parts: Int,
       codesVersion: Long): Unit = {
     val tmp = Paths.get(bucketMarkerPath.toString + ".tmp")
     Files.writeString(tmp,
-      s"""{"table": "$table", "buckets": $buckets, "codes_version": $codesVersion}""")
+      s"""{"table": "$table", "buckets": $buckets, "parts": $parts, "codes_version": $codesVersion}""")
     Files.move(tmp, bucketMarkerPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def readBucketMarker(): Option[(String, Int, Long)] = {
+  /** (table, buckets, parts, codes_version) of the materialized mirror,
+    * if any. `parts` > 0 means the mirror is additionally
+    * directory-sharded by `pmod(cid, parts)` and maintains
+    * incrementally. */
+  private def readBucketMarker(): Option[(String, Int, Int, Long)] = {
     if (!Files.exists(bucketMarkerPath)) return None
     val s = Files.readString(bucketMarkerPath)
-    val re = """"table"\s*:\s*"([^"]+)".*"buckets"\s*:\s*(\d+).*"codes_version"\s*:\s*(\d+)""".r
+    val re = """"table"\s*:\s*"([^"]+)".*"buckets"\s*:\s*(\d+).*"parts"\s*:\s*(\d+).*"codes_version"\s*:\s*(\d+)""".r
     re.findFirstMatchIn(s).map(m =>
-      (m.group(1), m.group(2).toInt, m.group(3).toLong))
+      (m.group(1), m.group(2).toInt, m.group(3).toInt, m.group(4).toLong))
   }
 
   /** Materialize (or refresh) the bucketed mirror of the current codes
@@ -1533,7 +1564,7 @@ final class KbStore private (
     * build/refresh to make every subsequent [[pqKnnJoin]] call
     * codes-exchange-free. Requires a current IVF-PQ tier.
     */
-  def bucketPqCodes(buckets: Int = 32): Unit = {
+  def bucketPqCodes(buckets: Int = 32, parts: Int = 64): Unit = {
     require(pqIndexState == KbStore.AnnCurrent, pqIndexState match {
       case KbStore.AnnStale =>
         "IVF-PQ index is stale: call refreshPqIndex() before bucketing"
@@ -1541,8 +1572,8 @@ final class KbStore private (
     })
     val tbl = bucketedCodesTableName
     val codes = read(KbStore.IvfPqCodesTable).withColumnRenamed("vec_id", "id")
-    graft.ops.VectorQuant.writeCodesBucketed(codes, tbl, buckets)
-    writeBucketMarker(tbl, buckets,
+    graft.ops.VectorQuant.writeCodesBucketed(codes, tbl, buckets, parts)
+    writeBucketMarker(tbl, buckets, parts,
       metaCache.table_versions(KbStore.IvfPqCodesTable))
   }
 
@@ -1551,7 +1582,7 @@ final class KbStore private (
     * mutated since, catalog dropped) is None and callers fall back. */
   private def currentBucketedCodesTable: Option[String] =
     readBucketMarker().collect {
-      case (tbl, _, v)
+      case (tbl, _, _, v)
         if metaCache.table_versions.get(KbStore.IvfPqCodesTable)
             .contains(v) && spark.catalog.tableExists(tbl) => tbl
     }
@@ -1830,14 +1861,16 @@ final class KbStore private (
       }.toMap,
       identity, codec, preserveIndex = true,
       partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
-    // a compacted (current) pq family moved the codes version, so a
-    // materialized bucketed mirror just went stale — re-bucket it like
-    // refreshPqIndex does, or a routine compact would silently demote
-    // pqKnnJoin to the plain-kernel path
+    // a compacted (current) pq family moved the codes VERSION but not
+    // its rows (a compact is a same-content rewrite), so a materialized
+    // mirror is still byte-correct — just bump the marker to the new
+    // version instead of rewriting O(codes); without this a routine
+    // compact would silently demote pqKnnJoin to the plain-kernel path
     if (pqIndexState == KbStore.AnnCurrent)
-      readBucketMarker().foreach { case (_, b, v) =>
-        if (!metaCache.table_versions.get(KbStore.IvfPqCodesTable).contains(v))
-          bucketPqCodes(b)
+      readBucketMarker().foreach { case (tbl, b, parts, v) =>
+        metaCache.table_versions.get(KbStore.IvfPqCodesTable).foreach { nv =>
+          if (nv != v) writeBucketMarker(tbl, b, parts, nv)
+        }
       }
   }
 
@@ -1960,7 +1993,7 @@ final class KbStore private (
     // the marker's version, the catalog table is dead weight — drop it
     // with the marker (a current mirror is left alone). Best-effort,
     // like the rest of the sweep.
-    readBucketMarker().foreach { case (tbl, _, v) =>
+    readBucketMarker().foreach { case (tbl, _, _, v) =>
       val liveCodes = metaCache.table_versions
         .get(KbStore.IvfPqCodesTable).contains(v)
       if (!liveCodes) {

@@ -729,12 +729,55 @@ object VectorQuant {
     * multiple of) the cluster's shuffle parallelism.
     */
   def writeCodesBucketed(codes: DataFrame, table: String,
-      buckets: Int = 32): Unit =
-    codes.select(col("cid"), col("id"), col("code"))
-      .write.mode("overwrite")
+      buckets: Int = 32, parts: Int = 0): Unit = {
+    // parts > 0 additionally DIRECTORY-partitions the table by a
+    // cid-derived shard (`pp = pmod(cid, parts)`): bucketing still
+    // reports HashPartitioning(cid) to the planner (Spark groups each
+    // bucket's files across partition dirs into one task), and a
+    // maintenance pass can dynamic-partition-overwrite ONLY the shards
+    // whose lists changed — O(changed shards), not O(codes)
+    // (BucketedOverwriteSpec pins both properties)
+    val base = codes.select(col("cid"), col("id"), col("code"))
+    val w =
+      if (parts > 0)
+        base.withColumn("pp", pmod(col("cid"), lit(parts.toLong)))
+          .write.partitionBy("pp")
+      else base.write
+    w.mode("overwrite")
       .bucketBy(buckets, "cid")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Incremental twin of [[writeCodesBucketed]] for a PARTITIONED
+    * mirror: dynamic-overwrites only the shards in `changedPps` from
+    * the current full `codes`, and drops shards that lost their last
+    * row (dynamic overwrite only replaces shards present in the
+    * written data — an emptied shard would otherwise keep its stale
+    * rows). Write volume is O(|changedPps| / parts × |codes|).
+    */
+  def overwriteCodeShards(codes: DataFrame, table: String, parts: Int,
+      changedPps: Seq[Long]): Unit = {
+    if (changedPps.isEmpty) return
+    val spark = codes.sparkSession
+    val fresh = codes.select(col("cid"), col("id"), col("code"))
+      .withColumn("pp", pmod(col("cid"), lit(parts.toLong)))
+      .where(col("pp").isin(changedPps: _*))
+    val livePps = fresh.select(col("pp")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fresh.write.mode("overwrite").format("parquet").insertInto(table)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    changedPps.filterNot(livePps).foreach { p =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (pp=$p)")
+    }
+  }
 
   /** [[knnJoinIvfPq]] over a [[writeCodesBucketed]] table, through the
     * custom [[graft.plans.AdcCodesJoin]] physical operator: identical

@@ -960,14 +960,35 @@ class StoreScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
 
     // staleness: a mutation makes the tier (and mirror) stale — the
-    // join refuses like every other tier; refresh re-buckets the
-    // mirror automatically, so the custom path comes back without any
+    // join refuses like every other tier; refresh maintains the
+    // SHARDED mirror incrementally (only the shards whose lists
+    // changed rewrite), so the custom path comes back without any
     // explicit re-bucketing call
     kb.bulkAddDocs(p)(_.add("late arrival"))
     intercept[IllegalArgumentException] {
       kb.pqKnnJoin(queries, k = 3, nProbe = 4)
     }
+    def shardFiles(): Map[String, Set[String]] = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes("UTF-8"))
+      val tbl = "graft_pq_codes_" + md5.take(6).map("%02x".format(_)).mkString
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+          .find(_.getString(0) == "Location").get.getString(1)))
+      loc.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pp="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val beforeRefresh = shardFiles()
     kb.refreshPqIndex()
+    val afterRefresh = shardFiles()
+    // one new doc lands in one list -> exactly one shard rewrites; the
+    // untouched shards keep their identical file sets (the
+    // O(changed-shards) claim, observed at the filesystem)
+    val untouched = beforeRefresh.keySet.intersect(afterRefresh.keySet)
+      .count(k => beforeRefresh(k) == afterRefresh(k))
+    assert(untouched >= beforeRefresh.size - 1 && beforeRefresh.size > 1,
+      s"incremental refresh must leave other shards' files untouched " +
+        s"(before=${beforeRefresh.keySet}, after=${afterRefresh.keySet})")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val planAfter = kb.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
