@@ -490,6 +490,14 @@ object StreamingIngest {
       if (maintainIndex &&
           kb.textIndexState == graft.core.KbStore.AnnStale)
         kb.refreshTextIndex()
+      // the IVF-PQ tier refreshes like the others (encode O(batch)
+      // against the stored centroids/codebooks); its refresh also
+      // keeps a materialized bucketed-codes mirror current, so a
+      // streaming store serves the exchange-free pqKnnJoin path
+      // continuously
+      if (maintainIndex &&
+          kb.pqIndexState == graft.core.KbStore.AnnStale)
+        kb.refreshPqIndex()
       true
     }
   }

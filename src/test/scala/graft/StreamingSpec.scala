@@ -365,9 +365,14 @@ class StreamingSpec extends SparkSpec {
     kb.buildAnnIndex(nlist = 4)
     kb.buildSqIndex() // the int8 tier follows the same live maintenance
     kb.buildTextIndex() // and so does the lexical tier
+    // and the IVF-PQ tier, WITH its bucketed mirror: streaming upkeep
+    // must keep the exchange-free pqKnnJoin path continuously valid
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2,
+      sampleMod = 1, bucketCodes = true, buckets = 4)
     assert(kb.annIndexState == graft.core.KbStore.AnnCurrent)
     assert(kb.sqIndexState == graft.core.KbStore.AnnCurrent)
     assert(kb.textIndexState == graft.core.KbStore.AnnCurrent)
+    assert(kb.pqIndexState == graft.core.KbStore.AnnCurrent)
 
     val stream = MemoryStream[String]
     val q = StreamingIngest.startStoreIngest(
@@ -395,6 +400,22 @@ class StreamingSpec extends SparkSpec {
     // and the lexical tier serves the streamed text
     assert(kb.textIndexState == graft.core.KbStore.AnnCurrent)
     assert(kb.bm25Retrieve("gamma", 1).head._2.text == "streamed gamma")
+    // the IVF-PQ tier followed each batch and its refreshed mirror
+    // still routes pqKnnJoin through the custom exchange-free plan
+    assert(kb.pqIndexState == graft.core.KbStore.AnnCurrent)
+    val pqQueries = kb.embeddings.toDF()
+      .where(org.apache.spark.sql.functions.col("id") < 3)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("vec"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pqPlan = kb.pqKnnJoin(pqQueries, k = 2, nProbe = 4, rerank = 100)
+        .queryExecution.executedPlan
+      assert(pqPlan.collectFirst {
+        case a: graft.plans.AdcCodesJoinExec => a }.isDefined,
+        s"streamed refreshes must keep the mirror current:\n$pqPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
 
     // replay safety: re-applying an already-committed batch id is a
     // no-op (the marker rides in the same commit as the docs), while
