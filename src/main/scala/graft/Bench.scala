@@ -301,6 +301,22 @@ object Bench {
     * BudgetUp-gated where they have no data dependency.
     */
   private def svsPart2(spark: SparkSession, cpus: String): Unit = {
+    // untimed JIT warmup of the retrieval shape at 1k: the protocol's
+    // cold/build points should measure IO, not first-call codegen. The
+    // r7 ordering got this for free from the part-1 sweep running
+    // first; with the protocol now FIRST, the warmup moves here (the
+    // reference's 0.5 s cold number is steady-state, so ours must be —
+    // measured: an unwarmed cold_10k times ~0.6 s of which ~0.4 s is
+    // codegen/classloading, not the read)
+    setup(15.0)
+    val wpath = "/tmp/graft_bench_warm1k"
+    KbStoreCleanup.delete(wpath)
+    syntheticEmbeddings(spark, 1000).write.mode("overwrite")
+      .option("compression", "none").parquet(wpath)
+    retrieveJob(spark.read.parquet(wpath), 1L)
+    retrieveJob(spark.read.parquet(wpath), 2L)
+    KbStoreCleanup.delete(wpath)
+
     setup(15.0)
     svsProtocol(spark, n = 10548, tag = "10k")
 
