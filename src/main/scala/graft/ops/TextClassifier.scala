@@ -16,13 +16,14 @@ import org.apache.spark.sql.functions._
   * iteration count is fixed — so the whole train+score pipeline is
   * oracle-checkable in SQL with the weights unrolled per iteration.
   *
-  * Scale shape: the feature table (doc_id, i, x) is computed once and
-  * cached; each GD iteration is two map-side-combinable shuffles (a
-  * per-doc score keyed by doc_id against the broadcast weight vector,
-  * and a per-feature gradient keyed by i) plus a dim-sized collect —
-  * the model lives on the driver like any broadcast-trained linear
-  * model. Token volume dominates; iterations are O(|f|) each with no
-  * corpus-wide state beyond the D weights.
+  * Scale shape: per-doc sparse feature ARRAYS are computed once and
+  * cached; the dim-sized weight vector rides into each step as a
+  * literal array, so the per-doc score is a narrow fold and each GD
+  * iteration is ONE map-side-combinable shuffle (the per-feature
+  * gradient keyed by i) plus a dim-sized collect — the model lives on
+  * the driver like any broadcast-trained linear model. Token volume
+  * dominates; iterations are O(|f|) each with no corpus-wide state
+  * beyond the D weights.
   */
 object TextClassifier {
 
@@ -66,33 +67,50 @@ object TextClassifier {
       iters: Int, lr: Double, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val f = features(docs, dim, textCol).cache()
-    // yDf is a cheap projection — not cached (no leak past return)
     val yDf = docs.select(col("doc_id"),
       col(labelCol).cast("double").as("y"))
-    val n = yDf.count().toDouble
+    // per-doc SPARSE FEATURE ARRAYS, built once and cached (r8): the
+    // weight vector is dim-sized and broadcasts as a literal array, so
+    // each iteration's per-doc score is a narrow fold over the cached
+    // row — no score-side shuffle per step (the previous formulation
+    // re-shuffled feature-by-weight joins and doc-keyed residuals
+    // every iteration: 3 exchanges per step, now 1). Tokenless docs
+    // keep an empty array (score = bias), matching the old left-join.
+    val fa = yDf.join(
+        features(docs, dim, textCol)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("i"), col("x"))).as("fx")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        coalesce(col("fx"),
+          array().cast("array<struct<i:bigint,x:double>>")).as("fx"))
+      .cache()
+    val n = fa.count().toDouble
     val w = Array.fill(dim)(0.0)
     var b = 0.0
-    def scoresWith(w: Array[Double]): DataFrame = {
-      val wDf = w.toSeq.zipWithIndex
-        .map { case (v, i) => (i.toLong, v) }.toDF("i", "w")
-      f.join(broadcast(wDf), "i").groupBy(col("doc_id"))
-        .agg(sum(col("x") * col("w")).as("s"))
+    // FP note: the per-doc fold follows collect_list's partition order
+    // where the old code followed groupBy partial-sum order — both are
+    // engine-nondeterministic below the output's 4-dp rounding, which
+    // is the tolerance the oracle compare has always relied on
+    def sCol(w: Array[Double], b: Double): Column = {
+      val wl = array(w.map(lit): _*)
+      aggregate(col("fx"), lit(0.0),
+        (acc, e) => acc + e.getField("x") *
+          element_at(wl, (e.getField("i") + 1).cast("int"))) + lit(b)
     }
-    // gradient features = hashed features ∪ a synthetic bias feature
-    // (i = -1, x = 1) per doc, so one groupBy(i) job per iteration
-    // yields every weight gradient AND the bias gradient together
-    val fGrad = f.union(yDf.select(col("doc_id"),
-      lit(-1L).as("i"), lit(1.0).as("x")))
     var it = 0
     while (it < iters) {
-      val rDf = yDf.join(scoresWith(w), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) +
-            exp(-(coalesce(col("s"), lit(0.0)) + lit(b)))) - col("y"))
-            .as("r"))
-      val grads = fGrad.join(rDf, "doc_id").groupBy(col("i"))
-        .agg(sum(col("r") * col("x")).as("g")).collect()
+      // one map-side-combinable groupBy(i) shuffle + a dim-sized
+      // collect per step: the residual r computes inline from the
+      // cached arrays, and a synthetic i = -1 feature per doc makes
+      // the same job emit the bias gradient
+      val grads = fa.select(
+          (lit(1.0) / (lit(1.0) + exp(-sCol(w, b))) - col("y")).as("r"),
+          explode(concat(col("fx"),
+            array(struct(lit(-1L).as("i"), lit(1.0).as("x"))))).as("e"))
+        .groupBy(col("e.i"))
+        .agg(sum(col("r") * col("e.x")).as("g"))
+        .collect()
       var gb = 0.0
       val g = Array.fill(dim)(0.0)
       grads.foreach { r =>
@@ -106,10 +124,8 @@ object TextClassifier {
     }
     // unpersist the training cache; the final scoring pass recomputes
     // the (cheap, narrow) feature lineage once at the caller's action
-    f.unpersist()
-    yDf.join(scoresWith(w), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("y").as("label"),
-        round(lit(1.0) / (lit(1.0) +
-          exp(-(coalesce(col("s"), lit(0.0)) + lit(b)))), 4).as("prob"))
+    fa.unpersist()
+    fa.select(col("doc_id"), col("y").as("label"),
+      round(lit(1.0) / (lit(1.0) + exp(-sCol(w, b))), 4).as("prob"))
   }
 }
