@@ -174,6 +174,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // CCNet head/middle/tail (Wenzek et al. 2020 §4.3): per-language
+    // terciles by corpus-trained bigram perplexity — rank-based cut
+    // over (rounded ppl, doc_id), partitioned window only
+    "x31_ppl_buckets" -> ((s, dir) =>
+      graft.ops.TextAnalysis.pplBuckets(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // UniMax waterfilling (Chung et al. 2023): per-language token
+    // allocation under a 2-epoch repeat cap and a 50%-of-corpus
+    // budget; λ from the groups-bounded closed form
+    "x32_unimax" -> ((s, dir) =>
+      graft.ops.TextAnalysis.unimaxAllocate(t(s, dir, "documents"))
+        .orderBy(col("lang"))),
+
+    // interpolated Kneser–Ney bigram perplexity (D = 0.75) — the
+    // stronger LM-quality signal next to x14's add-alpha model
+    "x33_kn_ppl" -> ((s, dir) =>
+      graft.ops.TextAnalysis.knPerplexity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     "x3_lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(t(s, dir, "documents"), langMarkers)
         .orderBy(col("doc_id"))),
@@ -1933,6 +1953,80 @@ object SparkEntry {
          SELECT doc_id, lang, quality, cum_cost
          FROM r WHERE cum_cost <= 20000
          ORDER BY doc_id""",
+
+    "x31_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         v AS (SELECT count(DISTINCT t)::DOUBLE AS vs
+               FROM (SELECT unnest(a) AS t FROM toks)),
+         bg AS (
+           SELECT t.doc_id, t.a[r.i] AS w1, t.a[r.i + 1] AS w2
+           FROM toks t, LATERAL (SELECT unnest(range(1, len(t.a))) AS i) r),
+         cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+         cu AS (SELECT w1, count(*) AS nu FROM bg GROUP BY w1),
+         lp AS (
+           SELECT bg.doc_id, ln((cb.nb + 1.0) / (cu.nu + 1.0 * v.vs)) AS logp
+           FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                        round(exp(-avg(logp)), 4) AS ppl
+                 FROM lp GROUP BY doc_id),
+         p AS (SELECT d.doc_id, d.lang,
+                      coalesce(agg.n_bigrams, 0) AS n_bigrams,
+                      coalesce(agg.ppl, 0.0) AS ppl
+               FROM documents d LEFT JOIN agg USING (doc_id)),
+         r AS (SELECT *, percent_rank() OVER (PARTITION BY lang
+                 ORDER BY ppl, doc_id) AS pr FROM p)
+         SELECT doc_id, lang, n_bigrams, ppl,
+                CASE WHEN pr * 3 < 1 THEN 'head'
+                     WHEN pr * 3 < 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM r ORDER BY doc_id""",
+
+    "x32_unimax" ->
+      """WITH g AS (SELECT lang,
+                  SUM(len(string_split(text, ' ')))::BIGINT AS tokens
+               FROM documents GROUP BY lang),
+         s AS (SELECT lang, tokens, tokens * 2.0 AS cap,
+                      sum(tokens * 2.0) OVER (ORDER BY tokens * 2.0, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+                      row_number() OVER (ORDER BY tokens * 2.0, lang) AS rn,
+                      count(*) OVER () AS n
+               FROM g),
+         b AS (SELECT 0.5 * sum(tokens::DOUBLE) AS bud FROM g),
+         lam AS (
+           SELECT CASE WHEN (SELECT sum(cap) FROM s) <= (SELECT bud FROM b)
+                       THEN 1e308
+                  ELSE (SELECT ((SELECT bud FROM b) - (ps - cap)) / (n - rn + 1)
+                        FROM s
+                        WHERE ((SELECT bud FROM b) - (ps - cap)) / (n - rn + 1)
+                              <= cap
+                        ORDER BY rn LIMIT 1) END AS lam)
+         SELECT g.lang, g.tokens,
+                round(least(g.tokens * 2.0, lam.lam), 4) AS alloc,
+                round(least(g.tokens * 2.0, lam.lam) / g.tokens, 4) AS epochs
+         FROM g CROSS JOIN lam ORDER BY lang""",
+
+    "x33_kn_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         bg AS (
+           SELECT t.doc_id, t.a[r.i] AS w1, t.a[r.i + 1] AS w2
+           FROM toks t, LATERAL (SELECT unnest(range(1, len(t.a))) AS i) r),
+         cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+         cu AS (SELECT w1, sum(nb) AS nu, count(*) AS fan FROM cb GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS hist FROM cb GROUP BY w2),
+         ty AS (SELECT count(*)::DOUBLE AS nbt FROM cb),
+         lp AS (
+           SELECT bg.doc_id,
+                  ln(greatest(cb.nb - 0.75, 0.0) / cu.nu
+                     + 0.75 * cu.fan / cu.nu * (cont.hist / ty.nbt)) AS logp
+           FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                   JOIN cont USING (w2) CROSS JOIN ty),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                        round(exp(-avg(logp)), 4) AS kn_ppl
+                 FROM lp GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+                coalesce(agg.kn_ppl, 0.0) AS kn_ppl
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "x3_lang_id" ->
       """WITH u AS (

@@ -639,4 +639,146 @@ object TextAnalysis {
       .withColumn("cum_cost", sum(col(costCol)).over(w))
       .where(col("cum_cost") <= budget)
   }
+
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" §4.3): score every document by corpus-trained bigram
+    * perplexity ([[ngramPerplexity]]), then PER LANGUAGE split the
+    * corpus into equal thirds by perplexity rank — `head` (most
+    * fluent), `middle`, `tail` (noisiest). The bucket is the standard
+    * downstream selection unit (train on head+middle, drop tail).
+    *
+    * Rank-based terciles, not interpolated quantile thresholds: the
+    * cut is `percent_rank` over (round(ppl, 4) asc, doc_id asc) — a
+    * unique ordering, so the bucket is a deterministic integer-rank
+    * function with no quantile-interpolation FP hazard.
+    *
+    * Scale shape: the perplexity pipeline's map-side-combinable count
+    * aggregations + one ranking window PARTITIONED by language —
+    * languages parallelize, each partition's sort is spill-backed; no
+    * global window, no collect.
+    */
+  def pplBuckets(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text", alpha: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppl = ngramPerplexity(docs, textCol, alpha)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("ppl"), col("doc_id"))
+    docs.select(col("doc_id"), col(groupCol))
+      .join(ppl, Seq("doc_id"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col(groupCol), col("n_bigrams"), col("ppl"),
+        when(col("pr") * 3 < 1, "head")
+          .when(col("pr") * 3 < 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** UniMax mixing allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): given per-group token counts `c_g`, a total token
+    * budget `B`, and a repeat cap `maxEpochs`, allocate budget by
+    * WATERFILLING — every group gets `min(c_g · maxEpochs, λ)` tokens,
+    * with the water level λ chosen so the allocations sum to `B`
+    * (small groups saturate their epoch cap, large groups share the
+    * remainder uniformly). The closed form over caps sorted ascending:
+    * λ = (B − S_{i−1}) / (n − i + 1) at the first i where that value
+    * is ≤ cap_i (S = prefix sum of caps); if Σcap ≤ B every group is
+    * fully capped.
+    *
+    * Scale shape: one map-side-combinable token-count aggregation over
+    * the corpus; the waterfilling itself runs on the GROUP table,
+    * whose cardinality is provider-bounded (languages/sources — the
+    * same bound as the centroid collects elsewhere), so λ is computed
+    * driver-side from a #groups-sized collect and applied back as a
+    * literal — no global window in the distributed plan.
+    *
+    * Output: (group, tokens, alloc, epochs), alloc/epochs rounded to
+    * 4 dp; `budgetFrac` sets B as a fraction of total corpus tokens so
+    * the operator is scale-free across SFs.
+    */
+  def unimaxAllocate(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text", budgetFrac: Double = 0.5,
+      maxEpochs: Double = 2.0): DataFrame = {
+    require(budgetFrac > 0 && maxEpochs > 0,
+      s"budgetFrac: $budgetFrac, maxEpochs: $maxEpochs")
+    val counts = docs
+      .select(col(groupCol), size(tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy(col(groupCol)).agg(sum(col("nt")).as("tokens"))
+    // #groups-sized collect (languages/sources — bounded), the same
+    // driver-scale exception as the IVF centroid tables
+    val caps = counts.select(col("tokens")).collect()
+      .map(_.getLong(0).toDouble * maxEpochs).sorted
+    val budget = budgetFrac * caps.map(_ / maxEpochs).sum // B = budgetFrac × Σ c_g
+    val lambda =
+      if (caps.sum <= budget) Double.MaxValue
+      else {
+        val n = caps.length
+        var s = 0.0; var i = 0; var lam = budget / n
+        var done = false
+        while (i < n && !done) {
+          val cand = (budget - s) / (n - i)
+          if (cand <= caps(i)) { lam = cand; done = true }
+          else s += caps(i)
+          i += 1
+        }
+        lam
+      }
+    counts.select(col(groupCol), col("tokens"),
+      round(least(col("tokens") * maxEpochs, lit(lambda)), 4).as("alloc"),
+      round(least(col("tokens") * maxEpochs, lit(lambda)) / col("tokens"), 4)
+        .as("epochs"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 §2.7) — the stronger sibling of the add-alpha model
+    * in [[ngramPerplexity]], standard for perplexity-based quality
+    * filtering when the corpus LM must not over-penalize rare-but-real
+    * continuations:
+    * {{{
+    * P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+    *          + D · N1+(w1,·) / c(w1·) · N1+(·,w2) / N1+(··)
+    * }}}
+    * with absolute discount `D` (0.75, the Chen–Goodman default). The
+    * model is trained on the scored corpus itself, so every document
+    * bigram has c(w1,w2) ≥ 1 and the formula needs no unseen-context
+    * fallback.
+    *
+    * Scale shape: mirrors [[ngramPerplexity]] — four count/distinct
+    * aggregations over the exploded bigram stream (all map-side
+    * combinable), rejoined by bigram / context / continuation key;
+    * Catalyst broadcasts the count tables when the vocabulary is small
+    * and shuffle-joins otherwise. Nothing touches the driver.
+    *
+    * Output: (doc_id, n_bigrams, kn_ppl) — exp(−mean ln P), 4 dp, 0.0
+    * for docs with fewer than two tokens.
+    */
+  def knPerplexity(docs: DataFrame, textCol: String = "text",
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount: $discount")
+    val toks = docs.select(col("doc_id"), tokens(col(textCol)).as("a"))
+    val bg = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("a"), lit(1), size(col("a")) - 1).as("w1"),
+        slice(col("a"), lit(2), size(col("a")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("nb")).as("nu"),
+      count(lit(1)).as("fan")) // c(w1·), N1+(w1,·)
+    val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("hist")) // N1+(·,w2)
+    val types = cb.agg(count(lit(1)).cast("double").as("nbt")) // N1+(··)
+    val agg = bg
+      .join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        log(greatest(col("nb") - discount, lit(0.0)) / col("nu")
+          + lit(discount) * col("fan") / col("nu")
+            * (col("hist") / col("nbt"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(col("logp"))), 4).as("kn_ppl"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_ppl"), lit(0.0)).as("kn_ppl"))
+  }
 }

@@ -1826,6 +1826,52 @@ class OpsSpec extends SparkSpec {
     assert(est.nonEmpty)
   }
 
+  test("pplBuckets: per-language terciles by (ppl, doc_id) rank") {
+    import spark.implicits._
+    // ppl from the ngramPerplexity hand-case: doc1 1.651, doc2 1.5,
+    // doc3 0.0 (no bigrams) -> ascending order 3, 2, 1; percent_rank
+    // 0 / 0.5 / 1.0 -> head / middle / tail
+    val d = Seq((1L, "en", "a b a b"), (2L, "en", "a b"), (3L, "en", "c"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.pplBuckets(d).collect()
+      .map(x => x.getLong(0) -> x.getString(4)).toMap
+    assert(r == Map(1L -> "tail", 2L -> "middle", 3L -> "head"))
+  }
+
+  test("unimaxAllocate: small groups saturate the epoch cap, large " +
+      "groups share the waterfilling level") {
+    import spark.implicits._
+    // tokens: a=1, b=7, c=12 -> B = 0.5*20 = 10, caps (E=2) = 2/14/24;
+    // waterfill ascending: 10/3 = 3.33 > 2 -> a saturates at 2;
+    // (10-2)/2 = 4 <= 14 -> lambda = 4. alloc = 2/4/4 (sums to B)
+    val d = Seq(
+      (1L, "a", "t1"),
+      (2L, "b", "x1 x2 x3 x4 x5 x6 x7"),
+      (3L, "c", "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.unimaxAllocate(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3)))).toMap
+    assert(r("a") == ((1L, 2.0, 2.0)))
+    assert(r("b") == ((7L, 4.0, 0.5714)))
+    assert(r("c") == ((12L, 4.0, 0.3333)))
+  }
+
+  test("knPerplexity matches the hand-computed interpolated KN model") {
+    import spark.implicits._
+    // cb: (a,b)=3, (b,a)=1; cu: a=(3,1), b=(1,1); cont: a=1, b=1; N1+(..)=2
+    // P(b|a) = 2.25/3 + .75*(1/3)*(1/2) = 0.875
+    // P(a|b) = 0.25/1 + .75*(1/1)*(1/2) = 0.625
+    // doc1 = (0.875^2 * 0.625)^(-1/3) = 1.2785; doc2 = 1/0.875 = 1.1429
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.knPerplexity(d).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((3L, 1.2785)))
+    assert(r(2L) == ((1L, 1.1429)))
+    assert(r(3L) == ((0L, 0.0)))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
