@@ -1464,6 +1464,8 @@ final class KbStore private (
             .distinct().as[Long].collect().toSeq
         case _ => Nil
       }
+      val preCodesVersion =
+        metaCache.table_versions.get(KbStore.IvfPqCodesTable)
       commitDelta(Map(KbStore.IvfPqCodesTable ->
         KbStore.TablePatch(del = Some(removed), add = Some(added))), identity,
         readSet = Set("embeddings", KbStore.IvfPqCentroidsTable,
@@ -1472,19 +1474,29 @@ final class KbStore private (
       // SHARDED mirror (parts > 0) rewrites only the changed shards —
       // O(changed lists), the same order as the delta commit itself —
       // unless more than half the shards moved, where the full rewrite
-      // is the same volume with less bookkeeping. While this runs the
-      // marker still names the pre-commit version, so a concurrent
-      // pqKnnJoin falls back to the plain kernel rather than reading a
-      // half-maintained mirror; the marker flips only at the end.
-      marker.foreach { case (tbl, b, parts, _) =>
-        if (parts > 0 && changedPps.size <= parts / 2 &&
+      // is the same volume with less bookkeeping. The sharded fast path
+      // additionally requires the marker to have named exactly the
+      // PRE-commit codes version: a mirror that had already missed an
+      // update (crash between commitDelta and the marker write, or a
+      // rebuild without bucketCodes) has unchanged shards that are
+      // older than this delta — promoting it after rewriting only this
+      // delta's shards would serve those stale rows as current. Such a
+      // mirror gets the full rebuild instead, preserving its layout
+      // (parts = 0 stays unpartitioned — writeCodesBucketed handles
+      // it). While this runs the marker still names the pre-commit
+      // version, so a concurrent pqKnnJoin falls back to the plain
+      // kernel rather than reading a half-maintained mirror; the
+      // marker flips only at the end.
+      marker.foreach { case (tbl, b, parts, mv) =>
+        if (parts > 0 && preCodesVersion.contains(mv) &&
+            changedPps.size <= parts / 2 &&
             spark.catalog.tableExists(tbl)) {
           graft.ops.VectorQuant.overwriteCodeShards(
             read(KbStore.IvfPqCodesTable).withColumnRenamed("vec_id", "id"),
             tbl, parts, changedPps)
           writeBucketMarker(tbl, b, parts,
             metaCache.table_versions(KbStore.IvfPqCodesTable))
-        } else bucketPqCodes(b, math.max(parts, 1))
+        } else bucketPqCodes(b, parts)
       }
   }
 
@@ -1846,6 +1858,10 @@ final class KbStore private (
         (if (textIndexState == KbStore.AnnStale) KbStore.TextIndexTables.toSet
          else Set.empty[String])
     val names = metaCache.table_versions.keys.filterNot(staleIdx.contains)
+    // captured BEFORE the commit moves the head: the marker bump below
+    // is only sound for a mirror that was current going in
+    val preCodesVersion =
+      metaCache.table_versions.get(KbStore.IvfPqCodesTable)
     // preserveIndex: this rewrite includes `embeddings` but replaces no
     // vectors, so commit's invalidation clause must not strip the stale
     // index's pointers (that would flip AnnStale -> AnnNone and let the
@@ -1862,14 +1878,21 @@ final class KbStore private (
       identity, codec, preserveIndex = true,
       partitionBy = Map(KbStore.TextPostingsTable -> Seq("bucket")))
     // a compacted (current) pq family moved the codes VERSION but not
-    // its rows (a compact is a same-content rewrite), so a materialized
-    // mirror is still byte-correct — just bump the marker to the new
-    // version instead of rewriting O(codes); without this a routine
-    // compact would silently demote pqKnnJoin to the plain-kernel path
+    // its rows (a compact is a same-content rewrite), so a mirror that
+    // reflected the PRE-compact version is still byte-correct — just
+    // bump its marker to the new version instead of rewriting O(codes);
+    // without this a routine compact would silently demote pqKnnJoin to
+    // the plain-kernel path. A marker naming any OTHER version was
+    // stale before the compact (e.g. a buildPqIndex() rebuild with
+    // bucketCodes = false) — promoting it here would make pqKnnJoin
+    // serve the old mirror's codes as current, so drop the marker and
+    // let callers fall back (or rebuild) instead.
     if (pqIndexState == KbStore.AnnCurrent)
       readBucketMarker().foreach { case (tbl, b, parts, v) =>
         metaCache.table_versions.get(KbStore.IvfPqCodesTable).foreach { nv =>
-          if (nv != v) writeBucketMarker(tbl, b, parts, nv)
+          if (preCodesVersion.contains(v)) {
+            if (nv != v) writeBucketMarker(tbl, b, parts, nv)
+          } else Files.deleteIfExists(bucketMarkerPath)
         }
       }
   }

@@ -87,6 +87,12 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, f) => ((w.map(_.toString) :+ EndOfWord): Seq[String], f) }
       .persist()
+    // every symbol name ever in the vocabulary (alphabet + EndOfWord +
+    // each merge's concatenated name) — a driver-side superset of the
+    // live symbols, maintained incrementally. Used by the batch
+    // collision guard below; alphabet-sized, computed once.
+    val symbolSet = scala.collection.mutable.Set.empty[String]
+    symbolSet ++= words.flatMap(_._1).distinct().collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     var pass = 0
@@ -115,6 +121,28 @@ object Bpe {
         for (p <- top if !stop) {
           if (used(p._1) || used(p._2)) stop = true
           else { prefix += p; used += p._1; used += p._2 }
+        }
+        // created-name collision guard: the decrease-only invariance
+        // behind the disjoint-prefix argument assumes each merge's
+        // concatenated name is a FRESH string. If a batch pair's name
+        // string-coincides with a symbol already in the vocabulary, or
+        // with another batch pair's name ('abc' arising from both
+        // (a,bc) and (ab,c)), the merge can BOOST an existing counted
+        // pair (or compound created pairs across batch members) and
+        // sequential greedy would re-rank mid-batch. Cut the prefix
+        // before the first colliding pair; if the collision is at rank
+        // 0, keep a single-pair batch — that IS plain greedy, safe
+        // regardless of name reuse.
+        {
+          val names = scala.collection.mutable.Set.empty[String]
+          var ci = 0
+          var cut = prefix.size
+          while (ci < prefix.size && cut == prefix.size) {
+            val nm = prefix(ci)._1 + prefix(ci)._2
+            if (symbolSet(nm) || names(nm)) cut = math.max(ci, 1)
+            else { names += nm; ci += 1 }
+          }
+          prefix.remove(cut, prefix.size - cut)
         }
         val batch =
           if (prefix.size <= 1) prefix.toSeq
@@ -155,6 +183,7 @@ object Bpe {
         batch.zipWithIndex.foreach { case ((a, b, f), j) =>
           merges += ((rank0 + j, a, b, f))
         }
+        batch.foreach { case (a, b, _) => symbolSet += a + b }
         val repl = batch.map { case (a, b, _) => (a, b) -> (a + b) }.toMap
         val bcRepl = spark.sparkContext.broadcast(repl)
         val prev = words

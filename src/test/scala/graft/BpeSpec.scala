@@ -79,6 +79,35 @@ class BpeSpec extends SparkSpec {
       "batched BPE must reproduce the sequential greedy merge table exactly")
   }
 
+  test("created-name collisions don't break greedy equivalence: batched " +
+      "== sequential on a 2-letter repeat-heavy corpus") {
+    import spark.implicits._
+    // alphabet {a,b} makes created symbol names string-collide readily
+    // ((aa,b) and (a,ab) both create "aab"; such pairs are
+    // symbol-DISJOINT, so without the collision guard they can land in
+    // one batch and boost each other's created pairs mid-batch) — the
+    // exact hazard ADVICE r9 flagged. Fuzz with many merges and assert
+    // exact equality with the per-merge loop.
+    val rnd = new java.util.Random(7)
+    val docs = (1L to 40L).map { id =>
+      val words = (0 until 25).map { _ =>
+        val len = 2 + rnd.nextInt(7)
+        (0 until len).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+      }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sequential = Bpe.bpeTrain(docs, numMerges = 50, batchB = 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val batched = Bpe.bpeTrain(docs, numMerges = 50, batchB = 16)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(batched == sequential,
+      "batched BPE must stay greedy-exact under created-name collisions")
+  }
+
   test("bpeDecode inverts bpeEncode (lossless round-trip)") {
     import spark.implicits._
     val docs = Seq((1L, "low lowest low"), (2L, "newer wider low"))

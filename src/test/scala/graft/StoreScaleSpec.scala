@@ -1034,4 +1034,89 @@ class StoreScaleSpec extends SparkSpec {
       "vacuum must drop the stale mirror catalog table")
     kb.close()
   }
+
+  test("a mirror stale BEFORE a compact or refresh is never promoted: " +
+      "compact drops its marker, refresh full-rebuilds it") {
+    import graft.core.Embeddings.EmbeddingProvider
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      (0 until 120).foreach(i => a.add(s"document number $i"))
+    }
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    kb.bucketPqCodes(buckets = 4)
+    val markerPath = Paths.get(s"$path/_pq_codes_bucketed.json")
+    assert(Files.exists(markerPath))
+
+    // make the MIRROR stale while the pq family is CURRENT: replace a
+    // vector (invalidates the family), then rebuild with the default
+    // bucketCodes = false — the codes version moves on, the marker
+    // still names the old one, and the catalog table still holds the
+    // OLD codes
+    val unit = {
+      val v = Array.fill(8)(1f)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    kb.setDocEmbedding(1L, Some(unit))
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    assert(kb.pqIndexState == KbStore.AnnCurrent)
+    assert(Files.exists(markerPath),
+      "precondition: the stale marker survives the rebuild")
+
+    // a routine compact must NOT promote the stale marker to the
+    // post-compact codes version (that would serve the old mirror's
+    // codes as current) — it drops the marker instead, and pqKnnJoin
+    // falls back to the plain kernel on the CURRENT codes
+    kb.compact()
+    assert(!Files.exists(markerPath),
+      "compact must drop a marker that predates the codes version")
+    val queries = kb.embeddings.toDF()
+      .where(col("id") < 10).select(col("id"), col("vec"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = kb.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+        .queryExecution.executedPlan
+      assert(plan.collectFirst {
+        case a: graft.plans.AdcCodesJoinExec => a }.isEmpty,
+        s"a dropped marker must route through the plain kernel:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // same hazard through refreshPqIndex: re-create the stale-marker
+    // state, make the family stale, refresh. The sharded fast path
+    // must NOT run (it would rewrite only this delta's shards and
+    // promote the rest stale) — the full rebuild leaves the mirror
+    // byte-equal to the manifest codes
+    kb.bucketPqCodes(buckets = 4) // marker current again
+    kb.setDocEmbedding(2L, Some(unit))
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    assert(Files.exists(markerPath)) // stale marker again
+    kb.bulkAddDocs(p)(_.add("late arrival for the stale-marker case"))
+    kb.refreshPqIndex()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    val mirrorTbl = "graft_pq_codes_" + md.take(6).map("%02x".format(_)).mkString
+    val mirrorRows = spark.table(mirrorTbl)
+      .select(col("cid"), col("id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .toSet
+    val codesRows = kb.readTableForSpec(KbStore.IvfPqCodesTable)
+      .select(col("cid"), col("vec_id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .toSet
+    assert(mirrorRows == codesRows,
+      "refresh over a stale marker must rebuild the WHOLE mirror, " +
+        "not just this delta's shards")
+    kb.close()
+  }
 }
