@@ -1490,7 +1490,7 @@ final class KbStore private (
       marker.foreach { case (tbl, b, parts, mv) =>
         if (parts > 0 && preCodesVersion.contains(mv) &&
             changedPps.size <= parts / 2 &&
-            spark.catalog.tableExists(tbl)) {
+            ensureMirrorRegistered(tbl, b, parts)) {
           graft.ops.VectorQuant.overwriteCodeShards(
             read(KbStore.IvfPqCodesTable).withColumnRenamed("vec_id", "id"),
             tbl, parts, changedPps)
@@ -1549,6 +1549,15 @@ final class KbStore private (
 
   private def bucketMarkerPath = Paths.get(s"$path/_pq_codes_bucketed.json")
 
+  /** The mirror's parquet files live INSIDE the store directory (an
+    * EXTERNAL table), not the session warehouse: the layout is store
+    * state, paid for once per index build, and must survive the
+    * session that happened to materialize it. (Vacuum's orphan sweep
+    * ignores this dir — it is neither an index-table name nor a
+    * v<N>-versioned layout — and reclaims it explicitly with the
+    * marker when the mirror goes stale.) */
+  private def bucketedCodesDataPath = s"$path/_pq_codes_data"
+
   private def writeBucketMarker(table: String, buckets: Int, parts: Int,
       codesVersion: Long): Unit = {
     val tmp = Paths.get(bucketMarkerPath.toString + ".tmp")
@@ -1584,19 +1593,49 @@ final class KbStore private (
     })
     val tbl = bucketedCodesTableName
     val codes = read(KbStore.IvfPqCodesTable).withColumnRenamed("vec_id", "id")
-    graft.ops.VectorQuant.writeCodesBucketed(codes, tbl, buckets, parts)
+    graft.ops.VectorQuant.writeCodesBucketed(codes, tbl, buckets, parts,
+      location = Some(bucketedCodesDataPath))
     writeBucketMarker(tbl, buckets, parts,
       metaCache.table_versions(KbStore.IvfPqCodesTable))
   }
 
-  /** The mirror table name iff it exists and reflects exactly the
-    * current codes version — anything else (never built, store
-    * mutated since, catalog dropped) is None and callers fall back. */
+  /** Catalog registration survives sessions by re-declaration, not by
+    * rewrite: when the marker names the current codes version but this
+    * session's (in-memory) catalog has never heard of the table — a
+    * fresh session opening a store whose mirror a PRIOR session built —
+    * the existing external files are re-registered as a bucketed table
+    * (CREATE TABLE ... CLUSTERED BY, plus partition recovery for a
+    * sharded layout). O(metadata), not O(codes): "pay the layout once
+    * per build" holds across sessions. Returns whether the table is
+    * usable afterwards.
+    */
+  private def ensureMirrorRegistered(tbl: String, buckets: Int,
+      parts: Int): Boolean = {
+    if (spark.catalog.tableExists(tbl)) return true
+    val dir = Paths.get(bucketedCodesDataPath)
+    if (!Files.isDirectory(dir)) return false // pre-external-layout marker
+    try {
+      val ppCol = if (parts > 0) ", pp BIGINT" else ""
+      val partBy = if (parts > 0) "PARTITIONED BY (pp) " else ""
+      spark.sql(
+        s"CREATE TABLE $tbl (cid BIGINT, id BIGINT, code BINARY$ppCol) " +
+          s"USING parquet $partBy" +
+          s"CLUSTERED BY (cid) INTO $buckets BUCKETS " +
+          s"LOCATION '${dir.toUri}'")
+      if (parts > 0) spark.sql(s"MSCK REPAIR TABLE $tbl")
+      true
+    } catch { case _: Exception => false }
+  }
+
+  /** The mirror table name iff it exists (or can be re-registered from
+    * its external files) and reflects exactly the current codes
+    * version — anything else (never built, store mutated since) is
+    * None and callers fall back. */
   private def currentBucketedCodesTable: Option[String] =
-    readBucketMarker().collect {
-      case (tbl, _, _, v)
-        if metaCache.table_versions.get(KbStore.IvfPqCodesTable)
-            .contains(v) && spark.catalog.tableExists(tbl) => tbl
+    readBucketMarker().flatMap { case (tbl, b, parts, v) =>
+      if (metaCache.table_versions.get(KbStore.IvfPqCodesTable).contains(v)
+          && ensureMirrorRegistered(tbl, b, parts)) Some(tbl)
+      else None
     }
 
   /** Batch compressed k-NN JOIN against the persisted IVF-PQ tier:
@@ -2022,6 +2061,11 @@ final class KbStore private (
       if (!liveCodes) {
         try spark.sql(s"DROP TABLE IF EXISTS $tbl")
         catch { case _: Exception => () }
+        // the table is EXTERNAL (files under the store dir survive the
+        // DROP) — reclaim the data files too
+        try KbStore.deleteRecursively(Paths.get(bucketedCodesDataPath))
+        catch { case _: java.io.IOException |
+                     _: java.io.UncheckedIOException => () }
         try Files.deleteIfExists(bucketMarkerPath)
         catch { case _: java.io.IOException => () }
       }

@@ -729,20 +729,25 @@ object VectorQuant {
     * multiple of) the cluster's shuffle parallelism.
     */
   def writeCodesBucketed(codes: DataFrame, table: String,
-      buckets: Int = 32, parts: Int = 0): Unit = {
+      buckets: Int = 32, parts: Int = 0,
+      location: Option[String] = None): Unit = {
     // parts > 0 additionally DIRECTORY-partitions the table by a
     // cid-derived shard (`pp = pmod(cid, parts)`): bucketing still
     // reports HashPartitioning(cid) to the planner (Spark groups each
     // bucket's files across partition dirs into one task), and a
     // maintenance pass can dynamic-partition-overwrite ONLY the shards
     // whose lists changed — O(changed shards), not O(codes)
-    // (BucketedOverwriteSpec pins both properties)
+    // (BucketedOverwriteSpec pins both properties). `location` makes
+    // the table EXTERNAL at that path, so a later session whose
+    // in-memory catalog forgot the registration can re-declare the
+    // same files instead of paying the O(codes) rewrite again.
     val base = codes.select(col("cid"), col("id"), col("code"))
-    val w =
+    val w0 =
       if (parts > 0)
         base.withColumn("pp", pmod(col("cid"), lit(parts.toLong)))
           .write.partitionBy("pp")
       else base.write
+    val w = location.fold(w0)(w0.option("path", _))
     w.mode("overwrite")
       .bucketBy(buckets, "cid")
       .format("parquet")

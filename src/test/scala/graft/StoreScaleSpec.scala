@@ -1035,6 +1035,78 @@ class StoreScaleSpec extends SparkSpec {
     kb.close()
   }
 
+  test("bucketed mirror registration survives sessions: a fresh catalog " +
+      "re-declares the external files instead of rebuilding O(codes)") {
+    import graft.core.Embeddings.EmbeddingProvider
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val path = freshPath()
+    val kb = KbStore.create(spark, path, Map())
+    val p = new EmbeddingProvider {
+      def name = "hashvec"; def dim = 8
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val rnd = new java.util.Random(t.hashCode.toLong)
+        val v = Array.fill(8)(rnd.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+    kb.bulkAddDocs(p) { a =>
+      (0 until 120).foreach(i => a.add(s"document number $i"))
+    }
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    kb.bucketPqCodes(buckets = 4)
+    // the mirror's files live under the STORE, not the warehouse
+    assert(Files.isDirectory(Paths.get(s"$path/_pq_codes_data")),
+      "mirror data must be external, inside the store directory")
+    val queries = kb.embeddings.toDF()
+      .where(col("id") < 10).select(col("id"), col("vec"))
+    val expected = kb.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+    // simulate a fresh session's in-memory catalog: drop the table
+    // registration (external → the files survive) and record the data
+    // dir's file listing so a rebuild would be visible
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    val tbl = "graft_pq_codes_" + md.take(6).map("%02x".format(_)).mkString
+    def dataFiles(): Set[String] = {
+      val walk = Files.walk(Paths.get(s"$path/_pq_codes_data"))
+      try {
+        val b = Set.newBuilder[String]
+        walk.forEach(f => if (Files.isRegularFile(f)) b += f.toString)
+        b.result()
+      } finally walk.close()
+    }
+    val filesBefore = dataFiles()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    assert(Files.isDirectory(Paths.get(s"$path/_pq_codes_data")),
+      "dropping the catalog entry must not delete the external files")
+
+    // a second store handle (same JVM, catalog now ignorant of the
+    // table): pqKnnJoin must re-register — NOT rebuild — and keep the
+    // exchange-free custom path with identical results
+    val kb2 = KbStore.open(spark, path)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q2 = kb2.pqKnnJoin(queries, k = 3, nProbe = 4, rerank = 500)
+      val plan = q2.queryExecution.executedPlan
+      val adc = plan.collectFirst { case a: graft.plans.AdcCodesJoinExec => a }
+        .getOrElse(fail(s"re-registered mirror must plan AdcCodesJoin:\n$plan"))
+      assert(adc.right.collect { case _: ShuffleExchangeExec => 1 }.isEmpty,
+        s"re-registered codes side must stay exchange-free:\n${adc.right}")
+      val got = q2.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(got == expected)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(dataFiles() == filesBefore,
+      "re-registration must be O(metadata): no data file may be rewritten")
+    kb2.close(); kb.close()
+  }
+
   test("a mirror stale BEFORE a compact or refresh is never promoted: " +
       "compact drops its marker, refresh full-rebuilds it") {
     import graft.core.Embeddings.EmbeddingProvider
