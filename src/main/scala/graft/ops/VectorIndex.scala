@@ -70,6 +70,27 @@ final class VectorIndex private (
 
   def unpersist(): Unit = { blocks.unpersist(); localBlocks = None }
 
+  /** Fraction of the persisted blocks' bytes resident in executor
+    * MEMORY (vs spilled to disk under pool pressure, or not cached at
+    * all). 1.0 for driver-local indexes. A warm-query benchmark point
+    * is only meaningful when this is ~1.0 — a partially-evicted matrix
+    * measures the disk, not the scan (the r8 `svs_warm_1m` lesson).
+    */
+  def memoryResidency(): Double = localBlocks match {
+    case Some(_) => 1.0
+    case None =>
+      blocks.sparkContext.getRDDStorageInfo.find(_.id == blocks.id) match {
+        case Some(info) if info.numPartitions > 0 =>
+          val cachedFrac =
+            info.numCachedPartitions.toDouble / info.numPartitions
+          val bytes = info.memSize + info.diskSize
+          val memFrac =
+            if (bytes > 0) info.memSize.toDouble / bytes else 0.0
+          cachedFrac * memFrac
+        case _ => 0.0
+      }
+  }
+
   /** Exact top-k by dot product (cosine under the unit-norm invariant). */
   def topK(query: Array[Float], k: Int): Seq[(Long, Double)] = {
     if (k <= 0) return Seq.empty
