@@ -30,8 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 40g: the 1M bench points hold two ~6.3GB cached corpora (raw +
-  // bucketed/coded twin) at once; at 28g the unified pool evicted the
-  // second cache mid-point and the "warm" joins re-read from disk
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
+  // 64g: the 1M bench ladder holds two ~6.3GB cached working sets
+  // (raw corpus + the flattened IVF assignment) at once; at 40g the
+  // PROTECTED storage region is (40g-300m)*0.6*0.5 ≈ 12 GB and the
+  // 12.6 GB pair evicted each other under execution pressure — the
+  // indexed knn leg then measured disk (25 s) or memory (11 s)
+  // depending on which blocks survived. At 64g the protected region
+  // is ~19 GB and both stay resident. (At 28g even a single corpus
+  // plus its coded twin evicted mid-point.)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )
