@@ -815,7 +815,7 @@ object Bench {
     // disjoint merges (Bpe.bpeTrain scaladoc), exactly greedy-
     // equivalent (BpeSpec + the x15/x19 oracles pin it)
     try {
-      setup(60.0)
+      setup(5.0)
       val bpeDocs = Tables.t(spark, sfDirG, "documents")
       record("svs_bpe_train_1k", estS = 30.0, reps = 1) {
         graft.ops.Bpe.bpeTrain(bpeDocs, numMerges = 1000).count()
@@ -862,7 +862,11 @@ object Bench {
     * query — only the corpus is bigger.
     */
   private def curationScalePoints(spark: SparkSession): Unit = {
-    setup(80.0)
+    // entry gate = synth gen + warmup + the 200k point only (~25 s
+    // healthy); the 2M point re-gates itself below. The r10d run
+    // skipped this whole section off an 80 s entry estimate when the
+    // section's true cost was ~35 s
+    setup(25.0)
     def run(n: Long): Unit = {
       import org.apache.spark.sql.expressions.Window
       val docs = syntheticDocs(spark, n)
@@ -885,8 +889,8 @@ object Bench {
     }
     run(20000L) // untimed JIT/codegen warmup of the composed shape
     record("svs_curation_200k", estS = 8.0, reps = 1) { run(200000L) }
-    setup(60.0)
-    record("svs_curation_2m", estS = 45.0, reps = 1) { run(2000000L) }
+    setup(15.0)
+    record("svs_curation_2m", estS = 25.0, reps = 1) { run(2000000L) }
   }
 
   /** Synthetic JPEG corpus (in-JVM javax.imageio encode, untimed) +

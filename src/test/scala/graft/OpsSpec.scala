@@ -955,12 +955,16 @@ class OpsSpec extends SparkSpec {
 
   test("repetition ratio: multiset bigram share of the top bigram") {
     import spark.implicits._
-    val d = Seq((1L, "a b a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val d = Seq((1L, "a b a b a b"), (2L, "x y z"),
+      (3L, "solo")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionRatio(d, k = 2).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // "a b a b a b": 5 bigrams, "a b" x3 -> 0.6 (multiset, not set)
     assert(out(1L) == (5L, 0.6))
     assert(out(2L) == (2L, 0.5))
+    // a doc with fewer than k tokens has no n-grams and no row (the
+    // contract the per-row rewrite must preserve)
+    assert(!out.contains(3L))
   }
 
   test("vocab heavy hitters and tfidf keywords") {
