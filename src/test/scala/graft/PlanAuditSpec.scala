@@ -53,7 +53,10 @@ class PlanAuditSpec extends SparkSpec {
     "v1_retrieve_topk" -> 4,
     "j3_pairwise_topk" -> 1,
     "j3b_pairwise_blocked" -> 0,
-    "x11_repetition" -> 4,
+    // r10: per-row UDF rewrite — the exchanges left are the loader's
+    // round-robin spread of the single-file table and the final ORDER
+    // BY's range partitioning; a reappearing n-gram shuffle fails here
+    "x11_repetition" -> 2,
     "x23_zorder" -> 1,
     "x5_dup_ngram_fraction" -> 5,
     "d2_minhash_lsh" -> 4,
