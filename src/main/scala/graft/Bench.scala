@@ -620,22 +620,25 @@ object Bench {
       // always had indexed < pq; the bucketed leg's claim is
       // structural — exchange elision — its time ≈ pq). A rung
       // recorded ABOVE the baseline absorbed contention both cycles
-      // (the r8 inversion): retry the single WORST such rung (r10:
-      // retrying every out-of-order rung cost ~135 s on a day when
-      // the cause was one lucky baseline min, and a min-published
-      // baseline can only go DOWN on a re-run — one targeted retry
-      // buys the same information).
+      // (the r8 inversion): retry such rungs one at a time in
+      // severity order, each gated by the remaining budget (timeLeg's
+      // own gate unwinds the ladder when it runs out) — on a tight
+      // run only the worst rung gets its retry; on a budget-rich run
+      // every out-of-order rung does (r10: a run that finished with
+      // 53 s unused published a 2-rep bucketed rung whose both reps
+      // sat in one CPU-contended window, because the single-retry
+      // policy had spent its shot on the indexed leg).
       val baseline = "svs_knn_join_1m"
       val rungs = Seq("svs_knn_join_indexed_1m", "svs_knn_join_pq_1m",
         "svs_knn_join_pq_bucketed_1m")
       if (legTimes(baseline).nonEmpty) {
-        val over = rungs.filter(r =>
-          legTimes(r).nonEmpty &&
+        rungs.filter(r => legTimes(r).nonEmpty &&
             legTimes(r).min > legTimes(baseline).min)
-        if (over.nonEmpty) {
-          val worst = over.maxBy(r => legTimes(r).min / legEst(r))
-          runCycle(Set(worst))
-        }
+          .sortBy(r => -(legTimes(r).min / legEst(r)))
+          .foreach { r =>
+            if (legTimes(r).min > legTimes(baseline).min)
+              runCycle(Set(r))
+          }
       }
     } catch { case _: BudgetUp =>
       addSkip(s"(budget reached at ${f"$elapsedS%.0f"}s — remaining ladder reps not run)")
@@ -1037,7 +1040,7 @@ object Bench {
   private def notesJson(): String = Seq(
     "ordering" -> "r10: io probe, then the cheap protocol points (10k, load-docs), then the FULL part-1 inventory single-rep, then the 1M protocol + the interleaved knn ladder, then compressed tiers, curation/z-order/bpe/image (curation first — the one design point never yet in a driver record), the pairs/neardup sweeps last, and a part-1 median upgrade if budget remains — so one driver run certifies BOTH the inventory and the ladder (r7 clipped the ladder, r8 clipped part-1)",
     "provenance" -> "every recorded point carries {reps, calib-at-measurement} in BENCH_FULL's provenance map (warm points add the index's memory-residency fraction): single-rep points on a calib>2 day are weather-limited and marked as such by their own record",
-    "ladder" -> "the four knn-ladder legs run their reps INTERLEAVED round-robin (A,B,C,D,A,B,C,D; published value = min per leg) so IO-contention drift lands on all legs equally instead of mapping onto ladder position (r8's sequential min-of-2 degraded to single-shot under budget pressure and published an inverted ladder); the single WORST amortized rung still recorded above the plain baseline after two cycles gets one targeted retry cycle (indexed vs pq carry no claimed order — pq's claim is the 96 B/vector footprint, not being fastest); the indexed leg's derived layout is built ONCE before cycle 1 (untimed index maintenance) and held storage-pool resident across cycles — every rep stamps the pool's memory-residency fraction into provenance, so a spill-poisoned rep is visible in its own record",
+    "ladder" -> "the four knn-ladder legs run their reps INTERLEAVED round-robin (A,B,C,D,A,B,C,D; published value = min per leg) so IO-contention drift lands on all legs equally instead of mapping onto ladder position (r8's sequential min-of-2 degraded to single-shot under budget pressure and published an inverted ladder); amortized rungs still recorded above the plain baseline after two cycles get one targeted retry cycle each, worst first, every retry gated by the remaining budget (indexed vs pq carry no claimed order — pq's claim is the 96 B/vector footprint, not being fastest); the indexed leg's derived layout is built ONCE before cycle 1 (untimed index maintenance) and held storage-pool resident across cycles — every rep stamps the pool's memory-residency fraction into provenance, so a spill-poisoned rep is visible in its own record",
     "noise" -> s"part-1 queries record single-shot EARLY, then upgrade to medians of $repsG when budget remains (the upgrade replaces value + provenance); part-2 points on persisted state are medians of up to 3 under a 20s rule; cold/load stay single-shot (rerunning those would measure the page cache). The whole run fits SPARK_GRAFT_BENCH_BUDGET_S (default 1380s): points that would overflow are listed in `skipped`, never silently dropped; per-point estimates rescale by `calib` (median measured/expected vs the recorded healthy run)",
     "svs_io_probe_read" -> "fixed-size IO calibration: ~1 GB uncompressed parquet written from cache then read with the page cache dropped; the ratio vs the recorded healthy run seeds the budget estimator, and the pair attributes any run-to-run delta on disk-bound points to environment vs code (r7: same-tree svs_build_1m measured 299s vs 61s purely from IO contention)",
     "svs_build_10k" -> "writes the full packed-f32 vector store; no published counterpart (the reference folds this into its ~2h embed phase; its 0.07s fn2 number is text-only -> compare svs_load_docs_10k)",
