@@ -1624,7 +1624,18 @@ final class KbStore private (
           s"LOCATION '${dir.toUri}'")
       if (parts > 0) spark.sql(s"MSCK REPAIR TABLE $tbl")
       true
-    } catch { case _: Exception => false }
+    } catch { case e: Exception =>
+      // two sessions racing the CREATE TABLE: the loser's exception does
+      // not mean the table is unusable — the winner just registered it.
+      // Re-check before conceding, so the loser serves the bucketed path
+      // instead of silently falling back to the plain kernel.
+      val nowExists =
+        try spark.catalog.tableExists(tbl) catch { case _: Exception => false }
+      if (!nowExists)
+        Console.err.println(
+          s"[graft] bucketed-mirror re-registration of $tbl failed: $e")
+      nowExists
+    }
   }
 
   /** The mirror table name iff it exists (or can be re-registered from
@@ -1931,7 +1942,22 @@ final class KbStore private (
         metaCache.table_versions.get(KbStore.IvfPqCodesTable).foreach { nv =>
           if (preCodesVersion.contains(v)) {
             if (nv != v) writeBucketMarker(tbl, b, parts, nv)
-          } else Files.deleteIfExists(bucketMarkerPath)
+          } else {
+            // stale marker: drop the WHOLE mirror like vacuum does —
+            // marker alone would orphan the external _pq_codes_data
+            // files and leave a dead catalog registration (vacuum's
+            // reclaim is keyed on the marker existing, so the bytes
+            // would leak until the next bucketPqCodes overwrite).
+            // Best-effort throughout: the compact commit already
+            // succeeded, and a cleanup IOException must not undo that.
+            try spark.sql(s"DROP TABLE IF EXISTS $tbl")
+            catch { case _: Exception => () }
+            try KbStore.deleteRecursively(Paths.get(bucketedCodesDataPath))
+            catch { case _: java.io.IOException |
+                         _: java.io.UncheckedIOException => () }
+            try Files.deleteIfExists(bucketMarkerPath)
+            catch { case _: java.io.IOException => () }
+          }
         }
       }
   }

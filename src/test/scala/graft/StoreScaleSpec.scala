@@ -1152,6 +1152,18 @@ class StoreScaleSpec extends SparkSpec {
     kb.compact()
     assert(!Files.exists(markerPath),
       "compact must drop a marker that predates the codes version")
+    // r10 ADVICE: the stale-drop must reclaim the WHOLE mirror like
+    // vacuum does — marker alone would orphan the external data files
+    // (vacuum's reclaim is keyed on the marker existing) and leave a
+    // dead catalog registration
+    assert(!Files.exists(Paths.get(s"$path/_pq_codes_data")),
+      "compact's stale-drop must reclaim the mirror's external data files")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    val tblName = "graft_pq_codes_" +
+      md5.take(6).map("%02x".format(_)).mkString
+    assert(!spark.catalog.tableExists(tblName),
+      "compact's stale-drop must drop the mirror's catalog table")
     val queries = kb.embeddings.toDF()
       .where(col("id") < 10).select(col("id"), col("vec"))
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -11,8 +11,15 @@ ENGINE side completes them; the naive-SQL twin cannot. A timeout is
 recorded as `match: null` with that explanation, not as a failure.
 
 Usage: python3 tools/bigsf_gate.py [sfDir] [verifyOut] [sidecarPath]
+                                   [twinJson]
 (expects `sbt "runMain graft.Verify <sfDir> <verifyOut> <names>"` to
 have been run first — this script only does the DuckDB compare.)
+
+twinJson (r11): path to the JSON written by `runMain graft.TwinGate`
+— the engine-side brute-force twin verdicts for the queries whose
+naive-SQL oracle cannot finish at x10 (d4/d6/d9). Names present there
+are decided by the twin instead of DuckDB, so the sidecar carries
+12/12 decided rows instead of oracle-timeouts.
 """
 import json
 import multiprocessing as mp
@@ -68,8 +75,25 @@ def one(name, sql, q):
 
 def main():
     osql = json.load(open(f"{OUT}/oracle_sql.json"))
+    twin = {}
+    if len(sys.argv) > 4 and os.path.exists(sys.argv[4]):
+        twin = json.load(open(sys.argv[4]))
     res = {}
     for name in sorted(osql):
+        if name in twin:
+            t = dict(twin[name])
+            t.setdefault(
+                "detail",
+                "decided by the engine-side brute-force twin "
+                "(graft.TwinGate: UDF shingling + full posting-list "
+                "candidate join + exact verify; d6 via driver-side "
+                "union-find) — the naive DuckDB CTE is quadratic in "
+                "the replicated duplicate-group size and infeasible "
+                "at x10")
+            res[name] = t
+            print(f"TWIN {'OK' if t.get('match') else 'FAIL'} {name} "
+                  f"{t.get('rows', '?')} rows", flush=True)
+            continue
         q = mp.Queue()
         t0 = time.time()
         p = mp.Process(target=one, args=(name, osql[name], q))
@@ -101,7 +125,10 @@ def main():
                     "x10, customer/orders/lineitem x4 of sf0.1 via "
                     "tools/make_bigsf.py) for the most expensive inventory "
                     "queries — catches tolerance/rounding drift that only "
-                    "appears at larger row counts"),
+                    "appears at larger row counts; queries whose naive-SQL "
+                    "twin is quadratic in duplicate-group size (d4/d6/d9) "
+                    "are decided by the engine-side brute-force twin "
+                    "(graft.TwinGate) instead of DuckDB"),
         "sf_dir": SF,
         "summary": summary,
         "queries": res,
