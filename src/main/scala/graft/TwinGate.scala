@@ -15,11 +15,15 @@ import org.apache.spark.sql.types.DoubleType
   * semantics (reference pair ordering: `util.py:206-233`):
   *   - shingling by a plain Scala UDF (no codegen'd sequence/element_at
   *     pipeline, no posting dedup tricks);
-  *   - candidates from the FULL posting-list equi-join — any pair
-  *     sharing ≥1 shingle (lossless for J ≥ θ > 0, and a strict
-  *     superset of the engine's prefix-filtered candidates);
-  *   - exact Jaccard by a set-intersection UDF, rounded like the
-  *     engine (round half-up, 6 dp);
+  *   - the FULL posting-list equi-join — every co-occurrence of a
+  *     shingle in two docs is one row (lossless for J ≥ θ > 0, and a
+  *     strict superset of the engine's prefix-filtered candidates);
+  *   - Jaccard by COUNTING: |I| = the per-pair row count of that join,
+  *     |U| = |A| + |B| − |I| from the per-doc set sizes — the join
+  *     ships 16-byte id pairs, never the shingle arrays (an
+  *     array-shipping verify at ×10 is ~10⁸ pairs × ~3 KB of strings:
+  *     it spilled a first attempt to death), rounded like the engine
+  *     (round half-up, 6 dp);
   *   - d6's components by DRIVER-SIDE union-find over the verified
   *     pair list (no large-star/small-star iteration).
   *
@@ -63,47 +67,40 @@ object TwinGate {
         out.toArray
       }
     })
-    val jac = udf((a: Seq[String], b: Seq[String]) => {
-      val sa = a.toSet
-      var inter = 0
-      b.foreach(s => if (sa.contains(s)) inter += 1)
-      val union = sa.size + b.toSet.size - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    })
-
     val sh = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
       .persist()
     sh.count()
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
 
-    // ---- d4 twin: all pairs sharing a shingle, exact verify ----
-    val cands = posts.alias("a")
+    // |I| per pair = row count of the full posting equi-join; |U| from
+    // the per-doc set sizes. jaccard = |I| / (|A| + |B| - |I|).
+    def jaccardPairs(inter: DataFrame): DataFrame = inter
+      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")),
+        "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")),
+        "doc2")
+      .select(col("doc1"), col("doc2"),
+        round(col("i") / (col("sz1") + col("sz2") - col("i")), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+
+    // ---- d4 twin: all pairs sharing a shingle, counted exactly ----
+    val d4Twin = jaccardPairs(posts.alias("a")
       .join(posts.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-    val d4Twin = cands
-      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-      .select(col("doc1"), col("doc2"),
-        round(jac(col("sh1"), col("sh2")), 6).as("jaccard"))
-      .where(col("jaccard") >= 0.5)
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("i")))
       .persist()
     d4Twin.count()
 
     // ---- d9 twin: cross-corpus (even = train, odd = test) best match
     val postsTr = posts.where(col("doc_id") % 2 === 0)
     val postsTe = posts.where(col("doc_id") % 2 === 1)
-    val xcands = postsTr.alias("a")
+    val xscored = jaccardPairs(postsTr.alias("a")
       .join(postsTe.alias("b"), col("a.s") === col("b.s"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-    val xscored = xcands
-      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-      .select(col("doc1"), col("doc2"),
-        round(jac(col("sh1"), col("sh2")), 6).as("jaccard"))
-      .where(col("jaccard") >= 0.5)
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("i")))
     // best train match per test doc; ties on the max take the smallest
     // train id — max(struct(jaccard, -doc1)) encodes both in one agg
     val d9Twin = xscored
