@@ -835,7 +835,12 @@ object Bench {
         .persist(StorageLevel.MEMORY_AND_DISK)
       queries10k.count()
       ensureCorpus()
-      record("svs_knn_join_1m", estS = 24.0) {
+      // longRepS raised past this point's KNOWN bimodal-high mode
+      // (r10 driver 69.9 s vs 28.4 s clean; r11-a2 86.2 s vs 15.9 s in
+      // a worse-calib run the same day, cpu_run 0.91 both — allocation
+      // pressure, not the operator): a pathological first rep must not
+      // be published alone when the budget can afford companions
+      record("svs_knn_join_1m", estS = 20.0, longRepS = 100.0) {
         graft.ops.SimilaritySearch.knnJoinIvfPacked(
           queries10k, corpus1m, cents2, k = 10, nProbe = 4)
           .write.format("noop").mode("overwrite").save()
