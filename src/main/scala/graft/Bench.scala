@@ -172,18 +172,20 @@ object Bench {
     // of probe count (the blocked kernel's pair flops are the cheap
     // part), so they sit near their 10k twins; only the code-shuffling
     // pq legs scale with the probe side
-    "svs_knn_join_1m" -> 20.0,
+    "svs_knn_join_1m" -> 28.0,
     "svs_knn2k_plain_1m" -> 16.0,
-    "svs_knn2k_indexed_1m" -> 10.0,
-    "svs_knn2k_pq_1m" -> 7.0,
-    "svs_knn2k_pq_bucketed_1m" -> 7.0,
+    "svs_knn2k_indexed_1m" -> 5.0,
+    "svs_knn2k_pq_1m" -> 6.0,
+    "svs_knn2k_pq_bucketed_1m" -> 8.0,
     "svs_pairs_1m" -> 24.0,
     "svs_neardup_1m" -> 23.0,
-    "svs_ivf_build_1m" -> 5.7,
+    "svs_ivf_build_1m" -> 7.0,
     "svs_pq_encode_1m" -> 28.0,
     "svs_zorder_write_6m" -> 6.0,
     "svs_bpe_train_1k" -> 28.0,
-    "svs_image_neardup_100k" -> 25.0)
+    "svs_image_neardup_100k" -> 40.0,
+    "svs_curation_2m" -> 25.0,
+    "svs_stream_ingest" -> 75.0)
 
   /** measured/expected ratios of completed points (expected ≥ 1 s),
     * tagged by point name so a RE-probe can retract the original
@@ -670,9 +672,9 @@ object Bench {
       "svs_knn2k_pq_bucketed_1m" -> scala.collection.mutable.ArrayBuffer[Double]())
     val legEst = Map(
       "svs_knn2k_plain_1m" -> 16.0,
-      "svs_knn2k_indexed_1m" -> 10.0,
-      "svs_knn2k_pq_1m" -> 8.0,
-      "svs_knn2k_pq_bucketed_1m" -> 8.0)
+      "svs_knn2k_indexed_1m" -> 6.0,
+      "svs_knn2k_pq_1m" -> 7.0,
+      "svs_knn2k_pq_bucketed_1m" -> 9.0)
 
     // leg B's persisted assignment — own gate like the pq prep
     var idxReady = false
@@ -840,7 +842,7 @@ object Bench {
       // a worse-calib run the same day, cpu_run 0.91 both — allocation
       // pressure, not the operator): a pathological first rep must not
       // be published alone when the budget can afford companions
-      record("svs_knn_join_1m", estS = 20.0, longRepS = 100.0) {
+      record("svs_knn_join_1m", estS = 20.0, longRepS = 150.0) {
         graft.ops.SimilaritySearch.knnJoinIvfPacked(
           queries10k, corpus1m, cents2, k = 10, nProbe = 4)
           .write.format("noop").mode("overwrite").save()
@@ -1140,11 +1142,11 @@ object Bench {
   }
 
   /** Streaming store ingest throughput (r10 verdict item 6): a seeded
-    * store with live ANN + lexical index maintenance drains 8 × 500-doc
+    * store with live ANN + lexical index maintenance drains 6 × 500-doc
     * micro-batches through [[graft.streaming.StreamingIngest
     * .startStoreIngest]] — each batch is one atomic commit (embed →
     * pack → docs+embeddings delta write) followed by O(batch)
-    * incremental index refreshes. docs/s = 4000 / the recorded value.
+    * incremental index refreshes. docs/s = 3000 / the recorded value.
     * Seed + index builds + one warmup batch are untimed (store
     * maintenance a deployment amortizes; the first batch pays
     * foreachBatch/codegen JIT).
@@ -1197,9 +1199,9 @@ object Bench {
     try {
       stream.addData(batchTexts(0)) // untimed warmup micro-batch
       q.processAllAvailable()
-      setup(40.0)
-      record("svs_stream_ingest", estS = 30.0, reps = 1) {
-        (1 to 8).foreach { b =>
+      setup(80.0)
+      record("svs_stream_ingest", estS = 75.0, reps = 1) {
+        (1 to 6).foreach { b =>
           stream.addData(batchTexts(b))
           q.processAllAvailable()
         }
@@ -1358,7 +1360,7 @@ object Bench {
     "svs_bpe_train_1k" -> "batched greedy-equivalent BPE training, 1000 merges over the sfDir documents corpus: ~2 distributed jobs per pass of pairwise-disjoint merges instead of 1 job per merge (the r7 scale caveat, fixed); no published counterpart",
     "svs_curation_2m" -> "the x12 curation COMPOSITION (Gopher rules AND exact-dup representative AND quality>median) over 2M synthetic ~1200-char docs, with svs_curation_200k the same pipeline at 1/10 the rows: the pair certifies the composed pipeline scales ~linearly (three keyed/narrow stages, median as a broadcast scalar), not just its pieces; no published counterpart",
     "svs_curation_sf1" -> "the same x12 composition over REAL corpus text at sf1 scale: the sfDir documents table key-offset-replicated x10 (ids +1e6/copy, the tools/make_bigsf.py convention — no sf1 parquet exists in this environment), with svs_curation_sf01 the un-replicated sf0.1 table for the ~10x ratio; restates the synthetic 200k->2M linearity claim on real data; no published counterpart",
-    "svs_stream_ingest" -> "streaming store ingest with LIVE index upkeep: 8 x 500-doc micro-batches drained through startStoreIngest(maintainIndex=true) against a 20k-doc seeded store with ANN + lexical indexes built — each micro-batch is one atomic commit (embed, pack, docs+embeddings delta write) plus O(batch) incremental ANN and text refreshes; docs/s = 4000/value; seed, index builds and one warmup batch untimed; no published counterpart (the reference has no streaming path)",
+    "svs_stream_ingest" -> "streaming store ingest with LIVE index upkeep: 6 x 500-doc micro-batches drained through startStoreIngest(maintainIndex=true) against a 20k-doc seeded store with ANN + lexical indexes built — each micro-batch is one atomic commit (embed, pack, docs+embeddings delta write) plus O(batch) incremental ANN and text refreshes; docs/s = 3000/value (a4: ~13 s/micro-batch = commit + ann refresh + text refresh, each a versioned-table write; high-frequency deployments batch refreshes instead — maintainIndex=false + periodic refresh, per the startStoreIngest scaladoc); seed, index builds and one warmup batch untimed; no published counterpart (the reference has no streaming path)",
     "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
     "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
     "svs_cold_1m" -> "single-shot read-from-DISK retrieve: the OS page cache is sync+dropped first (privileged container) so the number measures disk, not the cache echo of the store written moments earlier; where the drop is not permitted the number degrades to a cache-warm read and this note is the caveat",
