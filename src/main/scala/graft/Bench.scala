@@ -820,6 +820,21 @@ object Bench {
             }
           }
       }
+      // absolute-sanity retries: a leg whose published min still sits
+      // >2× its healthy expectation after two cycles was measured
+      // inside a contention wave even when the ORDERING survived (the
+      // r11-a3 run published a vacuously-monotone ladder whose plain
+      // baseline was itself 3× inflated). One more budget-gated sample
+      // each, worst-first, under the same design-section protection.
+      legTimes.keys.toSeq
+        .filter(r => availableLegs(r) && legTimes(r).nonEmpty &&
+          expectedS.get(r).exists(e => legTimes(r).min > 2 * e))
+        .sortBy(r => -(legTimes(r).min / legEst(r)))
+        .foreach { r =>
+          if (remainS > (designCostS + legEst(r)) * calib + ReserveS)
+            runCycle(Set(r))
+          else addSkip(s"(ladder value retry of $r skipped to protect design-section coverage)")
+        }
     } catch { case _: BudgetUp =>
       addSkip(s"(budget reached at ${f"$elapsedS%.0f"}s — remaining ladder reps not run)")
     } finally {
