@@ -853,10 +853,12 @@ object Bench {
       queries10k.count()
       ensureCorpus()
       // longRepS raised past this point's KNOWN bimodal-high mode
-      // (r10 driver 69.9 s vs 28.4 s clean; r11-a2 86.2 s vs 15.9 s in
-      // a worse-calib run the same day, cpu_run 0.91 both — allocation
-      // pressure, not the operator): a pathological first rep must not
-      // be published alone when the budget can afford companions
+      // (r10 driver 69.9 s vs 28.4 s clean; r11 86-110 s vs 15.9-21 s
+      // same-day, cpu_run ~0.95 both modes — ProfileKnnBimodal pins
+      // the cause as hypervisor CPU-steal waves that inflate thread
+      // CPU itself, so neither cpu_run nor residency can flag them):
+      // a pathological first rep must not be published alone when the
+      // budget can afford companions
       record("svs_knn_join_1m", estS = 20.0, longRepS = 150.0) {
         graft.ops.SimilaritySearch.knnJoinIvfPacked(
           queries10k, corpus1m, cents2, k = 10, nProbe = 4)
@@ -1362,7 +1364,7 @@ object Bench {
     * BASELINE.md rows (and which have no published counterpart). */
   private def notesJson(): String = Seq(
     "ordering" -> "r11: io probe, then the cheap protocol points (10k, load-docs), then the FULL part-1 inventory single-rep, then the 1M protocol + the interleaved 2k-probe ORDERING ladder (two guaranteed cycles — their budget is RESERVED from the moment the part-1 sweep starts, stepped down at each spine milestone), then the 10k absolute plain knn leg, then compressed tiers, curation (incl. real sf0.1/sf1-scale corpus points), z-order, bpe, image, streaming ingest, the pairs/neardup sweeps last, and a part-1 median upgrade if budget remains. Ladder RETRIES only run when the remaining budget also covers every design section not yet recorded — budget death hits retries, never first-time coverage",
-    "provenance" -> "every recorded point carries {reps, calib-at-measurement, cpu_run} in the record's provenance map (warm points and ladder legs add the working set's memory-residency fraction): single-rep points on a calib>2 day are weather-limited and marked as such by their own record. cpu_run = sum(task executorCpuTime)/sum(task executorRunTime) across the point's published rep(s) — ~1.0 means the tasks were on-CPU (a slow number is code or real work), <<1 means the executor threads were descheduled or IO-blocked (a slow number is environment/contention) — the in-record contention-vs-regression discriminator the r10 verdict asked for",
+    "provenance" -> "every recorded point carries {reps, calib-at-measurement, cpu_run} in the record's provenance map (warm points and ladder legs add the working set's memory-residency fraction): single-rep points on a calib>2 day are weather-limited and marked as such by their own record. cpu_run = sum(task executorCpuTime)/sum(task executorRunTime) across the point's published rep(s) — <<1 means the executor threads were descheduled or IO-blocked (a slow number is environment/contention, e.g. this record's warm-1M); ~1.0 means the tasks were on-CPU, which is EITHER real work or this VM's second contention mode, hypervisor CPU steal, which inflates thread CPU itself and is invisible to every guest-side counter (ProfileKnnBimodal pins it: identical back-to-back calls burning 2.5x the cpu-seconds with zero GC; /proc/stat shows hours of steal arriving in waves) — hence median-of-reps and the interleaved ladder rather than any single-shot number",
     "ladder" -> "the four knn-ladder legs (svs_knn2k_*) run 2000 probes against the SAME 1M x d1536 corpus, reps INTERLEAVED round-robin (A,B,C,D,A,B,C,D; published value = min per leg) so contention drift lands on all legs equally instead of mapping onto ladder position (r8/r10 published inverted orderings exactly that way). r11: the ladder certifies ORDERING at 2k probes — the amortization claim (every rung beats per-call assignment) is probe-count-invariant, and 2k legs are cheap enough that TWO full cycles fit even at calib 3, with their budget reserved before the part-1 sweep can eat it; the plain path also records once at 10k probes (svs_knn_join_1m) for the absolute magnitude. The ladder_monotone/ladder_cycles contract fields state the outcome explicitly. Out-of-order rungs get targeted retries, worst first, each gated on the budget still covering all unrecorded design sections. The indexed leg's derived layout is built ONCE before cycle 1 (untimed index maintenance) and held storage-pool resident across cycles; every rep stamps residency + cpu_run, so a spill- or contention-poisoned rep is visible in its own record",
     "noise" -> s"part-1 queries record single-shot EARLY, then upgrade to medians of $repsG when budget remains (the upgrade replaces value + provenance); part-2 points on persisted state are medians of up to 3 under a 20s rule; cold/load stay single-shot (rerunning those would measure the page cache). The whole run fits SPARK_GRAFT_BENCH_BUDGET_S (default 1380s): points that would overflow are listed in `skipped`, never silently dropped; per-point estimates rescale by `calib` (median measured/expected vs the recorded healthy run)",
     "svs_io_probe_read" -> "fixed-size IO calibration: ~1 GB uncompressed parquet written from cache then read with the page cache dropped; the ratio vs the recorded healthy run seeds the budget estimator, and the pair attributes any run-to-run delta on disk-bound points to environment vs code (r7: same-tree svs_build_1m measured 299s vs 61s purely from IO contention)",
