@@ -261,18 +261,35 @@ object Bench {
     if (avail < estS * calib + ReserveS) { addSkip(name); return }
     val cpu0 = cpuSnap()
     val first = timed(body)
+    val firstCpu = cpuRunRatio(cpu0)
     feedRatio(name, first)
     val more = reps > 1 && first < longRepS &&
       remainS - ReserveS - (if (spine) 0.0 else reservedS) >
         first * (reps - 1)
-    val (v, usedReps) =
+    // cpu_run is stamped PER REP and the published ratio is the median
+    // rep's (the rep whose time the record carries) — accumulating from
+    // before rep 1 across all reps would bake a JIT-heavy or contended
+    // first rep into the provenance of a median-published point
+    // (ADVICE r11; timeLeg already stamps the min rep's ratio)
+    val (v, usedReps, pubCpu) =
       if (more) {
-        val ts = (Seq(first) ++ (2 to reps).map(_ => timed(body))).sorted
-        val m = if (ts.size % 2 == 1) ts(ts.size / 2)
-                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
-        (m, ts.size)
-      } else (first, 1)
-    setProv(name, usedReps, residency, cpuRunRatio(cpu0))
+        val rest = (2 to reps).map { _ =>
+          val c0 = cpuSnap()
+          val t = timed(body)
+          (t, cpuRunRatio(c0))
+        }
+        val ts = ((first, firstCpu) +: rest).sortBy(_._1)
+        val (m, mc) =
+          if (ts.size % 2 == 1) ts(ts.size / 2)
+          else {
+            val (tl, cl) = ts(ts.size / 2 - 1)
+            val (th, ch) = ts(ts.size / 2)
+            ((tl + th) / 2,
+              for (a <- cl; b <- ch) yield (a + b) / 2)
+          }
+        (m, ts.size, mc)
+      } else (first, 1, firstCpu)
+    setProv(name, usedReps, residency, pubCpu)
     lock.synchronized { results(name) = v; writeFullLocked() }
   }
 

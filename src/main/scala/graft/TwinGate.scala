@@ -56,7 +56,12 @@ object TwinGate {
 
     // ---- elementary shingle sets (k = 3, single-space corpus contract)
     val shingleSet = udf((text: String) => {
-      val t = text.split(" ")
+      // limit -1: Java's default split DROPS trailing empty tokens while
+      // Spark's split(col, " ") keeps them — a doc with trailing spaces
+      // would otherwise shingle differently between twin and engine and
+      // produce spurious gate mismatches outside the single-space
+      // corpus contract
+      val t = text.split(" ", -1)
       if (t.length < 3) Array.empty[String]
       else {
         val out = new scala.collection.mutable.LinkedHashSet[String]

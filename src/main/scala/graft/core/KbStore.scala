@@ -1628,13 +1628,24 @@ final class KbStore private (
       // two sessions racing the CREATE TABLE: the loser's exception does
       // not mean the table is unusable — the winner just registered it.
       // Re-check before conceding, so the loser serves the bucketed path
-      // instead of silently falling back to the plain kernel.
+      // instead of silently falling back to the plain kernel. But
+      // table-exists alone is NOT usable for a partitioned layout: if
+      // our own MSCK threw after CREATE succeeded, or the racing winner
+      // created the table and hasn't finished ITS repair yet, the
+      // external table has zero registered partitions and the bucketed
+      // path would silently serve empty results — the one failure mode
+      // worse than the slow fallback. MSCK REPAIR is idempotent, so the
+      // re-check path runs it unconditionally and only vouches for the
+      // table if the repair lands too.
       val nowExists =
         try spark.catalog.tableExists(tbl) catch { case _: Exception => false }
-      if (!nowExists)
+      val usable = nowExists && (parts == 0 ||
+        (try { spark.sql(s"MSCK REPAIR TABLE $tbl"); true }
+         catch { case _: Exception => false }))
+      if (!usable)
         Console.err.println(
           s"[graft] bucketed-mirror re-registration of $tbl failed: $e")
-      nowExists
+      usable
     }
   }
 
@@ -1943,18 +1954,18 @@ final class KbStore private (
           if (preCodesVersion.contains(v)) {
             if (nv != v) writeBucketMarker(tbl, b, parts, nv)
           } else {
-            // stale marker: drop the WHOLE mirror like vacuum does —
-            // marker alone would orphan the external _pq_codes_data
-            // files and leave a dead catalog registration (vacuum's
-            // reclaim is keyed on the marker existing, so the bytes
-            // would leak until the next bucketPqCodes overwrite).
+            // stale marker: drop the marker + catalog entry so pqKnnJoin
+            // can never resolve the dead mirror, but LEAVE the external
+            // _pq_codes_data files for vacuum to reclaim — compact is a
+            // routine operation a reader may overlap, and a reader that
+            // resolved the (then-stale) mirror before this compact may
+            // still be mid-scan over those parquet files. Vacuum (an
+            // explicitly reader-free operation) sweeps the now-orphaned
+            // data dir: its mirror reclaim covers the marker-less case.
             // Best-effort throughout: the compact commit already
             // succeeded, and a cleanup IOException must not undo that.
             try spark.sql(s"DROP TABLE IF EXISTS $tbl")
             catch { case _: Exception => () }
-            try KbStore.deleteRecursively(Paths.get(bucketedCodesDataPath))
-            catch { case _: java.io.IOException |
-                         _: java.io.UncheckedIOException => () }
             try Files.deleteIfExists(bucketMarkerPath)
             catch { case _: java.io.IOException => () }
           }
@@ -2081,20 +2092,29 @@ final class KbStore private (
     // the marker's version, the catalog table is dead weight — drop it
     // with the marker (a current mirror is left alone). Best-effort,
     // like the rest of the sweep.
-    readBucketMarker().foreach { case (tbl, _, _, v) =>
-      val liveCodes = metaCache.table_versions
-        .get(KbStore.IvfPqCodesTable).contains(v)
-      if (!liveCodes) {
-        try spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        catch { case _: Exception => () }
-        // the table is EXTERNAL (files under the store dir survive the
-        // DROP) — reclaim the data files too
+    readBucketMarker() match {
+      case Some((tbl, _, _, v)) =>
+        val liveCodes = metaCache.table_versions
+          .get(KbStore.IvfPqCodesTable).contains(v)
+        if (!liveCodes) {
+          try spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          catch { case _: Exception => () }
+          // the table is EXTERNAL (files under the store dir survive the
+          // DROP) — reclaim the data files too
+          try KbStore.deleteRecursively(Paths.get(bucketedCodesDataPath))
+          catch { case _: java.io.IOException |
+                       _: java.io.UncheckedIOException => () }
+          try Files.deleteIfExists(bucketMarkerPath)
+          catch { case _: java.io.IOException => () }
+        }
+      case None =>
+        // marker-less data dir: a compact dropped a stale mirror's
+        // marker + catalog entry but (deliberately — in-flight readers)
+        // left the external files. Vacuum runs reader-free, so the
+        // orphaned bytes reclaim here.
         try KbStore.deleteRecursively(Paths.get(bucketedCodesDataPath))
         catch { case _: java.io.IOException |
                      _: java.io.UncheckedIOException => () }
-        try Files.deleteIfExists(bucketMarkerPath)
-        catch { case _: java.io.IOException => () }
-      }
     }
   }
 

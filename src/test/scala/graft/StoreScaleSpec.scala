@@ -1152,18 +1152,23 @@ class StoreScaleSpec extends SparkSpec {
     kb.compact()
     assert(!Files.exists(markerPath),
       "compact must drop a marker that predates the codes version")
-    // r10 ADVICE: the stale-drop must reclaim the WHOLE mirror like
-    // vacuum does — marker alone would orphan the external data files
-    // (vacuum's reclaim is keyed on the marker existing) and leave a
-    // dead catalog registration
-    assert(!Files.exists(Paths.get(s"$path/_pq_codes_data")),
-      "compact's stale-drop must reclaim the mirror's external data files")
+    // r11 ADVICE: compact is a routine operation a reader may overlap —
+    // the stale-drop removes marker + catalog entry (nothing can
+    // resolve the dead mirror) but LEAVES the external data files so a
+    // reader that resolved the mirror pre-compact can finish its scan;
+    // vacuum (explicitly reader-free) reclaims the orphaned bytes
+    assert(Files.exists(Paths.get(s"$path/_pq_codes_data")),
+      "compact's stale-drop must defer data-file reclaim to vacuum " +
+        "(in-flight readers)")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8"))
     val tblName = "graft_pq_codes_" +
       md5.take(6).map("%02x".format(_)).mkString
     assert(!spark.catalog.tableExists(tblName),
       "compact's stale-drop must drop the mirror's catalog table")
+    kb.vacuum()
+    assert(!Files.exists(Paths.get(s"$path/_pq_codes_data")),
+      "vacuum must reclaim a marker-less orphaned mirror data dir")
     val queries = kb.embeddings.toDF()
       .where(col("id") < 10).select(col("id"), col("vec"))
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
