@@ -187,6 +187,39 @@ object Bench {
     "svs_curation_2m" -> 25.0,
     "svs_stream_ingest" -> 75.0)
 
+  /** Last recorded healthy-run PART-1 values ≥ 1 s (same provenance as
+    * [[expectedS]]: the r11 builder-side complete run, calib ~1.0) —
+    * the denominator for the DEVIATION-ORDERED median-upgrade pass.
+    * A part-1 point published at >2× its healthy value was measured
+    * inside a contention wave (r11: x19_bpe_encode at 21.06 s vs 6.4 s
+    * healthy, cpu_run 0.16) and is exactly the number a repped re-run
+    * fixes — it must not wait behind an alphabet of already-clean
+    * sub-second queries for the leftover budget. NOT fed into calib
+    * (part-1 single-shots are too noisy for the estimator; expectedS
+    * stays the curated list). */
+  private val healthyPart1: Map[String, Double] = Map(
+    "a1_counts" -> 1.01, "b1_bm25_topk" -> 2.53,
+    "b1u_bm25_unicode" -> 2.41, "b2_tfidf_keywords" -> 2.02,
+    "b3_hybrid_rrf" -> 2.49, "c1_clusters" -> 3.04,
+    "d10_line_dedup" -> 1.84, "d13_substring_dedup" -> 2.71,
+    "d14_semantic_contamination" -> 1.06, "d15_semdedup" -> 3.75,
+    "d16_temperature_mixture" -> 1.23, "d17_keep_best" -> 1.49,
+    "d2_minhash_lsh" -> 3.41, "d3b_simhash_banded" -> 2.68,
+    "d4_ngram_jaccard" -> 5.7, "d5_embedding_neardup" -> 1.11,
+    "d6_semantic_dedup" -> 4.13, "d9_contamination" -> 5.35,
+    "e7_mad_outliers" -> 1.05, "e8_funnel" -> 1.09,
+    "g2_dfs_preorder" -> 2.11, "g3_pagerank" -> 6.12,
+    "g4_triangles" -> 4.08, "k3_knn_join_ivfpq" -> 1.5,
+    "n3_ivf_kmeans" -> 1.48, "q21_waiting_supplier" -> 1.26,
+    "q2_min_cost_supplier" -> 1.66, "q8_market_share" -> 1.22,
+    "x12_curation" -> 1.27, "x14_ngram_ppl" -> 2.74,
+    "x15_bpe_merges" -> 6.18, "x16_source_stats" -> 1.29,
+    "x19_bpe_encode" -> 6.35, "x20_oov_stats" -> 1.37,
+    "x21_dsir_weights" -> 2.78, "x22_classifier" -> 6.33,
+    "x26_cms_registers" -> 1.07, "x27_source_overlap" -> 1.9,
+    "x31_ppl_buckets" -> 2.8, "x33_kn_ppl" -> 3.43,
+    "x5_dup_ngram_fraction" -> 2.02)
+
   /** measured/expected ratios of completed points (expected ≥ 1 s),
     * tagged by point name so a RE-probe can retract the original
     * probe's ratios (see [[ioProbe]]'s `replace`). */
@@ -212,6 +245,21 @@ object Bench {
     provenance(name) =
       s"""{"reps":$reps,"calib":${f"$calibUnlocked%.2f"}$extra}"""
   }
+
+  /** Stamp a measured recall@k into an already-recorded point's
+    * provenance (r11 verdict item 5): the approximate 1M tier legs
+    * publish speed — this pins the accuracy bought at that speed, in
+    * the same record, measured against the exact top-k on the same
+    * corpus/queries (not the small-scale spec gate). No-op if the
+    * point was never recorded. */
+  private def setRecall(name: String, recall: Double): Unit =
+    lock.synchronized {
+      provenance.get(name).foreach { p =>
+        provenance(name) =
+          p.dropRight(1) + s""","recall_at_10":${f"$recall%.3f"}}"""
+      }
+      if (provenance.contains(name)) writeFullLocked()
+    }
 
   private def feedRatio(name: String, measured: Double): Unit =
     expectedS.get(name).filter(_ >= 1.0).foreach { e =>
@@ -438,22 +486,42 @@ object Bench {
 
     // ---- part-1 median upgrade, if budget remains ----
     // single-rep numbers for sub-3s queries carry 2-3× VM/GC noise; a
-    // median-of-reps is what the baseline rows are. Re-run fast queries
-    // with reps while the budget holds — each upgrade replaces the
-    // single-shot value and its provenance.
+    // median-of-reps is what the baseline rows are. DEVIATION-ORDERED
+    // (r11 verdict item 2): candidates re-run in descending
+    // |measured/healthy| so a contention-poisoned outlier (x19's
+    // 21.06 s at cpu_run 0.16 in r11's record, 3.3× its healthy 6.4 s)
+    // gets the leftover budget FIRST — r11 spent the upgrade budget
+    // alphabetically and ran out before reaching it. Points >3 s with
+    // no healthy record stay as-recorded (nothing to call them an
+    // outlier against); each upgrade replaces value + provenance.
     try {
-      if (repsG > 1) selected.foreach { case (name, fn) =>
-        lock.synchronized { results.get(name) }.filter(_ < 3.0)
-          .foreach { prev =>
-            if (remainS > prev * (repsG + 1) * calib + ReserveS + 30) {
-              record(name, estS = math.max(prev * repsG, 1.0),
-                reps = repsG, longRepS = 3.0) {
-                try { evalAll(fn(spark, sfDir)) }
-                catch { case _: Throwable => () }
-                clearState()
-              }
+      if (repsG > 1) {
+        val snap = lock.synchronized { results.toMap }
+        val byName = selected.toMap
+        val candidates = selected.flatMap { case (name, _) =>
+          snap.get(name).map { prev =>
+            (name, prev, healthyPart1.get(name).map(prev / _))
+          }
+        }.filter { case (_, prev, dev) =>
+          prev < 3.0 || dev.exists(_ > 2.0)
+        }.sortBy { case (_, _, dev) => -dev.getOrElse(1.0) }
+        candidates.foreach { case (name, prev, dev) =>
+          val isOutlier = dev.exists(_ > 2.0)
+          // an outlier re-run is budgeted at its HEALTHY cost (the
+          // point of re-running is that the weather passed); a rep that
+          // is still slow simply won't multiply under record()'s 20s
+          // rule and the honest median/single replaces the old value
+          val est = if (isOutlier) healthyPart1(name) else prev
+          if (remainS > est * (repsG + 1) * calib + ReserveS + 30) {
+            record(name, estS = math.max(est * repsG, 1.0),
+              reps = repsG,
+              longRepS = if (isOutlier) math.max(3.0, est * 2.5) else 3.0) {
+              try { evalAll(byName(name)(spark, sfDir)) }
+              catch { case _: Throwable => () }
+              clearState()
             }
           }
+        }
       }
     } catch { case _: BudgetUp =>
       addSkip(s"(budget reached at ${f"$elapsedS%.0f"}s — median upgrade stopped)")
@@ -542,17 +610,44 @@ object Bench {
       .parquet("/tmp/graft_bench_docs_warm")
     KbStoreCleanup.delete("/tmp/graft_bench_docs_warm")
     Seq(10548L -> "10k", 1000000L -> "1m").foreach { case (n, tag) =>
-      val docsPath = s"/tmp/graft_bench_docs_$tag"
-      KbStoreCleanup.delete(docsPath)
+      setup(5.0)
       val docsDf = syntheticDocs(spark, n)
         .persist(StorageLevel.MEMORY_AND_DISK)
       docsDf.count() // generation excluded, like the reference's
       val parts = math.max(1, (n / 100000L).toInt)
-      record(s"svs_load_docs_$tag", estS = 3.0, reps = 1) {
-        docsDf.coalesce(parts).write.mode("overwrite").parquet(docsPath)
+      // median-of-3 to FRESH output dirs (r11 verdict item 1): unlike
+      // cold READS — where a rerun measures the page cache, hence the
+      // single-shot policy — a WRITE reps honestly when every rep
+      // writes a new directory and the page cache is sync+dropped
+      // between reps (no dirty-writeback credit carries over). r11's
+      // official 16.96 s was a single rep caught in an IO-contention
+      // wave (same tree measured 1.16 s builder-side); the median is
+      // what the protocol's other headline points already publish.
+      val reps = scala.collection.mutable.ArrayBuffer[(Double, Option[Double])]()
+      var rep = 0
+      while (rep < 3 && (rep == 0 ||
+          remainS - ReserveS > reps.map(_._1).max * (3 - rep) + 10)) {
+        val dir = s"/tmp/graft_bench_docs_${tag}_r$rep"
+        KbStoreCleanup.delete(dir)
+        if (rep > 0) KbStoreCleanup.dropPageCache()
+        val c0 = cpuSnap()
+        val t = timed {
+          docsDf.coalesce(parts).write.mode("overwrite").parquet(dir)
+        }
+        reps += ((t, cpuRunRatio(c0)))
+        KbStoreCleanup.delete(dir)
+        rep += 1
       }
+      val sorted = reps.sortBy(_._1)
+      val (v, pubCpu) =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else {
+          val (tl, cl) = sorted(sorted.size / 2 - 1)
+          val (th, ch) = sorted(sorted.size / 2)
+          ((tl + th) / 2, for (a <- cl; b <- ch) yield (a + b) / 2)
+        }
+      recordValue(s"svs_load_docs_$tag", v, sorted.size, cpuRun = pubCpu)
       docsDf.unpersist()
-      KbStoreCleanup.delete(docsPath)
     }
   }
 
@@ -714,6 +809,10 @@ object Bench {
 
     val legRes = scala.collection.mutable.Map.empty[String, Double]
     val legCpu = scala.collection.mutable.Map.empty[String, Double]
+    // recall@10 of the shared nProbe-4 IVF candidate set, measured in
+    // the ladder section; the 10k absolute leg (same kernel, same
+    // nProbe) stamps it after it records
+    var ivfRecall: Option[Double] = None
     def timeLeg(name: String)(body: => Unit): Unit = {
       if (remainS < legEst(name) * calib + ReserveS) throw new BudgetUp
       val res = storagePoolResidency(spark)
@@ -852,6 +951,45 @@ object Bench {
             runCycle(Set(r))
           else addSkip(s"(ladder value retry of $r skipped to protect design-section coverage)")
         }
+      // ---- recall@10 stamps for the approximate rungs (r11 verdict
+      // item 5): accuracy in the SAME record as the speed, at the 1M
+      // scale, vs the EXACT top-10 — nProbe = 256 probes every list,
+      // so the assigned join degenerates to exact brute force. A
+      // 32-query subset bounds the truth pass at ~32M kernel pairs
+      // (a few seconds through the persisted assignment). The IVF
+      // rungs (plain/indexed, and the 10k absolute leg — same kernel
+      // and nProbe) share one recall: identical candidate set, exact
+      // within it; the pq rungs add ADC + bounded re-rank on top.
+      if (idxReady) {
+        setup(25.0)
+        val queries32 = queries2k.where(col("id") < 32)
+        val exact = graft.ops.SimilaritySearch.knnJoinIvfAssigned(
+            queries32, preAssigned, cents2, k = 10, nProbe = 256)
+          .select(col("qid"), col("cid")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(approx: DataFrame, cand: String): Double = {
+          val ap = approx.select(col("qid"), col(cand)).collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          val per = exact.toSeq.map { case (q, ex) =>
+            ap.get(q).map(_.intersect(ex).size.toDouble / ex.size)
+              .getOrElse(0.0) }
+          per.sum / math.max(1, per.size)
+        }
+        val ivfR = recallOf(graft.ops.SimilaritySearch.knnJoinIvfAssigned(
+          queries32, preAssigned, cents2, k = 10, nProbe = 4), "cid")
+        ivfRecall = Some(ivfR)
+        setRecall("svs_knn2k_plain_1m", ivfR)
+        setRecall("svs_knn2k_indexed_1m", ivfR)
+        if (pqReady) {
+          val pqR = recallOf(graft.ops.VectorQuant.knnJoinIvfPq(
+            queries32, ivfpqCodes, centsArr, rbooks, corpus1m,
+            k = 10, nProbe = 4, rerank = 50), "vec_id")
+          setRecall("svs_knn2k_pq_1m", pqR)
+          setRecall("svs_knn2k_pq_bucketed_1m", pqR)
+        }
+      }
     } catch { case _: BudgetUp =>
       addSkip(s"(budget reached at ${f"$elapsedS%.0f"}s — remaining ladder reps not run)")
     } finally {
@@ -881,6 +1019,7 @@ object Bench {
           queries10k, corpus1m, cents2, k = 10, nProbe = 4)
           .write.format("noop").mode("overwrite").save()
       }
+      ivfRecall.foreach(setRecall("svs_knn_join_1m", _))
       queries10k.unpersist()
     } catch { case _: BudgetUp =>
       addSkip("(10k absolute knn leg skipped on budget)")
@@ -890,12 +1029,34 @@ object Bench {
     // budget-starved since r5 when they sat behind the sweeps) ----
     ensureCorpus()
     queries2k.unpersist()
+    // exact top-10 for the single-query probe points (query id 2, the
+    // same vector every probe uses): one untimed exact pass over the
+    // cached corpus — each probe's recall@10 then stamps into its own
+    // provenance from the rows the TIMED run already collected
+    var exactTop10Q2: Set[Long] = Set.empty
+    try {
+      setup(10.0)
+      val qv2 = lit(FloatVecDot.pack(syntheticVec(2L)))
+      exactTop10Q2 = corpus1m
+        .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv2).as("s"))
+        .orderBy(desc("s"), desc("id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    } catch { case _: BudgetUp =>
+      addSkip("(probe recall truth pass skipped on budget)") }
+    def stampProbeRecall(name: String, rows: Array[org.apache.spark.sql.Row]): Unit =
+      if (exactTop10Q2.nonEmpty && rows != null) {
+        val top10 = rows.take(10).map(_.getLong(0)).toSet
+        setRecall(name, top10.intersect(exactTop10Q2).size.toDouble /
+          exactTop10Q2.size)
+      }
+    var probeRows: Array[org.apache.spark.sql.Row] = null
     if (pqReady) {
       record("svs_ivfpq_probe_1m", estS = 2.0) {
-        graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes, corpus1m,
-          centsArr, rbooks, syntheticVec(2L), k = 100, nProbe = 4,
-          rerank = 1000).collect()
+        probeRows = graft.ops.VectorQuant.ivfPqTopKRefined(ivfpqCodes,
+          corpus1m, centsArr, rbooks, syntheticVec(2L), k = 100,
+          nProbe = 4, rerank = 1000).collect()
       }
+      stampProbeRecall("svs_ivfpq_probe_1m", probeRows)
       ivfpqCodes.unpersist()
       spark.catalog.uncacheTable("graft_bench_pq_codes")
       spark.sql("DROP TABLE IF EXISTS graft_bench_pq_codes")
@@ -910,10 +1071,12 @@ object Bench {
       .persist(StorageLevel.MEMORY_AND_DISK)
     sqCodes.count()
     val (qCode, qScale) = graft.functions.Int8VecDot.quantize(syntheticVec(2L))
+    probeRows = null
     record("svs_sq_probe_1m", estS = 3.0) {
-      graft.ops.VectorQuant.sqTopKPacked(sqCodes, qCode, qScale, 100)
-        .collect()
+      probeRows = graft.ops.VectorQuant
+        .sqTopKPacked(sqCodes, qCode, qScale, 100).collect()
     }
+    stampProbeRecall("svs_sq_probe_1m", probeRows)
     sqCodes.unpersist()
 
     // binary (sign-bit) tier: 192 B/vector — the XOR+popcount
@@ -926,10 +1089,12 @@ object Bench {
     val binCodes = graft.ops.VectorQuant.binEncodePacked(corpus1m)
       .persist(StorageLevel.MEMORY_AND_DISK)
     binCodes.count()
+    probeRows = null
     record("svs_bin_probe_1m", estS = 3.0) {
-      graft.ops.VectorQuant.binTopKPacked(binCodes, corpus1m,
+      probeRows = graft.ops.VectorQuant.binTopKPacked(binCodes, corpus1m,
         syntheticVec(2L), k = 100, rerank = 1000).collect()
     }
+    stampProbeRecall("svs_bin_probe_1m", probeRows)
     binCodes.unpersist()
 
     // PQ train on a 10k id-mod sample (2 Lloyd iterations, 96
@@ -948,10 +1113,12 @@ object Bench {
     val pqCodes = graft.ops.VectorQuant.pqEncode(corpus1m, books)
       .persist(StorageLevel.MEMORY_AND_DISK)
     pqCodes.count()
+    probeRows = null
     record("svs_pq_probe_1m", estS = 2.0) {
-      graft.ops.VectorQuant.pqTopKRefined(pqCodes, corpus1m, books,
-        syntheticVec(2L), k = 100, rerank = 1000).collect()
+      probeRows = graft.ops.VectorQuant.pqTopKRefined(pqCodes, corpus1m,
+        books, syntheticVec(2L), k = 100, rerank = 1000).collect()
     }
+    stampProbeRecall("svs_pq_probe_1m", probeRows)
     pqCodes.unpersist()
 
     // batch IVF index build over the same 1M corpus: per-row argmax
@@ -973,6 +1140,7 @@ object Bench {
     val assigned1m = spark.read.parquet(ivfPath)
       .persist(StorageLevel.MEMORY_AND_DISK)
     assigned1m.count()
+    probeRows = null
     record("svs_ivf_probe_1m", estS = 2.0) {
       val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
       val probes = cents2
@@ -980,11 +1148,13 @@ object Bench {
         .orderBy(desc("ps")).limit(8).select(col("cid"))
       val candIds = assigned1m.join(broadcast(probes), "cid")
         .select(col("vec_id"))
-      corpus1m.join(broadcast(candIds), corpus1m("id") === col("vec_id"))
+      probeRows = corpus1m
+        .join(broadcast(candIds), corpus1m("id") === col("vec_id"))
         .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv).as("score"))
         .orderBy(desc("score"), desc("id")).limit(100)
         .collect()
     }
+    stampProbeRecall("svs_ivf_probe_1m", probeRows)
     assigned1m.unpersist()
     KbStoreCleanup.delete(ivfPath)
 
@@ -1240,6 +1410,34 @@ object Bench {
           q.processAllAvailable()
         }
       }
+      // the recommended HIGH-FREQUENCY configuration (r11 verdict item
+      // 6; the startStoreIngest scaladoc's "maintainIndex = false +
+      // periodic refresh"): same 6 × 500-doc batches through a second
+      // stream on the SAME store — per-batch cost is the atomic commit
+      // only, and ONE incremental ANN + text refresh lands at the end
+      // of the window. docs/s = 3000/value, directly comparable to
+      // svs_stream_ingest's live-index number.
+      try q.stop() catch { case _: Throwable => () }
+      setup(40.0)
+      val stream2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val q2 = graft.streaming.StreamingIngest.startStoreIngest(
+        stream2.toDF().toDF("text"), kb, provider, s"$dir/ckpt_fast",
+        maintainIndex = false)
+      try {
+        record("svs_stream_ingest_fast", estS = 25.0, reps = 1) {
+          (7 to 12).foreach { b =>
+            stream2.addData(batchTexts(b))
+            q2.processAllAvailable()
+          }
+          if (kb.annIndexState == graft.core.KbStore.AnnStale)
+            kb.refreshAnnIndex()
+          if (kb.textIndexState == graft.core.KbStore.AnnStale)
+            kb.refreshTextIndex()
+        }
+      } finally {
+        try q2.stop() catch { case _: Throwable => () }
+      }
     } finally {
       try q.stop() catch { case _: Throwable => () }
       KbStoreCleanup.delete(dir)
@@ -1312,11 +1510,8 @@ object Bench {
         .mkString("{", ",", "}")
       val total = results.values.sum
       writeFullLocked()
-      println(s"""{"notes":${notesJson()},"tail_format":"final line = part-1 oracle query seconds, space-separated name:sec, 2dp, trailing zeros and leading 0 stripped; full detail incl. part-2 svs_* and per-point provenance in $outPathG and the canonical JSON line above it"}""")
+      println(s"""{"notes":${notesJson()},"tail_format":"last line = the compact contract JSON (svs_* design points; part-1 detail lives in $outPathG), preceded by a bare part-1 seconds line (space-separated name:sec ascending) and the full canonical JSON line; the archive window clips from the FRONT"}""")
       println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","full":"$outPathG","writer":"$writerG","run_id":"$runIdG","ladder_monotone":${ladderMonotoneJson()},"ladder_cycles":$ladderCycles,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"skipped":${skippedJson()},"queries":$qs}""")
-      // ultra-compact part-1-only LAST line: ~90 oracle query numbers are
-      // ~2100 chars as strict JSON — they never all fit the window behind
-      // the canonical line, so the window gets them bare
       def trim2(v: Double): String = {
         var s = f"$v%.2f"
         while (s.endsWith("0")) s = s.dropRight(1)
@@ -1324,14 +1519,25 @@ object Bench {
         if (s.startsWith("0.")) s = s.substring(1)
         if (s.isEmpty) "0" else s
       }
-      // ascending by time: the window clips the FRONT of an over-long
-      // line, so the entries it loses are the fastest (least diagnostic)
-      // ones; the slowest always land in the archived tail. Complete data
-      // is in BENCH_FULL.json regardless.
+      // bare part-1 line, ascending by time: the window clips the FRONT
+      // of an over-long line, so the entries it loses are the fastest
+      // (least diagnostic) ones; the slowest always land in the
+      // archived tail. Complete data is in BENCH_FULL.json regardless.
       println(ordered.filterNot(_._1.startsWith("svs_"))
         .sortBy(_._2)
         .map { case (k, v) => s"$k:${trim2(v)}" }
         .mkString("part1_sec_asc ", " ", ""))
+      // COMPACT contract line, the ABSOLUTE LAST stdout line (r11
+      // verdict item 7): the canonical line above carries all ~135
+      // queries (~4k chars) and fell out of the driver wrapper's
+      // archived-tail window two rounds running ("parsed": null).
+      // This line keeps the contract fields + the svs_* design points
+      // only (~1.5k chars), small enough to survive the window; part-1
+      // values live in the bare line above it and in BENCH_FULL.json.
+      val svsQs = ordered.filter(_._1.startsWith("svs_"))
+        .map { case (k, v) => "\"" + k + "\":" + trim2(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDirG","full":"$outPathG","writer":"$writerG","run_id":"$runIdG","ladder_monotone":${ladderMonotoneJson()},"ladder_cycles":$ladderCycles,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"n_part1":${ordered.count(!_._1.startsWith("svs_"))},"skipped_n":${skipped.size},"queries":$svsQs}""")
       Console.out.flush()
     }
   }
@@ -1381,7 +1587,7 @@ object Bench {
     * BASELINE.md rows (and which have no published counterpart). */
   private def notesJson(): String = Seq(
     "ordering" -> "r11: io probe, then the cheap protocol points (10k, load-docs), then the FULL part-1 inventory single-rep, then the 1M protocol + the interleaved 2k-probe ORDERING ladder (two guaranteed cycles — their budget is RESERVED from the moment the part-1 sweep starts, stepped down at each spine milestone), then the 10k absolute plain knn leg, then compressed tiers, curation (incl. real sf0.1/sf1-scale corpus points), z-order, bpe, image, streaming ingest, the pairs/neardup sweeps last, and a part-1 median upgrade if budget remains. Ladder RETRIES only run when the remaining budget also covers every design section not yet recorded — budget death hits retries, never first-time coverage",
-    "provenance" -> "every recorded point carries {reps, calib-at-measurement, cpu_run} in the record's provenance map (warm points and ladder legs add the working set's memory-residency fraction): single-rep points on a calib>2 day are weather-limited and marked as such by their own record. cpu_run = sum(task executorCpuTime)/sum(task executorRunTime) across the point's published rep(s) — <<1 means the executor threads were descheduled or IO-blocked (a slow number is environment/contention, e.g. this record's warm-1M); ~1.0 means the tasks were on-CPU, which is EITHER real work or this VM's second contention mode, hypervisor CPU steal, which inflates thread CPU itself and is invisible to every guest-side counter (ProfileKnnBimodal pins it: identical back-to-back calls burning 2.5x the cpu-seconds with zero GC; /proc/stat shows hours of steal arriving in waves) — hence median-of-reps and the interleaved ladder rather than any single-shot number",
+    "provenance" -> "every recorded point carries {reps, calib-at-measurement, cpu_run} in the record's provenance map (warm points and ladder legs add the working set's memory-residency fraction; the approximate 1M tier points add recall_at_10 measured vs the exact top-10 on the same corpus — 32-query mean for the knn-join legs, the probe query itself for single-query probes): single-rep points on a calib>2 day are weather-limited and marked as such by their own record. cpu_run = sum(task executorCpuTime)/sum(task executorRunTime) across the point's published rep(s) — <<1 means the executor threads were descheduled or IO-blocked (a slow number is environment/contention, e.g. this record's warm-1M); ~1.0 means the tasks were on-CPU, which is EITHER real work or this VM's second contention mode, hypervisor CPU steal, which inflates thread CPU itself and is invisible to every guest-side counter (ProfileKnnBimodal pins it: identical back-to-back calls burning 2.5x the cpu-seconds with zero GC; /proc/stat shows hours of steal arriving in waves) — hence median-of-reps and the interleaved ladder rather than any single-shot number",
     "ladder" -> "the four knn-ladder legs (svs_knn2k_*) run 2000 probes against the SAME 1M x d1536 corpus, reps INTERLEAVED round-robin (A,B,C,D,A,B,C,D; published value = min per leg) so contention drift lands on all legs equally instead of mapping onto ladder position (r8/r10 published inverted orderings exactly that way). r11: the ladder certifies ORDERING at 2k probes — the amortization claim (every rung beats per-call assignment) is probe-count-invariant, and 2k legs are cheap enough that TWO full cycles fit even at calib 3, with their budget reserved before the part-1 sweep can eat it; the plain path also records once at 10k probes (svs_knn_join_1m) for the absolute magnitude. The ladder_monotone/ladder_cycles contract fields state the outcome explicitly. Out-of-order rungs get targeted retries, worst first, each gated on the budget still covering all unrecorded design sections. The indexed leg's derived layout is built ONCE before cycle 1 (untimed index maintenance) and held storage-pool resident across cycles; every rep stamps residency + cpu_run, so a spill- or contention-poisoned rep is visible in its own record",
     "noise" -> s"part-1 queries record single-shot EARLY, then upgrade to medians of $repsG when budget remains (the upgrade replaces value + provenance); part-2 points on persisted state are medians of up to 3 under a 20s rule; cold/load stay single-shot (rerunning those would measure the page cache). The whole run fits SPARK_GRAFT_BENCH_BUDGET_S (default 1380s): points that would overflow are listed in `skipped`, never silently dropped; per-point estimates rescale by `calib` (median measured/expected vs the recorded healthy run)",
     "svs_io_probe_read" -> "fixed-size IO calibration: ~1 GB uncompressed parquet written from cache then read with the page cache dropped; the ratio vs the recorded healthy run seeds the budget estimator, and the pair attributes any run-to-run delta on disk-bound points to environment vs code (r7: same-tree svs_build_1m measured 299s vs 61s purely from IO contention)",
@@ -1395,6 +1601,7 @@ object Bench {
     "svs_curation_2m" -> "the x12 curation COMPOSITION (Gopher rules AND exact-dup representative AND quality>median) over 2M synthetic ~1200-char docs, with svs_curation_200k the same pipeline at 1/10 the rows: the pair certifies the composed pipeline scales ~linearly (three keyed/narrow stages, median as a broadcast scalar), not just its pieces; no published counterpart",
     "svs_curation_sf1" -> "the same x12 composition over REAL corpus text at sf1 scale: the sfDir documents table key-offset-replicated x10 (ids +1e6/copy, the tools/make_bigsf.py convention — no sf1 parquet exists in this environment), with svs_curation_sf01 the un-replicated sf0.1 table for the ~10x ratio; restates the synthetic 200k->2M linearity claim on real data; no published counterpart",
     "svs_stream_ingest" -> "streaming store ingest with LIVE index upkeep: 6 x 500-doc micro-batches drained through startStoreIngest(maintainIndex=true) against a 20k-doc seeded store with ANN + lexical indexes built — each micro-batch is one atomic commit (embed, pack, docs+embeddings delta write) plus O(batch) incremental ANN and text refreshes; docs/s = 3000/value (a4: ~13 s/micro-batch = commit + ann refresh + text refresh, each a versioned-table write; high-frequency deployments batch refreshes instead — maintainIndex=false + periodic refresh, per the startStoreIngest scaladoc); seed, index builds and one warmup batch untimed; no published counterpart (the reference has no streaming path)",
+    "svs_stream_ingest_fast" -> "the RECOMMENDED high-frequency configuration (maintainIndex=false + periodic refresh, the startStoreIngest scaladoc's deployment guidance): the same 6 x 500-doc micro-batches on the same store, per-batch cost = the atomic commit only, with ONE incremental ANN + text refresh timed at the end of the window; docs/s = 3000/value — quantifies what batching refreshes buys vs svs_stream_ingest's per-batch live-index mode",
     "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
     "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
     "svs_cold_1m" -> "single-shot read-from-DISK retrieve: the OS page cache is sync+dropped first (privileged container) so the number measures disk, not the cache echo of the store written moments earlier; where the drop is not permitted the number degrades to a cache-warm read and this note is the caveat",
