@@ -518,6 +518,22 @@ object SparkEntry {
         k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // cross-snapshot incremental dedup: the "new ingest vs archive"
+    // shape — every 5th doc plays the arriving batch, the rest the
+    // archive; result = d2's pair set restricted to pairs touching the
+    // batch, computed WITHOUT mining archive×archive (batch bands vs
+    // all bands, verify shingles only the matched archive docs). The
+    // store-managed twin persists the archive bands as the dedup_bands
+    // index family (KbStore.dedupCandidates).
+    "d18_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.minhashNearDupsIncremental(
+          docs.where(col("doc_id") % 5 =!= 4),
+          docs.where(col("doc_id") % 5 === 4),
+          k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     "d3_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhash(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
@@ -2195,6 +2211,45 @@ object SparkEntry {
            JOIN sh s2 ON cands.doc2 = s2.doc_id)
          SELECT doc1, doc2, jaccard FROM j
          WHERE jaccard >= 0.8
+         ORDER BY doc1, doc2""",
+
+    // d2's pipeline restricted to pairs touching the mod-5 batch: the
+    // oracle recomputes ALL pairs and filters — the engine must reach
+    // the same set from batch-bands × all-bands only
+    "d18_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(s) >= 3 THEN
+                    list_transform(range(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                  ELSE [] END) AS sg
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(sg) AS shingle FROM sh),
+         hx AS (
+           SELECT doc_id, grp * 4 + slice AS hi,
+                  min(substr(md5(grp || ':' || shingle), 1 + slice * 8, 8)) AS sig
+           FROM ex
+           CROSS JOIN (SELECT unnest(range(0, 2)) AS grp)
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS slice)
+           GROUP BY doc_id, grp * 4 + slice),
+         bands AS (
+           SELECT doc_id, hi // 2 AS band,
+                  md5(string_agg(sig, '|' ORDER BY hi)) AS key
+           FROM hx GROUP BY doc_id, hi // 2),
+         cands AS (
+           SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT doc1, doc2,
+                  round(len(list_intersect(s1.sg, s2.sg))::DOUBLE /
+                        len(list_distinct(list_concat(s1.sg, s2.sg))), 6) AS jaccard
+           FROM cands
+           JOIN sh s1 ON cands.doc1 = s1.doc_id
+           JOIN sh s2 ON cands.doc2 = s2.doc_id)
+         SELECT doc1, doc2, jaccard FROM j
+         WHERE jaccard >= 0.8 AND (doc1 % 5 = 4 OR doc2 % 5 = 4)
          ORDER BY doc1, doc2""",
 
     "d3_simhash" ->

@@ -1823,6 +1823,142 @@ final class KbStore private (
     hits.toSeq.map { case (id, score) => (score, byId(id)) }
   }
 
+  // ------------------------------------------------------------------
+  // persistent dedup-signature index: MinHash LSH band keys as a FIFTH
+  // manifest-managed index family — cross-snapshot incremental dedup.
+  // A 100 TB deployment deduplicates NEW INGEST against the archive;
+  // re-mining archive×archive per batch is O(corpus) every time. With
+  // the archive's band keys persisted (same stale/refresh/vacuum
+  // lifecycle as the ANN/SQ/PQ/text families), banding a new batch is
+  // O(batch + matched bands): one equi-join of the batch's bands
+  // against the stored table.
+  // ------------------------------------------------------------------
+  /** Dedup-tier lifecycle: keyed on the DOCS table like the lexical
+    * family (signatures derive from text, and text is immutable per
+    * doc id here — surviving bands are never wrong, just possibly
+    * incomplete).
+    */
+  def dedupIndexState: KbStore.AnnState = {
+    val tv = metaCache.table_versions
+    if (!tv.contains(KbStore.DedupBandsTable)) KbStore.AnnNone
+    else if (tv(KbStore.DedupBandsTable) >= tv("docs")) KbStore.AnnCurrent
+    else KbStore.AnnStale
+  }
+
+  def hasDedupIndex: Boolean = dedupIndexState == KbStore.AnnCurrent
+
+  /** The persisted band table `(doc_id, band, key)` — band = -1 rows
+    * are coverage sentinels for docs too short to shingle. */
+  def dedupBands: DataFrame = read(KbStore.DedupBandsTable)
+
+  /** The persisted MinHash parameters — refresh and query-time banding
+    * MUST hash exactly the way the index was built. */
+  private def dedupParams: (Int, Int, Int, Boolean) = {
+    val p = metaCache.index_params
+    (p.getOrElse("dedup_k", "3").toInt,
+      p.getOrElse("dedup_num_hashes", "8").toInt,
+      p.getOrElse("dedup_rows_per_band", "2").toInt,
+      p.get("dedup_unicode").contains("true"))
+  }
+
+  /** (doc_id, band, key) rows for a doc batch, plus one sentinel row
+    * (band = -1) for each doc too short to shingle — the sentinel is
+    * what lets [[refreshDedupIndex]] tell "processed, no bands" from
+    * "never seen" without a second bookkeeping table. Query paths
+    * filter `band >= 0`.
+    */
+  private def dedupBandsFor(d: DataFrame, k: Int, numHashes: Int,
+      rowsPerBand: Int, unicode: Boolean): DataFrame = {
+    val bands = graft.ops.Dedup.bandKeys(
+      graft.ops.Dedup.minhashSignatures(
+        graft.ops.Dedup.shingles(d, k, unicode = unicode), numHashes),
+      rowsPerBand)
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        col("key"))
+    val sentinel = d.select(col("doc_id"))
+      .join(bands.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(-1L).as("band"), lit("").as("key"))
+    bands.unionByName(sentinel)
+  }
+
+  /** Build the dedup signature index over every stored document and
+    * persist the MinHash parameters in the manifest (like the text
+    * tier's tokenizer choice), so refresh and [[dedupCandidates]]
+    * always band the way the index was built.
+    */
+  def buildDedupIndex(k: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2, unicode: Boolean = false): Unit = {
+    import spark.implicits._
+    require(docs.limit(1).count() > 0,
+      "cannot build a dedup index over an empty store")
+    val bands = dedupBandsFor(
+      docs.toDF().select($"id".as("doc_id"), $"text"),
+      k, numHashes, rowsPerBand, unicode)
+    commit(
+      Map(KbStore.DedupBandsTable -> bands),
+      m => m.copy(index_params = m.index_params ++ Map(
+        "dedup_k" -> k.toString,
+        "dedup_num_hashes" -> numHashes.toString,
+        "dedup_rows_per_band" -> rowsPerBand.toString,
+        "dedup_unicode" -> unicode.toString)),
+      readSet = Set("docs"))
+  }
+
+  /** Incremental catch-up by doc id, mirroring [[refreshTextIndex]]:
+    * bands of departed docs tombstone, new docs shingle+sign fresh and
+    * append — SIGNATURE work and WRITE volume are both O(changed docs).
+    */
+  def refreshDedupIndex(): Unit = dedupIndexState match {
+    case KbStore.AnnCurrent => ()
+    case KbStore.AnnNone => throw new IllegalStateException(
+      "no dedup index to refresh — call buildDedupIndex()")
+    case KbStore.AnnStale =>
+      import spark.implicits._
+      val (k, nh, rpb, uni) = dedupParams
+      val live = docs.toDF().select($"id".as("doc_id"), $"text")
+      val stored = read(KbStore.DedupBandsTable)
+        .select($"doc_id").distinct()
+      val newDocs = live.join(stored, Seq("doc_id"), "left_anti")
+      val goneIds = stored.join(live.select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      commitDelta(Map(
+        KbStore.DedupBandsTable -> KbStore.TablePatch(
+          del = Some(goneIds),
+          add = Some(dedupBandsFor(newDocs, k, nh, rpb, uni)))),
+        identity, readSet = Set("docs"))
+  }
+
+  /** Screen a PRE-INGEST batch `(doc_id, text)` against the archive
+    * (and against itself): returns the verified near-dup pairs
+    * `(doc1, doc2, jaccard)` with at least one side in the batch —
+    * [[graft.ops.Dedup.minhashNearDupsIncremental]] with the archive
+    * side served by the persisted band index instead of a recompute.
+    * Work: band the batch (O(batch)), one equi-join against the stored
+    * bands, exact-Jaccard verify shingling ONLY the matched archive
+    * docs. Batch ids must be disjoint from stored doc ids (they are
+    * provisional — the caller hasn't added the docs yet; offset or
+    * negate them if needed).
+    */
+  def dedupCandidates(batch: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    require(hasDedupIndex, dedupIndexState match {
+      case KbStore.AnnStale =>
+        "dedup index is stale: call refreshDedupIndex() to catch it up"
+      case _ => "no dedup index: call buildDedupIndex()"
+    })
+    import spark.implicits._
+    val (k, nh, rpb, uni) = dedupParams
+    val shB = graft.ops.Dedup.shingles(batch, k, unicode = uni)
+    val bandsB = graft.ops.Dedup.bandKeys(
+      graft.ops.Dedup.minhashSignatures(shB, nh), rpb)
+    val bandsA = read(KbStore.DedupBandsTable).where($"band" >= 0L)
+      .select($"doc_id", $"band", $"key")
+    val archive = docs.toDF().select($"id".as("doc_id"), $"text")
+    graft.ops.Dedup.incrementalFromBands(archive, bandsA, shB, bandsB,
+      k, threshold, uni)
+  }
+
   /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized
     * id-paths (lexicographic path order == DFS pre-order).
     */
@@ -1917,6 +2053,9 @@ final class KbStore private (
         (if (pqIndexState == KbStore.AnnStale) KbStore.IvfPqTables.toSet
          else Set.empty[String]) ++
         (if (textIndexState == KbStore.AnnStale) KbStore.TextIndexTables.toSet
+         else Set.empty[String]) ++
+        (if (dedupIndexState == KbStore.AnnStale)
+           KbStore.DedupIndexTables.toSet
          else Set.empty[String])
     val names = metaCache.table_versions.keys.filterNot(staleIdx.contains)
     // captured BEFORE the commit moves the head: the marker bump below
@@ -2257,6 +2396,11 @@ object KbStore {
   /** Lexical (BM25) tier: postings + doc lengths, keyed on `docs`. */
   val TextPostingsTable = "text_postings"
   val TextDocLensTable = "text_doclens"
+  /** Dedup-signature tier (round 12): MinHash LSH band keys per doc,
+    * keyed on `docs` like the lexical family — cross-snapshot
+    * incremental dedup bands new ingest against this table instead of
+    * re-mining the archive. */
+  val DedupBandsTable = "dedup_bands"
   /** Postings partition fan-out; a query's terms prune to ≤|terms|
     * of these partitions.
     */
@@ -2286,8 +2430,12 @@ object KbStore {
     (AnnIndexTables :+ SqCodesTable) ++ IvfPqTables
   /** The text family survives vector replacement (it indexes text). */
   val TextIndexTables: Seq[String] = Seq(TextPostingsTable, TextDocLensTable)
+  /** The dedup-signature family — text-derived like the lexical tier,
+    * so it likewise survives vector replacement. */
+  val DedupIndexTables: Seq[String] = Seq(DedupBandsTable)
   /** Every index-family table (vacuum ownership, compact bookkeeping). */
-  val IndexTables: Seq[String] = VectorIndexTables ++ TextIndexTables
+  val IndexTables: Seq[String] =
+    VectorIndexTables ++ TextIndexTables ++ DedupIndexTables
 
   sealed trait AnnState
   case object AnnNone extends AnnState
@@ -2337,7 +2485,8 @@ object KbStore {
     StatsTable -> Seq("metric"),
     IvfAssignTable -> Seq("vec_id"), SqCodesTable -> Seq("vec_id"),
     IvfPqCodesTable -> Seq("vec_id"),
-    TextPostingsTable -> Seq("doc_id"), TextDocLensTable -> Seq("doc_id"))
+    TextPostingsTable -> Seq("doc_id"), TextDocLensTable -> Seq("doc_id"),
+    DedupBandsTable -> Seq("doc_id"))
 
   /** Physical layout add-segments (and chain-overflow rewrites) must
     * preserve — the postings' term-bucket partitioning is what makes

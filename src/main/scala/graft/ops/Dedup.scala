@@ -250,6 +250,64 @@ object Dedup {
     jaccardVerify(cands, sh).where(col("jaccard") >= threshold)
   }
 
+  /** Cross-snapshot incremental MinHash near-dup: the near-dup pairs of
+    * [[minhashNearDups]] over `archive ∪ batch` RESTRICTED to pairs
+    * with at least one side in `batch` — the shape a 100 TB deployment
+    * actually runs: new ingest deduplicates against the archive (and
+    * itself) WITHOUT re-mining archive × archive. Candidate work is
+    * batch-bands × (archive-bands ∪ batch-bands): one equi-join keyed
+    * on (band, key), O(batch + matched bands), never O(archive²); the
+    * exact-Jaccard verify then touches only the matched archive docs
+    * (semi-joined before shingling). Identical hash family and band
+    * keys as the batch pipeline, so the result is EXACTLY the batch
+    * pipeline's pair set filtered to the batch (the d18 oracle pins
+    * it). The store-managed twin ([[graft.core.KbStore.dedupCandidates]])
+    * replaces the archive-side shingle+sign recompute with the
+    * persisted `dedup_bands` index family — same join from there on.
+    */
+  def minhashNearDupsIncremental(archive: DataFrame, batch: DataFrame,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.8, unicode: Boolean = false): DataFrame = {
+    val shB = shingles(batch, k, unicode = unicode).cache()
+    val bandsB = bandKeys(minhashSignatures(shB, numHashes), rowsPerBand)
+      .cache()
+    val bandsA = bandKeys(
+      minhashSignatures(shingles(archive, k, unicode = unicode), numHashes),
+      rowsPerBand)
+    incrementalFromBands(archive, bandsA, shB, bandsB, k, threshold,
+      unicode)
+  }
+
+  /** The band-join + verify core shared by the operator form (archive
+    * bands computed in-flight) and the KbStore family (archive bands
+    * read from the persisted index): candidates = batch bands vs
+    * (archive ∪ batch) bands, pairs normalized doc1 < doc2; verify
+    * shingles the matched ARCHIVE docs only (semi-join on the
+    * candidate ids) plus the batch.
+    */
+  private[graft] def incrementalFromBands(archive: DataFrame,
+      bandsA: DataFrame, shB: DataFrame, bandsB: DataFrame, k: Int,
+      threshold: Double, unicode: Boolean): DataFrame = {
+    val allBands = bandsA.select(col("band"), col("key"),
+        col("doc_id").as("other"))
+      .unionByName(bandsB.select(col("band"), col("key"),
+        col("doc_id").as("other")))
+    val cands = bandsB.select(col("band"), col("key"),
+        col("doc_id").as("b_id"))
+      .join(allBands, Seq("band", "key"))
+      .where(col("b_id") =!= col("other"))
+      .select(least(col("b_id"), col("other")).as("doc1"),
+        greatest(col("b_id"), col("other")).as("doc2"))
+      .distinct()
+    val candDocs = cands.select(col("doc1").as("doc_id"))
+      .unionByName(cands.select(col("doc2").as("doc_id"))).distinct()
+    val shA = shingles(
+      archive.join(candDocs, Seq("doc_id"), "left_semi"), k,
+      unicode = unicode)
+    jaccardVerify(cands, shA.unionByName(shB))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash over distinct unigram tokens: bit b is the sign of
     * sum over tokens of (+1 if bit b of hash60(token) else -1).
     *

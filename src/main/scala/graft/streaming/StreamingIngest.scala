@@ -490,6 +490,13 @@ object StreamingIngest {
       if (maintainIndex &&
           kb.textIndexState == graft.core.KbStore.AnnStale)
         kb.refreshTextIndex()
+      // the dedup-signature family refreshes like the text tier (band
+      // ONLY this batch's docs against the stored MinHash parameters),
+      // so a continuously ingesting store can screen every next batch
+      // against its whole history via dedupCandidates without a rescan
+      if (maintainIndex &&
+          kb.dedupIndexState == graft.core.KbStore.AnnStale)
+        kb.refreshDedupIndex()
       // the IVF-PQ tier refreshes like the others (encode O(batch)
       // against the stored centroids/codebooks); its refresh also
       // keeps a materialized bucketed-codes mirror current, so a
