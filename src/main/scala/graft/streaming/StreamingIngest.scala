@@ -470,12 +470,64 @@ object StreamingIngest {
     */
   def applyIngestBatch(kb: graft.core.KbStore, batch: DataFrame,
       provider: EmbeddingProvider, markerKey: String, batchId: Long,
-      maintainIndex: Boolean): Boolean = {
+      maintainIndex: Boolean,
+      dedupScreen: Option[Double] = None): Boolean = {
     val last = kb.getKeyOr(markerKey, -1L).asInstanceOf[Long]
     if (batchId <= last || batch.isEmpty) false
     else {
-      kb.bulkAddDocsDistributed(batch, provider,
-        ingestMarker = Some(markerKey -> batchId))
+      // dedup-on-ingest (round 12): screen the arriving batch against
+      // the WHOLE archive through the persisted dedup_bands family
+      // before paying the embed + commit — a near-dup doc dropped here
+      // never costs a provider call, never bloats the corpus, and
+      // never needs a retroactive delete. O(batch + matched bands) per
+      // batch; the screen itself stays exactly-once because it runs
+      // before the marker-carrying commit (a replay re-screens
+      // identically — the archive only gained the SURVIVORS).
+      // Batch-internal dups keep the first arrival (lowest provisional
+      // id). Requires a CURRENT dedup index: with maintainIndex the
+      // previous batch's refresh keeps it so; a stale index fails
+      // loudly rather than silently letting dups through.
+      val (toAdd, unpersistKept): (DataFrame, () => Unit) =
+        dedupScreen match {
+          case Some(threshold) =>
+            val spark = batch.sparkSession
+            import spark.implicits._
+            // provisional ids disjoint from (and ABOVE) the store's
+            // dense id space, order-stable so keep-first is
+            // well-defined
+            val base = kb.meta.max_doc_id + 1L
+            val provisional = batch.select(col("text"))
+              .rdd.zipWithIndex()
+              .map { case (r, i) => (base + i, r.getString(0)) }
+              .toDF("doc_id", "text").persist()
+            provisional.count()
+            try {
+              val pairs = kb.dedupCandidates(provisional, threshold)
+              // pairs are doc1 < doc2 and every pair touches the batch,
+              // whose ids all sit ABOVE the archive's — so doc2 is
+              // always the batch doc (vs an archived partner) or the
+              // LATER batch arrival (batch-internal dup): dropping the
+              // doc2 side keeps the archive and the first arrival
+              val dropIds = pairs.select(col("doc2").as("doc_id"))
+                .distinct()
+              val kept = provisional
+                .join(dropIds, Seq("doc_id"), "left_anti")
+                .select(col("text")).persist()
+              kept.count() // materialize before the source unpersists
+              (kept, () => { kept.unpersist(blocking = false); () })
+            } finally provisional.unpersist(blocking = false)
+          case None => (batch, () => ())
+        }
+      try {
+        if (toAdd.isEmpty) {
+          // every doc was a dup: still advance the marker so a replay
+          // doesn't re-screen the batch forever
+          kb.setKey(markerKey, batchId)
+          return true
+        }
+        kb.bulkAddDocsDistributed(toAdd, provider,
+          ingestMarker = Some(markerKey -> batchId))
+      } finally unpersistKept()
       // keep whichever index families exist live. Refresh COMPUTE is
       // O(this batch) against the stored centroids / encoder, but each
       // refresh commit rewrites its index table (the versioned-table
@@ -517,17 +569,32 @@ object StreamingIngest {
     * to the stored centroids) runs after each commit — a continuously
     * ingesting corpus whose index never needs a full rebuild. Source
     * must provide a `text` column.
+    *
+    * `dedupScreen = Some(threshold)`: dedup-on-ingest — each batch is
+    * screened against the ENTIRE archive through the persisted
+    * `dedup_bands` family before embedding (O(batch + matched bands)
+    * per batch, never an archive re-mine), and docs whose MinHash-
+    * verified Jaccard vs an archived doc (or an earlier doc of the
+    * same batch) meets the threshold are dropped BEFORE the provider
+    * is called. Requires `buildDedupIndex()` on the store and
+    * `maintainIndex = true` (each commit's refresh is what keeps the
+    * next batch's screen able to see this batch's survivors).
     */
   def startStoreIngest(source: DataFrame, kb: graft.core.KbStore,
       provider: EmbeddingProvider, checkpoint: String,
-      maintainIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+      maintainIndex: Boolean = false,
+      dedupScreen: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(dedupScreen.isEmpty || maintainIndex,
+      "dedupScreen requires maintainIndex = true: without the per-batch " +
+        "refresh the dedup index goes stale after the first commit and " +
+        "the next batch's screen would fail")
     val markerKey = s"__graft_ingest::$checkpoint"
     source.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIngestBatch(kb, batch, provider, markerKey, batchId,
-          maintainIndex)
+          maintainIndex, dedupScreen)
         ()
       }
       .start()

@@ -433,6 +433,68 @@ class StreamingSpec extends SparkSpec {
     kb.close()
   }
 
+  test("dedup-on-ingest: dedupScreen drops archive and batch-internal " +
+      "near-dups before the provider is called") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-skb3")
+    val kb = graft.core.KbStore.create(spark,
+      dir.resolve("kb").toString, Map("provider" -> "mock"))
+    val p = MockProvider(4)
+    // archive docs: long enough to shingle, distinct vocabulary per doc
+    def archDoc(i: Int): String =
+      s"archive doc $i " +
+        (0 until 30).map(w => s"a${i}w${w}t${(i * 13 + w) % 97}")
+          .mkString(" ")
+    // fresh docs: a vocabulary no archive doc shares a shingle with
+    def freshDoc(tag: String): String =
+      s"fresh doc $tag " +
+        (0 until 30).map(w => s"f${tag}w${w}n${(w * 7) % 31}").mkString(" ")
+    kb.bulkAddDocs(p) { a => (0 until 20).foreach(i => a.add(archDoc(i))) }
+    kb.buildDedupIndex()
+    assert(kb.dedupIndexState == graft.core.KbStore.AnnCurrent)
+
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.startStoreIngest(
+      stream.toDF().toDF("text"), kb, p,
+      dir.resolve("ckpt").toString, maintainIndex = true,
+      dedupScreen = Some(0.8))
+    try {
+      // batch 1: two genuinely fresh docs, an exact copy of an ARCHIVED
+      // doc (must drop), and a batch-INTERNAL duplicate (second copy
+      // must drop, first survives)
+      stream.addData(Seq(freshDoc("A"), archDoc(3), freshDoc("B"),
+        freshDoc("B")))
+      q.processAllAvailable()
+      assert(kb.len == 22,
+        "archive copy and the later batch-internal copy must be dropped")
+      val texts = kb.docs.collect().map(_.text)
+      assert(texts.count(_ == freshDoc("A")) == 1)
+      assert(texts.count(_ == freshDoc("B")) == 1)
+      assert(texts.count(_ == archDoc(3)) == 1) // the ORIGINAL only
+
+      // batch 2: a copy of batch 1's SURVIVOR must also drop — the
+      // per-batch refresh is what lets the screen see prior batches
+      stream.addData(Seq(freshDoc("A")))
+      q.processAllAvailable()
+      assert(kb.len == 22, "a dup of a prior batch's survivor must drop")
+
+      // a genuinely new doc still lands, and the family stays current
+      stream.addData(Seq(freshDoc("C")))
+      q.processAllAvailable()
+      assert(kb.len == 23)
+      assert(kb.dedupIndexState == graft.core.KbStore.AnnCurrent)
+    } finally q.stop()
+
+    // screening without per-batch maintenance is refused loudly
+    intercept[IllegalArgumentException] {
+      StreamingIngest.startStoreIngest(stream.toDF().toDF("text"), kb, p,
+        dir.resolve("ckpt2").toString, maintainIndex = false,
+        dedupScreen = Some(0.8))
+    }
+    kb.close()
+  }
+
   test("streaming ingest into the KbStore via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
