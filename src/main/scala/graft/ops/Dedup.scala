@@ -292,6 +292,10 @@ object Dedup {
         col("doc_id").as("other"))
       .unionByName(bandsB.select(col("band"), col("key"),
         col("doc_id").as("other")))
+    // cached: the pair list is referenced THREE times (both sides of
+    // the candDocs union and the verify join) — uncached, Catalyst
+    // would re-evaluate the whole band join (including the ARCHIVE
+    // banding pipeline in the operator form) once per reference
     val cands = bandsB.select(col("band"), col("key"),
         col("doc_id").as("b_id"))
       .join(allBands, Seq("band", "key"))
@@ -299,6 +303,7 @@ object Dedup {
       .select(least(col("b_id"), col("other")).as("doc1"),
         greatest(col("b_id"), col("other")).as("doc2"))
       .distinct()
+      .cache()
     val candDocs = cands.select(col("doc1").as("doc_id"))
       .unionByName(cands.select(col("doc2").as("doc_id"))).distinct()
     val shA = shingles(
