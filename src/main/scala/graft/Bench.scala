@@ -203,6 +203,7 @@ object Bench {
     "b3_hybrid_rrf" -> 2.49, "c1_clusters" -> 3.04,
     "d10_line_dedup" -> 1.84, "d13_substring_dedup" -> 2.71,
     "d14_semantic_contamination" -> 1.06, "d15_semdedup" -> 3.75,
+    "d18_incremental_dedup" -> 4.1, // r12 first record (calib 1.4)
     "d16_temperature_mixture" -> 1.23, "d17_keep_best" -> 1.49,
     "d2_minhash_lsh" -> 3.41, "d3b_simhash_banded" -> 2.68,
     "d4_ngram_jaccard" -> 5.7, "d5_embedding_neardup" -> 1.11,
@@ -1623,7 +1624,7 @@ object Bench {
     * BASELINE.md rows (and which have no published counterpart). */
   private def notesJson(): String = Seq(
     "ordering" -> "r11: io probe, then the cheap protocol points (10k, load-docs), then the FULL part-1 inventory single-rep, then the 1M protocol + the interleaved 2k-probe ORDERING ladder (two guaranteed cycles — their budget is RESERVED from the moment the part-1 sweep starts, stepped down at each spine milestone), then the 10k absolute plain knn leg, then compressed tiers, curation (incl. real sf0.1/sf1-scale corpus points), z-order, bpe, image, streaming ingest, the pairs/neardup sweeps last, and a part-1 median upgrade if budget remains. Ladder RETRIES only run when the remaining budget also covers every design section not yet recorded — budget death hits retries, never first-time coverage",
-    "provenance" -> "every recorded point carries {reps, calib-at-measurement, cpu_run} in the record's provenance map (warm points and ladder legs add the working set's memory-residency fraction; the approximate 1M tier points add recall_at_10 measured vs the exact top-10 on the same corpus — 32-query mean for the knn-join legs, the probe query itself for single-query probes): single-rep points on a calib>2 day are weather-limited and marked as such by their own record. cpu_run = sum(task executorCpuTime)/sum(task executorRunTime) across the point's published rep(s) — <<1 means the executor threads were descheduled or IO-blocked (a slow number is environment/contention, e.g. this record's warm-1M); ~1.0 means the tasks were on-CPU, which is EITHER real work or this VM's second contention mode, hypervisor CPU steal, which inflates thread CPU itself and is invisible to every guest-side counter (ProfileKnnBimodal pins it: identical back-to-back calls burning 2.5x the cpu-seconds with zero GC; /proc/stat shows hours of steal arriving in waves) — hence median-of-reps and the interleaved ladder rather than any single-shot number",
+    "provenance" -> "every recorded point carries {reps, calib-at-measurement, cpu_run} in the record's provenance map (warm points and ladder legs add the working set's memory-residency fraction; the approximate 1M tier points add recall_at_10 measured vs the exact top-10 on the same corpus — 32-query mean for the knn-join legs, the probe query itself for single-query probes; NOTE the corpus is isotropic random vectors, the hardest case for quantized tiers — see the svs_knn2k_pq_1m note): single-rep points on a calib>2 day are weather-limited and marked as such by their own record. cpu_run = sum(task executorCpuTime)/sum(task executorRunTime) across the point's published rep(s) — <<1 means the executor threads were descheduled or IO-blocked (a slow number is environment/contention, e.g. this record's warm-1M); ~1.0 means the tasks were on-CPU, which is EITHER real work or this VM's second contention mode, hypervisor CPU steal, which inflates thread CPU itself and is invisible to every guest-side counter (ProfileKnnBimodal pins it: identical back-to-back calls burning 2.5x the cpu-seconds with zero GC; /proc/stat shows hours of steal arriving in waves) — hence median-of-reps and the interleaved ladder rather than any single-shot number",
     "ladder" -> "the four knn-ladder legs (svs_knn2k_*) run 2000 probes against the SAME 1M x d1536 corpus, reps INTERLEAVED round-robin (A,B,C,D,A,B,C,D; published value = min per leg) so contention drift lands on all legs equally instead of mapping onto ladder position (r8/r10 published inverted orderings exactly that way). r11: the ladder certifies ORDERING at 2k probes — the amortization claim (every rung beats per-call assignment) is probe-count-invariant, and 2k legs are cheap enough that TWO full cycles fit even at calib 3, with their budget reserved before the part-1 sweep can eat it; the plain path also records once at 10k probes (svs_knn_join_1m) for the absolute magnitude. The ladder_monotone/ladder_cycles contract fields state the outcome explicitly. Out-of-order rungs get targeted retries, worst first, each gated on the budget still covering all unrecorded design sections. The indexed leg's derived layout is built ONCE before cycle 1 (untimed index maintenance) and held storage-pool resident across cycles; every rep stamps residency + cpu_run, so a spill- or contention-poisoned rep is visible in its own record",
     "noise" -> s"part-1 queries record single-shot EARLY, then upgrade to medians of $repsG when budget remains (the upgrade replaces value + provenance); part-2 points on persisted state are medians of up to 3 under a 20s rule; cold/load stay single-shot (rerunning those would measure the page cache). The whole run fits SPARK_GRAFT_BENCH_BUDGET_S (default 1380s): points that would overflow are listed in `skipped`, never silently dropped; per-point estimates rescale by `calib` (median measured/expected vs the recorded healthy run)",
     "svs_io_probe_read" -> "fixed-size IO calibration: ~1 GB uncompressed parquet written from cache then read with the page cache dropped; the ratio vs the recorded healthy run seeds the budget estimator, and the pair attributes any run-to-run delta on disk-bound points to environment vs code (r7: same-tree svs_build_1m measured 299s vs 61s purely from IO contention)",
@@ -1645,7 +1646,7 @@ object Bench {
     "svs_knn_join_1m" -> "the ABSOLUTE-number leg: IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256), per-call assignment (plain), both sides shuffled on centroid id, packed kernels end-to-end, blocked-kernel JIT paid by an untimed warmup call; ordering across the amortization ladder is certified by the cheaper svs_knn2k_* legs; no published counterpart (the reference retrieves one query at a time)",
     "svs_knn2k_plain_1m" -> "ordering-ladder BASELINE: the plain IVF knn join (per-call corpus assignment) at 2k probes x 1M candidates — the rung every amortized leg must beat; see the ladder note",
     "svs_knn2k_indexed_1m" -> "the same 2k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn2k_plain_1m); the candidates' packed vectors still cross the join exchange per call. The raw-blob ccid-BUCKETED variant was retired from the timed set after measuring 2.7x slower than this point: its relational core copies a 6KB blob per candidate pair, dwarfing the one exchange it elides (operator + exchange-elision plan spec remain in the library; bucketed layouts are for small-payload code tables)",
-    "svs_knn2k_pq_1m" -> "the same 2k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate",
+    "svs_knn2k_pq_1m" -> "the same 2k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate. The stamped recall_at_10 is measured on THIS corpus — isotropic random unit vectors, the worst case for any quantizer: all 1M query dots concentrate within ~±0.03 (1/sqrt(1536)), so 96-byte codes cannot separate rank neighbors that differ by less than the quantization noise. Real embedding corpora are strongly anisotropic (cluster structure is what IVF/PQ exploit); the >=0.9 spec gates run on planted-structure data and the k3 oracle pins exactness at full probe+rerank",
     "svs_knn2k_pq_bucketed_1m" -> "the same compressed join through the CUSTOM physical operator (plans/AdcCodesJoin: requiredChildDistribution = ClusteredDistribution(cid) on both children) over a cid-bucketed codes catalog table: the planner accepts the bucketed scan as-is and shuffles only the probe rows per call — codes-side exchange elision a DataFrame-level kernel cannot express; at this local scale the codes exchange is only ~100 MB so the timed delta vs svs_knn2k_pq_1m sits inside run noise — the elision is asserted STRUCTURALLY by the plan spec (zero shuffles under the codes child), and the payoff is at scale: at 100 TB raw the codes are ~1.5 TB per call that never cross the wire",
     "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)",
     "svs_zscan_pruned_6m" -> "z-ordered 6M x 256B table (~1.5 GB raw), 1/8-range predicate on one interleaved dim, payload-reading aggregate, page cache dropped before every rep (disk-bound, as any real cluster reading cold data): the engine's row-group stats prune because the LAYOUT made ranges tight; vs svs_scan_unordered_6m (identical data, naive layout, row groups straddle the predicate) the delta is the measured z-order win — and one layout serves range predicates on BOTH interleaved dims",
