@@ -1939,6 +1939,16 @@ final class KbStore private (
     * docs. Batch ids must be disjoint from stored doc ids (they are
     * provisional — the caller hasn't added the docs yet; offset or
     * negate them if needed).
+    *
+    * Plan shape at scale: the batch's band keys are tiny (4 rows/doc),
+    * so the (band, key) join BROADCASTS the batch side — the stored
+    * bands table is scanned once and never crosses an exchange, and
+    * the candidate subtree behind it is exchange-reused across its
+    * three consumers. Per-screen cost is therefore one scan of the
+    * bands table (~50 B/doc — ~0.5% of corpus bytes); deployments
+    * screening very small batches at high frequency can cut that scan
+    * too by partitioning the family by a key-hash bucket (the
+    * text-postings trick) — pruning wins once batch keys ≪ buckets.
     */
   def dedupCandidates(batch: DataFrame,
       threshold: Double = 0.8): DataFrame = {
