@@ -155,9 +155,13 @@ object Bench {
   private val outPathG: String =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
 
-  /** Last recorded healthy complete run (r10 refresh, from the
-    * calib-1.08/1.18 complete runs behind commit ce626cc) — the
-    * denominator for the estimator's slowdown calibration. Only points
+  /** Last recorded healthy complete run (r12 refresh: the calib-0.95
+    * complete record with skipped: [], cross-checked against the r12
+    * second run and r10/r11 where this box's CPU-steal waves made one
+    * sample untrustworthy — single-rep CPU-bound points here swing
+    * 2-3x between waves, so each anchor is the min of recent healthy
+    * observations, not any one run) — the denominator for the
+    * estimator's slowdown calibration. Only points
     * ≥ 1 s feed ratios (below that, job-floor noise dominates); points
     * with >3× healthy-day variance between CPU- and IO-bound regimes
     * (load_docs) are left out rather than feeding a junk ratio.
@@ -172,20 +176,26 @@ object Bench {
     // of probe count (the blocked kernel's pair flops are the cheap
     // part), so they sit near their 10k twins; only the code-shuffling
     // pq legs scale with the probe side
-    "svs_knn_join_1m" -> 28.0,
-    "svs_knn2k_plain_1m" -> 16.0,
+    "svs_knn_join_1m" -> 24.0,
+    "svs_knn2k_plain_1m" -> 10.0,
     "svs_knn2k_indexed_1m" -> 5.0,
-    "svs_knn2k_pq_1m" -> 6.0,
+    "svs_knn2k_pq_1m" -> 5.0,
     "svs_knn2k_pq_bucketed_1m" -> 8.0,
-    "svs_pairs_1m" -> 24.0,
+    "svs_pairs_1m" -> 23.0,
     "svs_neardup_1m" -> 23.0,
     "svs_ivf_build_1m" -> 7.0,
-    "svs_pq_encode_1m" -> 28.0,
-    "svs_zorder_write_6m" -> 6.0,
-    "svs_bpe_train_1k" -> 28.0,
-    "svs_image_neardup_100k" -> 40.0,
+    "svs_pq_encode_1m" -> 24.0,
+    "svs_zorder_write_6m" -> 5.0,
+    "svs_bpe_train_1k" -> 18.0,
+    "svs_image_neardup_100k" -> 21.0,
     "svs_curation_2m" -> 25.0,
-    "svs_stream_ingest" -> 75.0)
+    // r12 additions (first complete record, calib 0.95): the stream
+    // trio. stream_ingest healthy dropped from r11's 70.9 to 46.8 on
+    // the same ingest code — split the difference so one lucky sample
+    // can't deflate calib on a normal day.
+    "svs_stream_ingest" -> 60.0,
+    "svs_stream_ingest_fast" -> 31.0,
+    "svs_stream_dedup" -> 16.0)
 
   /** Last recorded healthy-run PART-1 values ≥ 1 s (same provenance as
     * [[expectedS]]: the r11 builder-side complete run, calib ~1.0) —
@@ -784,9 +794,9 @@ object Bench {
       "svs_knn2k_pq_1m" -> scala.collection.mutable.ArrayBuffer[Double](),
       "svs_knn2k_pq_bucketed_1m" -> scala.collection.mutable.ArrayBuffer[Double]())
     val legEst = Map(
-      "svs_knn2k_plain_1m" -> 16.0,
+      "svs_knn2k_plain_1m" -> 11.0,
       "svs_knn2k_indexed_1m" -> 6.0,
-      "svs_knn2k_pq_1m" -> 7.0,
+      "svs_knn2k_pq_1m" -> 6.0,
       "svs_knn2k_pq_bucketed_1m" -> 9.0)
 
     // leg B's persisted assignment — own gate like the pq prep
