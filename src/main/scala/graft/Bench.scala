@@ -289,6 +289,22 @@ object Bench {
       }
     }
 
+  /** Median of (seconds, cpu_run) rep pairs: the published value is the
+    * median rep's time and THAT rep's cpu ratio (even count: mean of
+    * the two middle reps, cpu averaged only when both are present).
+    * Shared by [[record]] and the fresh-dir write-rep loops so the
+    * publication policy can't drift between them. */
+  private def medianRep(
+      ts: Seq[(Double, Option[Double])]): (Double, Option[Double]) = {
+    val s = ts.sortBy(_._1)
+    if (s.size % 2 == 1) s(s.size / 2)
+    else {
+      val (tl, cl) = s(s.size / 2 - 1)
+      val (th, ch) = s(s.size / 2)
+      ((tl + th) / 2, for (a <- cl; b <- ch) yield (a + b) / 2)
+    }
+  }
+
   /** Thrown when the remaining budget only covers emission — unwinds
     * to the enclosing section boundary (independent later sections
     * still get their chance; their gates re-check the budget). */
@@ -337,15 +353,8 @@ object Bench {
           val t = timed(body)
           (t, cpuRunRatio(c0))
         }
-        val ts = ((first, firstCpu) +: rest).sortBy(_._1)
-        val (m, mc) =
-          if (ts.size % 2 == 1) ts(ts.size / 2)
-          else {
-            val (tl, cl) = ts(ts.size / 2 - 1)
-            val (th, ch) = ts(ts.size / 2)
-            ((tl + th) / 2,
-              for (a <- cl; b <- ch) yield (a + b) / 2)
-          }
+        val ts = (first, firstCpu) +: rest
+        val (m, mc) = medianRep(ts)
         (m, ts.size, mc)
       } else (first, 1, firstCpu)
     setProv(name, usedReps, residency, pubCpu)
@@ -649,15 +658,8 @@ object Bench {
         KbStoreCleanup.delete(dir)
         rep += 1
       }
-      val sorted = reps.sortBy(_._1)
-      val (v, pubCpu) =
-        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else {
-          val (tl, cl) = sorted(sorted.size / 2 - 1)
-          val (th, ch) = sorted(sorted.size / 2)
-          ((tl + th) / 2, for (a <- cl; b <- ch) yield (a + b) / 2)
-        }
-      recordValue(s"svs_load_docs_$tag", v, sorted.size, cpuRun = pubCpu)
+      val (v, pubCpu) = medianRep(reps.toSeq)
+      recordValue(s"svs_load_docs_$tag", v, reps.size, cpuRun = pubCpu)
       docsDf.unpersist()
     }
   }
@@ -1006,7 +1008,13 @@ object Bench {
           setRecall("svs_knn2k_pq_bucketed_1m", pqR)
         }
       } catch {
-        case b: BudgetUp => throw b
+        // NOT rethrown: a BudgetUp here would land in the ladder
+        // section's catch and publish "remaining ladder reps not run"
+        // when every ladder rep in fact completed — record the honest
+        // skip and let the section finish (later gates re-check the
+        // budget themselves)
+        case _: BudgetUp =>
+          addSkip("(ladder recall stamps skipped on budget)")
         case scala.util.control.NonFatal(e) =>
           Console.err.println(s"[bench] recall stamp failed (non-fatal): $e")
       }

@@ -1951,7 +1951,17 @@ final class KbStore private (
     * text-postings trick) — pruning wins once batch keys ≪ buckets.
     */
   def dedupCandidates(batch: DataFrame,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    dedupCandidatesWithCleanup(batch, threshold)._1
+
+  /** [[dedupCandidates]] plus a cleanup handle that unpersists the
+    * internal candidate cache once the result is consumed — required
+    * by unbounded per-batch callers (the streaming dedup screen), so
+    * the session CacheManager doesn't accumulate one orphaned entry
+    * per micro-batch. One-shot callers can use [[dedupCandidates]].
+    */
+  private[graft] def dedupCandidatesWithCleanup(batch: DataFrame,
+      threshold: Double = 0.8): (DataFrame, () => Unit) = {
     require(hasDedupIndex, dedupIndexState match {
       case KbStore.AnnStale =>
         "dedup index is stale: call refreshDedupIndex() to catch it up"
@@ -1965,8 +1975,8 @@ final class KbStore private (
     val bandsA = read(KbStore.DedupBandsTable).where($"band" >= 0L)
       .select($"doc_id", $"band", $"key")
     val archive = docs.toDF().select($"id".as("doc_id"), $"text")
-    graft.ops.Dedup.incrementalFromBands(archive, bandsA, shB, bandsB,
-      k, threshold, uni)
+    graft.ops.Dedup.incrementalFromBandsWithCleanup(archive, bandsA,
+      shB, bandsB, k, threshold, uni)
   }
 
   /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized

@@ -287,7 +287,21 @@ object Dedup {
     */
   private[graft] def incrementalFromBands(archive: DataFrame,
       bandsA: DataFrame, shB: DataFrame, bandsB: DataFrame, k: Int,
-      threshold: Double, unicode: Boolean): DataFrame = {
+      threshold: Double, unicode: Boolean): DataFrame =
+    incrementalFromBandsWithCleanup(archive, bandsA, shB, bandsB, k,
+      threshold, unicode)._1
+
+  /** [[incrementalFromBands]] plus a cleanup handle that unpersists the
+    * internal candidate cache. One-shot batch queries can ignore it
+    * (the session outlives them, like [[minhashNearDups]]'s shingle
+    * cache); an UNBOUNDED caller — the streaming dedup screen runs
+    * once per micro-batch — must invoke it after consuming the result,
+    * or the session CacheManager accumulates one orphaned cache entry
+    * per batch forever.
+    */
+  private[graft] def incrementalFromBandsWithCleanup(archive: DataFrame,
+      bandsA: DataFrame, shB: DataFrame, bandsB: DataFrame, k: Int,
+      threshold: Double, unicode: Boolean): (DataFrame, () => Unit) = {
     val allBands = bandsA.select(col("band"), col("key"),
         col("doc_id").as("other"))
       .unionByName(bandsB.select(col("band"), col("key"),
@@ -309,8 +323,9 @@ object Dedup {
     val shA = shingles(
       archive.join(candDocs, Seq("doc_id"), "left_semi"), k,
       unicode = unicode)
-    jaccardVerify(cands, shA.unionByName(shB))
+    val result = jaccardVerify(cands, shA.unionByName(shB))
       .where(col("jaccard") >= threshold)
+    (result, () => { cands.unpersist(blocking = false); () })
   }
 
   /** SimHash over distinct unigram tokens: bit b is the sign of

@@ -492,6 +492,31 @@ class StreamingSpec extends SparkSpec {
         dir.resolve("ckpt2").toString, maintainIndex = false,
         dedupScreen = Some(0.8))
     }
+
+    // non-text columns ride through the screen intact (r12 review: the
+    // first cut projected the batch down to text and silently nulled
+    // meta/parent_id on every screened doc)
+    val markerKey = s"__graft_ingest::${dir.resolve("ckpt")}"
+    val metaBatch = Seq((freshDoc("D"), """{"k":1}"""))
+      .toDF("text", "meta")
+    assert(StreamingIngest.applyIngestBatch(kb, metaBatch, p, markerKey,
+      batchId = 99L, maintainIndex = true, dedupScreen = Some(0.8)))
+    val d = kb.docs.filter($"text" === freshDoc("D")).collect()
+    assert(d.length == 1 && d(0).meta.contains("""{"k":1}"""),
+      "a screened batch must keep its meta column")
+
+    // crash recovery (r12 review): a commit whose maintain-refresh
+    // never ran (the replay path skips the re-commit, hence never
+    // refreshes) leaves the family stale — the screen must refresh it
+    // in place instead of wedging the stream on a loud stale require
+    kb.bulkAddDocs(p)(_.add(freshDoc("E")))
+    assert(kb.dedupIndexState == graft.core.KbStore.AnnStale)
+    val wedge = Seq(freshDoc("E")).toDF("text") // dup of the un-indexed doc
+    assert(StreamingIngest.applyIngestBatch(kb, wedge, p, markerKey,
+      batchId = 100L, maintainIndex = true, dedupScreen = Some(0.8)))
+    assert(kb.docs.filter($"text" === freshDoc("E")).count() == 1,
+      "the in-screen refresh must let the screen see the un-indexed doc")
+    assert(kb.dedupIndexState == graft.core.KbStore.AnnCurrent)
     kb.close()
   }
 
