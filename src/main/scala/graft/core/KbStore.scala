@@ -1979,6 +1979,76 @@ final class KbStore private (
       shB, bandsB, k, threshold, uni)
   }
 
+  /** Screen a pre-ingest doc batch against the archive (and itself,
+    * keep-first) through the persisted dedup family: returns the
+    * SURVIVORS — the batch rows whose verified Jaccard vs an archived
+    * doc or an earlier row of the same batch stays below `threshold` —
+    * with the batch's full schema intact (meta, parent_id ride
+    * through), plus a cleanup handle that unpersists the screen's
+    * internal caches once the survivors are consumed. A merely-stale
+    * dedup index is refreshed in place first (idempotent, O(changed
+    * docs)); a missing one fails loudly. Shared by the streaming
+    * dedup-on-ingest path and [[bulkAddDocsScreened]].
+    */
+  private[graft] def screenBatch(batch: DataFrame,
+      threshold: Double): (DataFrame, () => Unit) = {
+    if (dedupIndexState == KbStore.AnnStale) refreshDedupIndex()
+    // provisional ids disjoint from (and ABOVE) the store's dense id
+    // space, order-stable so keep-first is well-defined — appended as
+    // a COLUMN so the batch's other columns survive the screen
+    val base = metaCache.max_doc_id + 1L
+    val pid = "__graft_screen_id"
+    val provisional = spark.createDataFrame(
+      batch.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
+      },
+      batch.schema.add(pid,
+        org.apache.spark.sql.types.LongType, nullable = false))
+      .persist()
+    provisional.count()
+    try {
+      val (pairs, cleanupPairs) = dedupCandidatesWithCleanup(
+        provisional.select(col(pid).as("doc_id"), col("text")), threshold)
+      try {
+        // pairs are doc1 < doc2 and every pair touches the batch, whose
+        // ids all sit ABOVE the archive's — so doc2 is always the batch
+        // doc (vs an archived partner) or the LATER batch arrival
+        // (batch-internal dup): dropping the doc2 side keeps the
+        // archive and the first arrival
+        val dropIds = pairs.select(col("doc2").as(pid)).distinct()
+        val kept = provisional
+          .join(dropIds, Seq(pid), "left_anti")
+          .drop(pid).persist()
+        kept.count() // materialize before the sources unpersist
+        (kept, () => { kept.unpersist(blocking = false); () })
+      } finally cleanupPairs()
+    } finally provisional.unpersist(blocking = false)
+  }
+
+  /** Screened bulk load — the BATCH twin of the streaming
+    * dedup-on-ingest mode (backfilling a new dump against the
+    * archive): near-dups of archived docs (and batch-internal dups,
+    * keep-first) are dropped BEFORE the embedding provider is called,
+    * the survivors commit through [[bulkAddDocsDistributed]], and the
+    * dedup family is refreshed so the NEXT batch screens against this
+    * one's survivors. Returns (added, dropped).
+    */
+  def bulkAddDocsScreened(newDocs: DataFrame,
+      provider: EmbeddingProvider,
+      threshold: Double = 0.8): (Long, Long) = {
+    val total = newDocs.count()
+    if (total == 0) return (0L, 0L)
+    val (kept, cleanup) = screenBatch(newDocs, threshold)
+    try {
+      val survivors = kept.count()
+      if (survivors > 0) {
+        bulkAddDocsDistributed(kept, provider)
+        refreshDedupIndex()
+      }
+      (survivors, total - survivors)
+    } finally cleanup()
+  }
+
   /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized
     * id-paths (lexicographic path order == DFS pre-order).
     */

@@ -487,52 +487,15 @@ object StreamingIngest {
       // id). Requires the dedup family to EXIST (buildDedupIndex —
       // a missing index fails loudly rather than silently letting dups
       // through); a merely-stale index is refreshed in place below.
+      // the screen runs BEFORE this batch's commit; KbStore.screenBatch
+      // also refresh-if-stales the family first, so a crash between a
+      // prior commit and ITS refresh (a replay skips the re-commit,
+      // hence never refreshes) completes the interrupted maintenance
+      // instead of wedging the stream. The batch's full schema (meta,
+      // parent_id) rides through the screen.
       val (toAdd, unpersistKept): (DataFrame, () => Unit) =
         dedupScreen match {
-          case Some(threshold) =>
-            val spark = batch.sparkSession
-            // the screen runs BEFORE this batch's commit, so a crash
-            // between a prior commit and ITS refresh (replay skips the
-            // re-commit, hence never refreshes) would otherwise wedge
-            // the stream: every restart reaches a stale index and
-            // dies. Refresh-if-stale here is idempotent and O(changed
-            // docs) — it simply completes the interrupted maintenance.
-            if (kb.dedupIndexState == graft.core.KbStore.AnnStale)
-              kb.refreshDedupIndex()
-            // provisional ids disjoint from (and ABOVE) the store's
-            // dense id space, order-stable so keep-first is
-            // well-defined — appended as a COLUMN so the batch's other
-            // columns (meta, parent_id) ride through the screen intact
-            val base = kb.meta.max_doc_id + 1L
-            val pid = "__graft_screen_id"
-            val provisional = spark.createDataFrame(
-              batch.rdd.zipWithIndex().map { case (r, i) =>
-                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
-              },
-              batch.schema.add(pid,
-                org.apache.spark.sql.types.LongType, nullable = false))
-              .persist()
-            provisional.count()
-            try {
-              val (pairs, cleanupPairs) = kb.dedupCandidatesWithCleanup(
-                provisional.select(col(pid).as("doc_id"), col("text")),
-                threshold)
-              try {
-                // pairs are doc1 < doc2 and every pair touches the
-                // batch, whose ids all sit ABOVE the archive's — so
-                // doc2 is always the batch doc (vs an archived
-                // partner) or the LATER batch arrival (batch-internal
-                // dup): dropping the doc2 side keeps the archive and
-                // the first arrival
-                val dropIds = pairs.select(col("doc2").as(pid))
-                  .distinct()
-                val kept = provisional
-                  .join(dropIds, Seq(pid), "left_anti")
-                  .drop(pid).persist()
-                kept.count() // materialize before the sources unpersist
-                (kept, () => { kept.unpersist(blocking = false); () })
-              } finally cleanupPairs()
-            } finally provisional.unpersist(blocking = false)
+          case Some(threshold) => kb.screenBatch(batch, threshold)
           case None => (batch, () => ())
         }
       try {

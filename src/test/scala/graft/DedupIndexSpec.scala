@@ -152,6 +152,32 @@ class DedupIndexSpec extends SparkSpec {
     kb.refreshDedupIndex()
     assert(kb.dedupBands
       .where($"doc_id" === victim).count() == 0)
+
+    // ---- screened bulk load: the batch twin of the streaming
+    // dedup-on-ingest (backfill a dump against the archive) ----
+    val lenBefore = kb.len
+    val dump = Seq(
+      ("brand new dump document with its own vocabulary " +
+        (0 until 30).map(w => s"dumpw${w}z${(w * 5) % 17}").mkString(" "),
+        """{"src":"dump"}"""),
+      (storeDocs(7)._2, null), // exact copy of an archived doc: drop
+      ("brand new dump document with its own vocabulary " +
+        (0 until 30).map(w => s"dumpw${w}z${(w * 5) % 17}").mkString(" "),
+        null) // batch-internal dup of row 1: drop (keep-first)
+    ).toDF("text", "meta")
+    val (added, dropped) = kb.bulkAddDocsScreened(dump, p, threshold = 0.8)
+    assert(added == 1 && dropped == 2, s"got ($added, $dropped)")
+    assert(kb.len == lenBefore + 1)
+    // the survivor kept its meta and the family is current again, so
+    // the SAME dump re-screened drops everything
+    val survivor = kb.docs
+      .filter($"text".startsWith("brand new dump document")).collect()
+    assert(survivor.length == 1 &&
+      survivor(0).meta.contains("""{"src":"dump"}"""))
+    assert(kb.dedupIndexState == KbStore.AnnCurrent)
+    val (added2, dropped2) = kb.bulkAddDocsScreened(dump, p)
+    assert(added2 == 0 && dropped2 == 3)
+    assert(kb.len == lenBefore + 1)
     kb.close()
   }
 }
