@@ -1991,13 +1991,16 @@ final class KbStore private (
     * dedup-on-ingest path and [[bulkAddDocsScreened]].
     */
   private[graft] def screenBatch(batch: DataFrame,
-      threshold: Double): (DataFrame, () => Unit) = {
+      threshold: Double): (DataFrame, Long, () => Unit) = {
+    val pid = "__graft_screen_id"
+    require(!batch.columns.contains(pid),
+      s"screenBatch appends a $pid column; the batch already has one " +
+        "(re-screening an exported screen result? drop it first)")
     if (dedupIndexState == KbStore.AnnStale) refreshDedupIndex()
     // provisional ids disjoint from (and ABOVE) the store's dense id
     // space, order-stable so keep-first is well-defined — appended as
     // a COLUMN so the batch's other columns survive the screen
     val base = metaCache.max_doc_id + 1L
-    val pid = "__graft_screen_id"
     val provisional = spark.createDataFrame(
       batch.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
@@ -2005,8 +2008,12 @@ final class KbStore private (
       batch.schema.add(pid,
         org.apache.spark.sql.types.LongType, nullable = false))
       .persist()
-    provisional.count()
+    // every path below — including a count() that dies mid-job on the
+    // streaming hot loop — must unpersist what it persisted, or each
+    // failed micro-batch attempt leaks one CacheManager entry forever
+    // (the very leak the WithCleanup plumbing exists to prevent)
     try {
+      val total = provisional.count() // also the SCREENED row count
       val (pairs, cleanupPairs) = dedupCandidatesWithCleanup(
         provisional.select(col(pid).as("doc_id"), col("text")), threshold)
       try {
@@ -2019,8 +2026,10 @@ final class KbStore private (
         val kept = provisional
           .join(dropIds, Seq(pid), "left_anti")
           .drop(pid).persist()
-        kept.count() // materialize before the sources unpersist
-        (kept, () => { kept.unpersist(blocking = false); () })
+        try kept.count() // materialize before the sources unpersist
+        catch { case t: Throwable =>
+          kept.unpersist(blocking = false); throw t }
+        (kept, total, () => { kept.unpersist(blocking = false); () })
       } finally cleanupPairs()
     } finally provisional.unpersist(blocking = false)
   }
@@ -2036,11 +2045,13 @@ final class KbStore private (
   def bulkAddDocsScreened(newDocs: DataFrame,
       provider: EmbeddingProvider,
       threshold: Double = 0.8): (Long, Long) = {
-    val total = newDocs.count()
-    if (total == 0) return (0L, 0L)
-    val (kept, cleanup) = screenBatch(newDocs, threshold)
+    // the screened total comes from screenBatch's OWN materialization —
+    // a separate newDocs.count() here would evaluate the (un-persisted)
+    // input lineage a second full time, and on a nondeterministic
+    // source the two passes could disagree and corrupt the arithmetic
+    val (kept, total, cleanup) = screenBatch(newDocs, threshold)
     try {
-      val survivors = kept.count()
+      val survivors = kept.count() // cached by screenBatch — O(metadata)
       if (survivors > 0) {
         bulkAddDocsDistributed(kept, provider)
         refreshDedupIndex()

@@ -495,7 +495,9 @@ object StreamingIngest {
       // parent_id) rides through the screen.
       val (toAdd, unpersistKept): (DataFrame, () => Unit) =
         dedupScreen match {
-          case Some(threshold) => kb.screenBatch(batch, threshold)
+          case Some(threshold) =>
+            val (kept, _, cleanup) = kb.screenBatch(batch, threshold)
+            (kept, cleanup)
           case None => (batch, () => ())
         }
       try {
@@ -556,18 +558,18 @@ object StreamingIngest {
     * per batch, never an archive re-mine), and docs whose MinHash-
     * verified Jaccard vs an archived doc (or an earlier doc of the
     * same batch) meets the threshold are dropped BEFORE the provider
-    * is called. Requires `buildDedupIndex()` on the store and
-    * `maintainIndex = true` (each commit's refresh is what keeps the
-    * next batch's screen able to see this batch's survivors).
+    * is called. Requires `buildDedupIndex()` on the store (a missing
+    * family fails loudly); the screen itself keeps the family CURRENT
+    * — it refresh-if-stales before banding, so each batch sees every
+    * prior batch's survivors with or without `maintainIndex`.
+    * `maintainIndex` additionally keeps the OTHER families
+    * (ANN/int8/text/PQ) live per batch; the screen-only mode is the
+    * high-frequency deployment the scaladoc above recommends.
     */
   def startStoreIngest(source: DataFrame, kb: graft.core.KbStore,
       provider: EmbeddingProvider, checkpoint: String,
       maintainIndex: Boolean = false,
       dedupScreen: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(dedupScreen.isEmpty || maintainIndex,
-      "dedupScreen requires maintainIndex = true: without the per-batch " +
-        "refresh the dedup index goes stale after the first commit and " +
-        "the next batch's screen would fail")
     val markerKey = s"__graft_ingest::$checkpoint"
     source.writeStream
       .outputMode(OutputMode.Append)

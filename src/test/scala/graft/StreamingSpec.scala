@@ -486,12 +486,25 @@ class StreamingSpec extends SparkSpec {
       assert(kb.dedupIndexState == graft.core.KbStore.AnnCurrent)
     } finally q.stop()
 
-    // screening without per-batch maintenance is refused loudly
-    intercept[IllegalArgumentException] {
-      StreamingIngest.startStoreIngest(stream.toDF().toDF("text"), kb, p,
-        dir.resolve("ckpt2").toString, maintainIndex = false,
-        dedupScreen = Some(0.8))
-    }
+    // screen-only mode (maintainIndex = false): the screen's own
+    // refresh-if-stale keeps the dedup family current batch-to-batch,
+    // so high-frequency deployments get dedup-on-ingest without the
+    // per-batch ANN/text/PQ refresh cost
+    val stream2 = MemoryStream[String]
+    val q2 = StreamingIngest.startStoreIngest(
+      stream2.toDF().toDF("text"), kb, p,
+      dir.resolve("ckpt2").toString, maintainIndex = false,
+      dedupScreen = Some(0.8))
+    try {
+      stream2.addData(Seq(freshDoc("F")))
+      q2.processAllAvailable()
+      val lenF = kb.len
+      stream2.addData(Seq(freshDoc("F"), freshDoc("G"))) // F dups batch 1
+      q2.processAllAvailable()
+      assert(kb.len == lenF + 1,
+        "screen-only mode must see the prior batch's survivors")
+      assert(kb.docs.filter($"text" === freshDoc("F")).count() == 1)
+    } finally q2.stop()
 
     // non-text columns ride through the screen intact (r12 review: the
     // first cut projected the batch down to text and silently nulled
