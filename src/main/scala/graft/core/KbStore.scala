@@ -1592,6 +1592,18 @@ final class KbStore private (
       case _ => "no IVF-PQ index: call buildPqIndex()"
     })
     val tbl = bucketedCodesTableName
+    // A compact that found a stale marker drops the CATALOG entry but
+    // leaves the external _pq_codes_data files for vacuum (a reader may
+    // overlap a compact). A rebuild into that orphaned non-empty
+    // location would be a CTAS into a non-empty external dir — throws
+    // under Spark's default allowNonEmptyLocationInCTAS=false, and with
+    // the legacy flag set would silently mix the stale files into the
+    // new mirror. Clear the orphans first: the rebuild replaces the
+    // mirror's files under the pre-existing overwrite contract, so this
+    // adds no reader hazard a catalog-tracked rebuild doesn't have.
+    if (!spark.catalog.tableExists(tbl))
+      try KbStore.deleteRecursively(Paths.get(bucketedCodesDataPath))
+      catch { case _: java.io.IOException => () }
     val codes = read(KbStore.IvfPqCodesTable).withColumnRenamed("vec_id", "id")
     graft.ops.VectorQuant.writeCodesBucketed(codes, tbl, buckets, parts,
       location = Some(bucketedCodesDataPath))

@@ -500,45 +500,49 @@ object StreamingIngest {
             (kept, cleanup)
           case None => (batch, () => ())
         }
+      // keep whichever index families exist live. Refresh COMPUTE is
+      // O(this batch) against the stored centroids / encoder, but each
+      // refresh commit rewrites its index table (the versioned-table
+      // write model) — for high-frequency micro-batches over a huge
+      // store, prefer maintainIndex = false + periodic refresh.
+      // Runs on EVERY applied batch, including the all-dups early exit
+      // below: families left stale by a prior crash (commit landed,
+      // refresh didn't) must not stay stale just because the next
+      // batches happen to be all duplicates — maintainIndex promises
+      // per-batch liveness, not per-non-empty-batch liveness.
+      def refreshStaleFamilies(): Unit = if (maintainIndex) {
+        if (kb.annIndexState == graft.core.KbStore.AnnStale)
+          kb.refreshAnnIndex()
+        if (kb.sqIndexState == graft.core.KbStore.AnnStale)
+          kb.refreshSqIndex()
+        if (kb.textIndexState == graft.core.KbStore.AnnStale)
+          kb.refreshTextIndex()
+        // the dedup-signature family refreshes like the text tier (band
+        // ONLY this batch's docs against the stored MinHash parameters),
+        // so a continuously ingesting store can screen every next batch
+        // against its whole history via dedupCandidates without a rescan
+        if (kb.dedupIndexState == graft.core.KbStore.AnnStale)
+          kb.refreshDedupIndex()
+        // the IVF-PQ tier refreshes like the others (encode O(batch)
+        // against the stored centroids/codebooks); its refresh also
+        // keeps a materialized bucketed-codes mirror current, so a
+        // streaming store serves the exchange-free pqKnnJoin path
+        // continuously
+        if (kb.pqIndexState == graft.core.KbStore.AnnStale)
+          kb.refreshPqIndex()
+      }
       try {
         if (toAdd.isEmpty) {
           // every doc was a dup: still advance the marker so a replay
           // doesn't re-screen the batch forever
           kb.setKey(markerKey, batchId)
+          refreshStaleFamilies()
           return true
         }
         kb.bulkAddDocsDistributed(toAdd, provider,
           ingestMarker = Some(markerKey -> batchId))
       } finally unpersistKept()
-      // keep whichever index families exist live. Refresh COMPUTE is
-      // O(this batch) against the stored centroids / encoder, but each
-      // refresh commit rewrites its index table (the versioned-table
-      // write model) — for high-frequency micro-batches over a huge
-      // store, prefer maintainIndex = false + periodic refresh
-      if (maintainIndex &&
-          kb.annIndexState == graft.core.KbStore.AnnStale)
-        kb.refreshAnnIndex()
-      if (maintainIndex &&
-          kb.sqIndexState == graft.core.KbStore.AnnStale)
-        kb.refreshSqIndex()
-      if (maintainIndex &&
-          kb.textIndexState == graft.core.KbStore.AnnStale)
-        kb.refreshTextIndex()
-      // the dedup-signature family refreshes like the text tier (band
-      // ONLY this batch's docs against the stored MinHash parameters),
-      // so a continuously ingesting store can screen every next batch
-      // against its whole history via dedupCandidates without a rescan
-      if (maintainIndex &&
-          kb.dedupIndexState == graft.core.KbStore.AnnStale)
-        kb.refreshDedupIndex()
-      // the IVF-PQ tier refreshes like the others (encode O(batch)
-      // against the stored centroids/codebooks); its refresh also
-      // keeps a materialized bucketed-codes mirror current, so a
-      // streaming store serves the exchange-free pqKnnJoin path
-      // continuously
-      if (maintainIndex &&
-          kb.pqIndexState == graft.core.KbStore.AnnStale)
-        kb.refreshPqIndex()
+      refreshStaleFamilies()
       true
     }
   }
