@@ -727,6 +727,22 @@ object SparkEntry {
         .orderBy($"vec_id")
     }),
 
+    // semantic dedup-SCREEN (SemDeDup at the ingest boundary): the
+    // d18 split — ids % 5 == 4 play the arriving batch, the rest the
+    // archive — and a batch doc is dropped when an archive vector OR
+    // an earlier batch doc scores cosine ≥ 0.4 (keep-first). Exact
+    // path at this scale (oracle-provable); the store twin prunes the
+    // archive through the persisted IVF family and degenerates to
+    // exactly this at full probe (spec-pinned, the k3 pattern).
+    "d19_semantic_screen" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Dedup.semanticScreen(
+          emb.filter($"vec_id" % 5 =!= 4), emb.filter($"vec_id" % 5 === 4),
+          threshold = 0.4)
+        .orderBy($"vec_id")
+    }),
+
     // C4-style line dedup over multi-line docs synthesized identically
     // in both engines: a corpus-wide boilerplate line, a line shared by
     // each doc_id % 7 cohort, and the doc's own text
@@ -2732,6 +2748,33 @@ object SparkEntry {
                   FROM te CROSS JOIN tr
                   WHERE round(list_dot_product(te.embedding::DOUBLE[],
                         tr.embedding::DOUBLE[]), 6) >= 0.4),
+            ag AS (SELECT qid, count(*) AS n_matches, max(cos) AS max_cos
+                   FROM f GROUP BY qid),
+            best AS (SELECT qid, tid AS best_match FROM (
+                       SELECT qid, tid, row_number() OVER (
+                         PARTITION BY qid ORDER BY cos DESC, tid) AS rk
+                       FROM f) WHERE rk = 1)
+         SELECT a.qid AS vec_id, b.best_match, a.n_matches, a.max_cos
+         FROM ag a JOIN best b USING (qid) ORDER BY vec_id""",
+
+    "d19_semantic_screen" ->
+      """WITH ar AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE vec_id % 5 <> 4),
+            ba AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 5 = 4),
+            f AS (SELECT ba.vec_id AS qid, ar.vec_id AS tid,
+                         round(list_dot_product(ba.embedding::DOUBLE[],
+                               ar.embedding::DOUBLE[]), 6) AS cos
+                  FROM ba CROSS JOIN ar
+                  WHERE round(list_dot_product(ba.embedding::DOUBLE[],
+                        ar.embedding::DOUBLE[]), 6) >= 0.4
+                  UNION ALL
+                  SELECT b2.vec_id AS qid, b1.vec_id AS tid,
+                         round(list_dot_product(b2.embedding::DOUBLE[],
+                               b1.embedding::DOUBLE[]), 6) AS cos
+                  FROM ba b1 JOIN ba b2 ON b1.vec_id < b2.vec_id
+                  WHERE round(list_dot_product(b2.embedding::DOUBLE[],
+                        b1.embedding::DOUBLE[]), 6) >= 0.4),
             ag AS (SELECT qid, count(*) AS n_matches, max(cos) AS max_cos
                    FROM f GROUP BY qid),
             best AS (SELECT qid, tid AS best_match FROM (

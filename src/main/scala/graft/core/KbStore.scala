@@ -613,28 +613,45 @@ final class KbStore private (
       if (withMeta.columns.contains("parent_id")) withMeta
       else withMeta.withColumn("parent_id", lit(null).cast("long"))
 
+    // pre-embedded path (the semantic ingest screen's commit leg): a
+    // `vec ARRAY<FLOAT>` column carries provider output the caller
+    // already paid for — the screen embeds BEFORE screening, so
+    // re-calling the provider for the survivors would double the
+    // provider bill. Magnitude-checked like every other embedding
+    // entry point; absent the column, the provider is called as before.
+    val hasVec = withParent.columns.contains("vec")
+    import spark.implicits._
     // dense id assignment from the high-water mark. Persisted: the
     // id-bearing frame feeds the parent check, both table writes, and
     // the added-count — without a persist each of those re-runs
     // zipWithIndex over the (arbitrarily large) input
-    val indexed = withParent
-      .select(col("text"), col("parent_id").cast("long"), col("meta"))
-      .rdd.zipWithIndex()
-      .map { case (r, i) =>
-        (n0 + 1 + i, Option(r.get(1)).map(_.asInstanceOf[Long]),
-          r.getString(0), Option(r.getString(2)))
-      }
-    import spark.implicits._
-    val ids = indexed.toDF("id", "parent_id", "text", "meta")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = (if (hasVec) {
+      withParent
+        .select(col("text"), col("parent_id").cast("long"), col("meta"),
+          col("vec"))
+        .rdd.zipWithIndex()
+        .map { case (r, i) =>
+          (n0 + 1 + i, Option(r.get(1)).map(_.asInstanceOf[Long]),
+            r.getString(0), Option(r.getString(2)), r.getSeq[Float](3))
+        }.toDF("id", "parent_id", "text", "meta", "vec")
+    } else {
+      withParent
+        .select(col("text"), col("parent_id").cast("long"), col("meta"))
+        .rdd.zipWithIndex()
+        .map { case (r, i) =>
+          (n0 + 1 + i, Option(r.get(1)).map(_.asInstanceOf[Long]),
+            r.getString(0), Option(r.getString(2)))
+        }.toDF("id", "parent_id", "text", "meta")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // level derivation: one broadcast-or-shuffle join against existing
     // docs; missing parents fail the job before anything is committed
     val parents = docs.toDF().select($"id".as("pid"), $"level".as("plevel"))
+    val levelCols = Seq($"id", $"parent_id", $"text", $"meta",
+      when($"parent_id".isNull, 0).otherwise($"plevel" + 1).as("level")) ++
+      (if (hasVec) Seq($"vec") else Nil)
     val levelled = ids.join(parents, ids("parent_id") === col("pid"), "left")
-      .select($"id", $"parent_id", $"text", $"meta",
-        when($"parent_id".isNull, 0)
-          .otherwise($"plevel" + 1).as("level"))
+      .select(levelCols: _*)
     val missing = levelled.filter($"parent_id".isNotNull && $"level".isNull)
     if (!missing.isEmpty)
       throw new IllegalArgumentException(
@@ -643,13 +660,23 @@ final class KbStore private (
     // batched embedding inside mapPartitions (chunk=200, kb.py:52);
     // emb ids share the doc id (1:1 for the distributed path)
     val prov = provider
-    val embRows = levelled.select($"id", $"text").as[(Long, String)]
-      .mapPartitions { it =>
-        it.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
-          val vecs = Embeddings.checkMagnitude(prov.embed(chunk.map(_._2)))
-          chunk.map(_._1).zip(vecs).map { case (id, v) => Emb(id, v) }
-        }
-      }
+    val embRows =
+      if (hasVec)
+        levelled.select($"id", $"vec").as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            it.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
+              val vecs = Embeddings.checkMagnitude(chunk.map(_._2))
+              chunk.map(_._1).zip(vecs).map { case (id, v) => Emb(id, v) }
+            }
+          }
+      else
+        levelled.select($"id", $"text").as[(Long, String)]
+          .mapPartitions { it =>
+            it.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
+              val vecs = Embeddings.checkMagnitude(prov.embed(chunk.map(_._2)))
+              chunk.map(_._1).zip(vecs).map { case (id, v) => Emb(id, v) }
+            }
+          }
 
     val docRows = levelled.select($"id", $"parent_id",
       $"level".cast("int").as("level"), $"text", $"id".as("emb_id"), $"meta")
@@ -2070,6 +2097,162 @@ final class KbStore private (
       }
       (survivors, total - survivors)
     } finally cleanup()
+  }
+
+  /** Embedding-space screen core (r12 verdict item 2 — the SemDeDup
+    * complement of [[dedupCandidates]], and the ANN family's sixth
+    * consumer): for a pre-embedded batch `(vec_id, embedding
+    * ARRAY<FLOAT>)` whose ids sit ABOVE the archive's, return one row
+    * per batch doc that should be DROPPED — near-dup of an ARCHIVE
+    * vector (cosine ≥ `cosThreshold`) or of an EARLIER batch doc
+    * (keep-first) — as `(vec_id, best_match, n_matches, max_cos)`.
+    *
+    * The archive side is pruned through the persisted IVF family
+    * BEFORE any kernel work: the batch's vectors probe their `nProbe`
+    * nearest stored centroids, the assignment table is scanned once
+    * against the broadcast probed-cid set, and the resulting id set
+    * (8 B/id) broadcasts into a semi join against `embeddings` — so
+    * the exact-cosine verify touches only the probed fraction of the
+    * corpus (O(batch × nProbe/nlist × corpus) kernel work, the
+    * SemDeDup cluster-bounding applied at the ingest boundary), and
+    * neither archive table crosses an exchange. `nProbe >= nlist`
+    * degenerates to the EXACT screen — identical to
+    * [[graft.ops.Dedup.semanticScreen]] over the full archive (the
+    * oracle/spec anchor, the k3 pattern); partial probes trade recall
+    * exactly as IVF retrieval does. A merely-stale ANN family is
+    * refreshed in place first (O(changed docs)); a missing one fails
+    * loudly — silent screen misses are worse than an error.
+    */
+  private[graft] def semanticDropHits(batchVec: DataFrame,
+      cosThreshold: Double, nProbe: Int = 8): DataFrame = {
+    if (annIndexState == KbStore.AnnStale) refreshAnnIndex()
+    require(hasAnnIndex,
+      "no ANN index: call buildAnnIndex() before semantic screening")
+    import graft.functions.FloatVecPack.floatVecPack
+    val centRows = read(KbStore.IvfCentroidsTable).collect()
+    val nlist = centRows.length
+    val arch = embeddings.toDF()
+      .select($"id".as("vec_id"), $"vec".as("embedding"))
+    val archive =
+      if (nProbe >= nlist) arch // full probe = exact (oracle anchor)
+      else {
+        val cents = centRows.map(r => (r.getLong(0),
+          r.getSeq[Double](1).map(_.toFloat).toArray)).sortBy(_._1)
+        val packedQ = batchVec.select(col("vec_id").as("id"),
+          floatVecPack(col("embedding")).as("vec"))
+        val probed = graft.ops.SimilaritySearch
+          .probeRanks(packedQ, cents, nProbe)
+          .select(col("cid")).distinct()
+        val prunedIds = read(KbStore.IvfAssignTable)
+          .join(broadcast(probed), Seq("cid")).select($"vec_id")
+        arch.join(broadcast(prunedIds), Seq("vec_id"), "left_semi")
+      }
+    val vsArchive = graft.ops.Dedup.semanticHits(
+      archive, batchVec, cosThreshold)
+    val internal = graft.ops.Dedup.semanticHits(
+        batchVec, batchVec, cosThreshold)
+      .where(col("tid") < col("qid"))
+    graft.ops.Dedup.aggContaminationHits(vsArchive.unionByName(internal))
+  }
+
+  /** Embedding-space twin of [[screenBatch]]: screen a pre-ingest doc
+    * batch against the archive (and itself, keep-first) for
+    * SEMANTIC near-dups through the persisted ANN family. The batch
+    * is embedded ONCE (provider batches of 200) before screening, and
+    * the survivors are returned WITH their `vec` column so the commit
+    * leg ([[bulkAddDocsDistributed]]'s pre-embedded path) never calls
+    * the provider again — a doc dropped here still paid its provider
+    * call (embedding-space screening can't precede embedding), but it
+    * never bloats the corpus or needs a retroactive delete. Returns
+    * (survivors incl. vec, screened-count, cleanup). Shared by the
+    * streaming semantic dedup-on-ingest mode and
+    * [[bulkAddDocsScreenedSemantic]].
+    */
+  private[graft] def screenBatchSemantic(batch: DataFrame,
+      cosThreshold: Double, provider: EmbeddingProvider,
+      nProbe: Int = 8): (DataFrame, Long, () => Unit) = {
+    val pid = "__graft_screen_id"
+    require(!batch.columns.contains(pid),
+      s"screenBatchSemantic appends a $pid column; the batch already " +
+        "has one (re-screening an exported screen result? drop it first)")
+    require(!batch.columns.contains("vec"),
+      "screenBatchSemantic embeds the batch itself; drop the existing " +
+        "vec column (or commit via bulkAddDocsDistributed directly)")
+    if (annIndexState == KbStore.AnnStale) refreshAnnIndex()
+    require(hasAnnIndex,
+      "no ANN index: call buildAnnIndex() before semantic screening")
+    val base = metaCache.max_doc_id + 1L
+    val provisional = spark.createDataFrame(
+      batch.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
+      },
+      batch.schema.add(pid,
+        org.apache.spark.sql.types.LongType, nullable = false))
+      .persist()
+    try {
+      val total = provisional.count() // also the SCREENED row count
+      val prov = provider
+      val embedded = provisional.select(col(pid), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.grouped(EmbeddingProvider.BatchSize).flatMap { chunk =>
+            val vecs = Embeddings.checkMagnitude(prov.embed(chunk.map(_._2)))
+            chunk.map(_._1).zip(vecs)
+          }
+        }.toDF(pid, "vec").persist()
+      try {
+        embedded.count()
+        val batchVec = embedded.select(col(pid).as("vec_id"),
+          col("vec").as("embedding"))
+        val dropIds = semanticDropHits(batchVec, cosThreshold, nProbe)
+          .select(col("vec_id").as(pid)).distinct()
+        val kept = provisional
+          .join(embedded, Seq(pid))
+          .join(dropIds, Seq(pid), "left_anti")
+          .drop(pid).persist()
+        try kept.count() // materialize before the sources unpersist
+        catch { case t: Throwable =>
+          kept.unpersist(blocking = false); throw t }
+        (kept, total, () => { kept.unpersist(blocking = false); () })
+      } finally embedded.unpersist(blocking = false)
+    } finally provisional.unpersist(blocking = false)
+  }
+
+  /** Semantically screened bulk load — the batch twin of the streaming
+    * semantic dedup-on-ingest mode: paraphrase-level near-dups of
+    * archived docs (and batch-internal, keep-first) are dropped before
+    * commit, with an optional LEXICAL pre-screen (`lexicalThreshold`)
+    * so MinHash-visible dups never even pay the provider call — the
+    * standard two-stage curation order (cheap lexical first, semantic
+    * on the survivors; Abbas et al. 2023). Survivors commit with
+    * their screen-time embeddings (no second provider pass) and both
+    * screen families are refreshed so the NEXT batch screens against
+    * this one's survivors. Returns (added, dropped).
+    */
+  def bulkAddDocsScreenedSemantic(newDocs: DataFrame,
+      provider: EmbeddingProvider, cosThreshold: Double = 0.9,
+      nProbe: Int = 8,
+      lexicalThreshold: Option[Double] = None): (Long, Long) = {
+    val (lexKept, lexTotal, lexCleanup) = lexicalThreshold match {
+      case Some(t) => screenBatch(newDocs, t)
+      case None => (newDocs, -1L, () => ())
+    }
+    try {
+      val (kept, semTotal, cleanup) =
+        screenBatchSemantic(lexKept, cosThreshold, provider, nProbe)
+      try {
+        val survivors = kept.count() // cached by the screen — O(metadata)
+        if (survivors > 0) {
+          bulkAddDocsDistributed(kept, provider)
+          if (lexicalThreshold.isDefined &&
+              dedupIndexState == KbStore.AnnStale)
+            refreshDedupIndex()
+          refreshAnnIndex()
+        }
+        val total = if (lexTotal >= 0) lexTotal else semTotal
+        (survivors, total - survivors)
+      } finally cleanup()
+    } finally lexCleanup()
   }
 
   /** G2 dfs_traversal (`kb.py:1580-1593`): pre-order via materialized

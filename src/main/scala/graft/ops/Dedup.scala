@@ -970,6 +970,22 @@ object Dedup {
     */
   def semanticContamination(train: DataFrame, test: DataFrame,
       threshold: Double, exactLimit: Long = 20000L,
+      bands: Int = 0): DataFrame =
+    aggContaminationHits(
+      semanticHits(train, test, threshold, exactLimit, bands))
+
+  /** The pair-level core of [[semanticContamination]] (and of the
+    * semantic ingest screen, [[semanticScreen]]): one row per
+    * (test doc, train doc) pair with cosine ≥ `threshold` —
+    * (qid, tid, cos), cos rounded to 6 dp. Same two execution shapes:
+    * test-side broadcast against a single train scan when the test
+    * side is small, seeded sign-sketch banding + exact re-score
+    * beyond. Exposed so callers can UNION hit sets from different
+    * partner corpora (e.g. archive hits ∪ within-batch hits) before
+    * the per-doc aggregate — aggregating per source would double-scan.
+    */
+  def semanticHits(train: DataFrame, test: DataFrame,
+      threshold: Double, exactLimit: Long = 20000L,
       bands: Int = 0): DataFrame = {
     import graft.functions.FloatVecDot.floatVecDot
     import graft.functions.FloatVecPack.floatVecPack
@@ -1013,15 +1029,51 @@ object Dedup {
             round(floatVecDot(col("qv"), col("tv")), 6).as("cos"))
           .where(col("cos") >= threshold)
       }
-    // ONE aggregation pass: best_match via struct-argmax (max cos, ties
-    // to the smaller train id through the negated tid) — a second
-    // consumer of `hits` would re-run the train-corpus scan per branch
+    hits
+  }
+
+  /** Per-contaminated-doc aggregate over a [[semanticHits]] pair set:
+    * ONE aggregation pass — best_match via struct-argmax (max cos,
+    * ties to the smaller partner id through the negated tid); a second
+    * consumer of `hits` would re-run the partner-corpus scan per
+    * branch. Output: (vec_id, best_match, n_matches, max_cos). */
+  def aggContaminationHits(hits: DataFrame): DataFrame =
     hits.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_matches"), max(col("cos")).as("max_cos"),
         max(struct(col("cos"), negate(col("tid")).as("ntid"))).as("bs"))
       .select(col("qid").as("vec_id"),
         negate(col("bs.ntid")).as("best_match"),
         col("n_matches"), col("max_cos"))
+
+  /** Embedding-space dedup SCREEN — the semantic complement of the
+    * MinHash ingest screen (SemDeDup-grade, Abbas et al. 2023 applied
+    * at the ingest boundary): an arriving batch doc is DROPPED when
+    *  - some ARCHIVE vector scores cosine ≥ `threshold` against it
+    *    (a paraphrase-level near-dup of something already ingested), or
+    *  - an EARLIER doc of the same batch does (batch-internal dup,
+    *    keep-first — mirroring the lexical screen's greedy pair rule:
+    *    the earlier partner's own fate does not resurrect the later
+    *    doc).
+    * Ids must be disjoint with batch ids ABOVE archive ids (the store
+    * assigns provisional ids that way; the oracle entry splits one id
+    * space). Output: one row per DROPPED batch doc —
+    * (vec_id, best_match, n_matches, max_cos) where best_match may be
+    * an archive id or an earlier batch id (ties to the smaller id).
+    *
+    * Scale shape: archive-vs-batch goes through [[semanticHits]] (one
+    * archive scan against the broadcast batch; sign-sketch banded
+    * beyond `exactLimit`); within-batch reuses the same core with the
+    * batch on both sides and keeps the ordered (earlier, later) pairs.
+    * The store twin prunes the archive side to the IVF-probed lists
+    * first — see `KbStore.semanticDropIds`.
+    */
+  def semanticScreen(archive: DataFrame, batch: DataFrame,
+      threshold: Double, exactLimit: Long = 20000L,
+      bands: Int = 0): DataFrame = {
+    val vsArchive = semanticHits(archive, batch, threshold, exactLimit, bands)
+    val internal = semanticHits(batch, batch, threshold, exactLimit, bands)
+      .where(col("tid") < col("qid"))
+    aggContaminationHits(vsArchive.unionByName(internal))
   }
 
   /** SemDeDup (Abbas et al. 2023): cluster-bounded embedding dedup.

@@ -363,7 +363,7 @@ object SimilaritySearch {
     * the smaller cid (centroids iterate in ascending cid order); a
     * NaN-component query fills no slots and emits nothing.
     */
-  private[ops] def probeRanks(queries: DataFrame,
+  private[graft] def probeRanks(queries: DataFrame,
       cents: Array[(Long, Array[Float])], nProbe: Int): DataFrame = {
     import graft.functions.FloatVecDot
     val spark = queries.sparkSession

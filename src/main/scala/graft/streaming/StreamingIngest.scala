@@ -471,7 +471,9 @@ object StreamingIngest {
   def applyIngestBatch(kb: graft.core.KbStore, batch: DataFrame,
       provider: EmbeddingProvider, markerKey: String, batchId: Long,
       maintainIndex: Boolean,
-      dedupScreen: Option[Double] = None): Boolean = {
+      dedupScreen: Option[Double] = None,
+      semanticScreen: Option[Double] = None,
+      semanticNProbe: Int = 8): Boolean = {
     val last = kb.getKeyOr(markerKey, -1L).asInstanceOf[Long]
     if (batchId <= last || batch.isEmpty) false
     else {
@@ -539,8 +541,33 @@ object StreamingIngest {
           refreshStaleFamilies()
           return true
         }
-        kb.bulkAddDocsDistributed(toAdd, provider,
-          ingestMarker = Some(markerKey -> batchId))
+        // SEMANTIC screen (r12 verdict item 2): the lexical survivors
+        // are embedded once, screened against the archive in embedding
+        // space through the persisted ANN family (paraphrase-level
+        // near-dups MinHash can't see — the standard second curation
+        // stage, Abbas et al. 2023), and the survivors commit WITH
+        // their screen-time vectors, so the provider is called exactly
+        // once per doc regardless of which screens are on. Exactly-once
+        // holds for the same reason as the lexical screen: both run
+        // before the marker-carrying commit, and the archive a replay
+        // re-screens against only ever gained the survivors.
+        val (toCommit, unpersistSem): (DataFrame, () => Unit) =
+          semanticScreen match {
+            case Some(ct) =>
+              val (kept, _, cleanup) =
+                kb.screenBatchSemantic(toAdd, ct, provider, semanticNProbe)
+              (kept, cleanup)
+            case None => (toAdd, () => ())
+          }
+        try {
+          if (toCommit.isEmpty) {
+            kb.setKey(markerKey, batchId)
+            refreshStaleFamilies()
+            return true
+          }
+          kb.bulkAddDocsDistributed(toCommit, provider,
+            ingestMarker = Some(markerKey -> batchId))
+        } finally unpersistSem()
       } finally unpersistKept()
       refreshStaleFamilies()
       true
@@ -570,17 +597,30 @@ object StreamingIngest {
     * (ANN/int8/text/PQ) live per batch; the screen-only mode is the
     * high-frequency deployment the scaladoc above recommends.
     */
+  /** `semanticScreen = Some(cosThreshold)`: the EMBEDDING-SPACE screen
+    * — each batch (after the lexical screen, when both are on) is
+    * embedded once and screened against the archive through the
+    * persisted ANN (IVF) family (`nProbe = semanticNProbe` lists
+    * probed; batch-internal keep-first included), and the survivors
+    * commit with their screen-time vectors. Requires
+    * `buildAnnIndex()` on the store; the screen refresh-if-stales the
+    * family itself, so semantic-screen-only mode needs no
+    * `maintainIndex`. MinHash catches copies; this catches
+    * paraphrases — run both for full-coverage dedup-on-ingest.
+    */
   def startStoreIngest(source: DataFrame, kb: graft.core.KbStore,
       provider: EmbeddingProvider, checkpoint: String,
       maintainIndex: Boolean = false,
-      dedupScreen: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      dedupScreen: Option[Double] = None,
+      semanticScreen: Option[Double] = None,
+      semanticNProbe: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     val markerKey = s"__graft_ingest::$checkpoint"
     source.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIngestBatch(kb, batch, provider, markerKey, batchId,
-          maintainIndex, dedupScreen)
+          maintainIndex, dedupScreen, semanticScreen, semanticNProbe)
         ()
       }
       .start()

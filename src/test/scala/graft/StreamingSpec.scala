@@ -533,6 +533,73 @@ class StreamingSpec extends SparkSpec {
     kb.close()
   }
 
+  test("semantic dedup-on-ingest: semanticScreen drops paraphrase-" +
+      "level near-dups MinHash passes, alone and combined with the " +
+      "lexical screen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-skb4")
+    val kb = graft.core.KbStore.create(spark,
+      dir.resolve("kb").toString, Map("provider" -> "mock"))
+    // bag-of-words provider: sorted-token-bag-seeded unit vectors, so
+    // a word-order paraphrase embeds IDENTICALLY while its shingle set
+    // (hence the MinHash screen) sees a different document
+    val p = new SemanticScreenSpec.BagProvider
+    def mk(tag: String): String =
+      s"sdoc $tag " + (0 until 30).map(w => s"${tag}q${w}z${(w * 5) % 23}")
+        .mkString(" ")
+    def para(tag: String): String = {
+      val toks = mk(tag).split(" ")
+      (toks.take(2) ++ toks.drop(2).reverse).mkString(" ")
+    }
+    kb.bulkAddDocs(p) { a => (0 until 16).foreach(i => a.add(mk(s"s$i"))) }
+    kb.buildAnnIndex(nlist = 4)
+
+    // semantic-only mode: no maintainIndex — the screen's own
+    // refresh-if-stale keeps the ANN family current batch-to-batch
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.startStoreIngest(
+      stream.toDF().toDF("text"), kb, p,
+      dir.resolve("ckpt").toString, maintainIndex = false,
+      semanticScreen = Some(0.9), semanticNProbe = 4)
+    try {
+      // a paraphrase of an ARCHIVED doc drops; a fresh doc lands; a
+      // batch-internal paraphrase pair keeps only the first
+      stream.addData(Seq(para("s3"), mk("fA"), para("fA")))
+      q.processAllAvailable()
+      assert(kb.len == 17,
+        "archive paraphrase and the later internal paraphrase must drop")
+      assert(kb.docs.toDF().where($"text" === mk("fA")).count() == 1)
+      assert(kb.docs.toDF().where($"text" === para("s3")).count() == 0)
+      // the next batch screens against the PRIOR batch's survivor
+      stream.addData(Seq(para("fA")))
+      q.processAllAvailable()
+      assert(kb.len == 17)
+      assert(kb.annIndexState == graft.core.KbStore.AnnCurrent)
+    } finally q.stop()
+
+    // combined mode: the lexical screen takes exact copies (before any
+    // provider call), the semantic screen takes the paraphrases
+    kb.buildDedupIndex()
+    val stream2 = MemoryStream[String]
+    val q2 = StreamingIngest.startStoreIngest(
+      stream2.toDF().toDF("text"), kb, p,
+      dir.resolve("ckpt2").toString, maintainIndex = false,
+      dedupScreen = Some(0.8), semanticScreen = Some(0.9),
+      semanticNProbe = 4)
+    try {
+      stream2.addData(Seq(mk("s5"), para("s7"), mk("fB")))
+      q2.processAllAvailable()
+      assert(kb.len == 18, "exact copy AND paraphrase must both drop")
+      assert(kb.docs.toDF().where($"text" === mk("fB")).count() == 1)
+      // an all-dup batch still advances (marker) and leaves no extras
+      stream2.addData(Seq(mk("fB"), para("fB")))
+      q2.processAllAvailable()
+      assert(kb.len == 18)
+    } finally q2.stop()
+    kb.close()
+  }
+
   test("streaming ingest into the KbStore via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
