@@ -215,6 +215,9 @@ object Bench {
     "svs_stream_ingest" -> 60.0,
     "svs_stream_ingest_fast" -> 31.0,
     "svs_stream_dedup" -> 16.0)
+  // (svs_stream_semdedup is new in r13 — no healthy anchor yet, so it
+  // deliberately stays out of expectedS until a complete record
+  // establishes one)
 
   /** Last recorded healthy-run PART-1 values ≥ 1 s (same provenance as
     * [[expectedS]]: the r11 builder-side complete run, calib ~1.0) —
@@ -690,6 +693,26 @@ object Bench {
       }
       val (v, pubCpu) = medianRep(reps.toSeq)
       recordValue(s"svs_load_docs_$tag", v, reps.size, cpuRun = pubCpu)
+      // gate-miss accounting for the 10k point (r12 verdict item 6):
+      // its 2-3× vs the reference's 0.07 s is the JVM job-dispatch +
+      // output-committer floor, not the write — the SAME path at 1M is
+      // ~14× FASTER than baseline. Measure that floor in the same
+      // weather (median of 3 one-row single-task parquet writes,
+      // committer renames included, page cache untouched — the floor
+      // is dispatch, not IO) and stamp it in the point's provenance so
+      // the irreducible share of the published value is in-record.
+      if (tag == "10k") {
+        val floors = (0 until 3).map { i =>
+          val d = s"/tmp/graft_bench_docs_floor_$i"
+          KbStoreCleanup.delete(d)
+          val t = timed {
+            spark.range(0, 1, 1, 1).write.mode("overwrite").parquet(d)
+          }
+          KbStoreCleanup.delete(d)
+          t
+        }.sorted
+        setRecallKey(s"svs_load_docs_$tag", "dispatch_floor_s", floors(1))
+      }
       docsDf.unpersist()
     }
   }
@@ -1392,6 +1415,171 @@ object Bench {
 
     dropCorpus()
     KbStoreCleanup.delete(kept1m)
+
+    // planted-structure recall counterpart (r12 verdict item 3) — runs
+    // LAST in the 1M section: it needs the storage pool the corpus
+    // just vacated, and on a budget-starved day it is the right thing
+    // to lose (the stamps it adds contextualize numbers the record
+    // already holds)
+    try clusteredRecallPoint(spark)
+    catch { case _: BudgetUp =>
+      addSkip("(clustered recall counterpart skipped on budget)") }
+  }
+
+  /** Clustered-corpus recall stamps (r12 verdict item 3): the ladder's
+    * recall_at_10 is measured on ISOTROPIC random vectors — the
+    * documented worst case for any quantizer (all 1M dots concentrate
+    * within ~±0.03 = 1/√1536, under the 96-byte code's quantization
+    * noise). Real embedding corpora are anisotropic with near-dup
+    * cluster structure — that is what IVF/PQ exploit, and what
+    * SemDeDup dedups. This section builds a 1M × d1536 corpus WITH
+    * that structure (256 coarse clusters × ~244 near-dup groups of 16:
+    * within-group cos ≈ 0.98, same-cluster-cross-group ≈ 0.76,
+    * cross-cluster ≈ 0), runs the SAME residual IVF-PQ path the pq
+    * rungs time (m = 96, nProbe = 4, rerank = 50) against a
+    * brute-force exact truth pass, and stamps `recall_at_10_clustered`
+    * into the pq legs' provenance — so the record carries both
+    * regimes: the isotropic floor AND the realistic-structure number
+    * the ≥ 0.9 spec gates promise.
+    */
+  private def clusteredRecallPoint(spark: SparkSession): Unit = {
+    setup(90.0)
+    import spark.implicits._
+    import graft.functions.FloatVecDot.floatVecDot
+    val groups = 62500L
+    val perGroup = 16
+    val kClusters = 256
+    val centers = Array.tabulate(kClusters)(c =>
+      syntheticVec(3000000000L + c))
+    val centsArr = centers.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val bcC = spark.sparkContext.broadcast(centers)
+    val corpus = spark.range(0, groups, 1,
+        spark.sparkContext.defaultParallelism)
+      .flatMap { g =>
+        val cArr = bcC.value((g % kClusters).toInt)
+        val gArr = syntheticVec(4000000000L + g)
+        (0 until perGroup).iterator.map { m =>
+          val id = g * perGroup + m
+          (id, FloatVecDot.pack(clusterMemberVec(cArr, gArr, id)))
+        }
+      }.toDF("id", "vec").persist(StorageLevel.MEMORY_AND_DISK)
+    var codes: DataFrame = null
+    try {
+      corpus.count()
+      // 32 fresh queries, one per distinct near-dup group (spread
+      // across clusters): each query's true top-10 is dominated by its
+      // group's 16 members — the macro-margin ranking problem a real
+      // retrieval corpus poses
+      val qArr = (0 until 32).map { q =>
+        val g = (q.toLong * 977L) % groups
+        val cArr = centers((g % kClusters).toInt)
+        val gArr = syntheticVec(4000000000L + g)
+        (5000000L + q.toLong, clusterMemberVec(cArr, gArr, 7000000000L + g))
+      }.toArray
+      val queries = qArr.toSeq
+        .map { case (id, v) => (id, FloatVecDot.pack(v)) }
+        .toDF("id", "vec")
+      // exact truth: ONE blocked corpus pass against the broadcast
+      // query array with per-partition top-10 heaps (a DataFrame
+      // crossJoin would ship 12 KB of vectors per pair row — measured
+      // 58 s vs ~5 s for this shape at 1M × 32)
+      setup(40.0)
+      val bcQ = spark.sparkContext.broadcast(qArr)
+      val partTops = corpus.select(col("id"), col("vec"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val qs = bcQ.value
+          val topS = Array.fill(qs.length)(
+            Array.fill(10)(Double.NegativeInfinity))
+          val topI = Array.fill(qs.length)(new Array[Long](10))
+          it.foreach { case (id, vb) =>
+            val v = FloatVecDot.unpack(vb)
+            var qi = 0
+            while (qi < qs.length) {
+              val s = graft.functions.VecKernels.dotFloats(v, qs(qi)._2)
+              val ts = topS(qi)
+              if (s > ts(9)) {
+                val ti = topI(qi)
+                var j = 9
+                while (j > 0 && s > ts(j - 1)) {
+                  ts(j) = ts(j - 1); ti(j) = ti(j - 1); j -= 1
+                }
+                ts(j) = s; ti(j) = id
+              }
+              qi += 1
+            }
+          }
+          qs.indices.iterator.flatMap { qi =>
+            (0 until 10).iterator
+              .filter(topS(qi)(_) > Double.NegativeInfinity)
+              .map(j => (qs(qi)._1, topI(qi)(j), topS(qi)(j)))
+          }
+        }.collect()
+      val exact = partTops.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(r => (-r._3, r._2)).take(10).map(_._2).toSet
+      }
+      // the SAME residual IVF-PQ path the pq rungs time. Codes are
+      // built only for the lists the 32 queries PROBE (union of
+      // per-query top-4 centroids, computed on the driver): the join
+      // never scores a candidate outside them, so the skipped lists
+      // cannot change the measured recall — and the encode bill halves
+      setup(60.0)
+      val probedCids = qArr.flatMap { case (_, qv) =>
+        centsArr.map { case (cid, cv) =>
+          (cid, graft.functions.VecKernels.dotFloats(qv, cv)) }
+          .sortBy(-_._2).take(4).map(_._1)
+      }.distinct.toSeq
+      val res = graft.ops.VectorQuant.ivfResiduals(corpus, centsArr)
+        .where(col("cid").isin(probedCids: _*))
+      val books = graft.ops.VectorQuant.pqTrain(
+        res.select(col("id"), col("rvec").as("vec")), m = 96,
+        ncodes = 256, sampleMod = 100, iters = 2)
+      codes = graft.ops.VectorQuant.ivfPqEncode(res, books)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val ap = graft.ops.VectorQuant.knnJoinIvfPq(queries, codes,
+          centsArr, books, corpus, k = 10, nProbe = 4, rerank = 50)
+        .select(col("qid"), col("cid")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = exact.toSeq.map { case (q, ex) =>
+        ap.get(q).map(_.intersect(ex).size.toDouble / ex.size)
+          .getOrElse(0.0) }
+      val recall = per.sum / math.max(1, per.size)
+      Seq("svs_knn2k_pq_1m", "svs_knn2k_pq_bucketed_1m",
+        "svs_ivfpq_probe_1m").foreach(
+        setRecallKey(_, "recall_at_10_clustered", recall))
+    } finally {
+      if (codes != null) codes.unpersist(true)
+      corpus.unpersist(true)
+      bcC.destroy()
+    }
+  }
+
+  /** One member of a planted near-dup group: unit-normalized
+    * cluster-center + 0.55·group-direction + ~0.15 gaussian noise
+    * (norms 1, 0.55, 0.15 ⇒ within-group cos ≈ 0.98,
+    * same-cluster-cross-group ≈ 0.76, cross-cluster ≈ 0).
+    */
+  private def clusterMemberVec(cArr: Array[Float], gArr: Array[Float],
+      seed: Long): Array[Float] = {
+    val rnd = new java.util.Random(
+      seed * 2862933555777941757L + 3037000493L)
+    val dInv = 0.15 / math.sqrt(Dim)
+    val v = new Array[Float](Dim)
+    var s = 0.0
+    var i = 0
+    while (i < Dim) {
+      val x = cArr(i) + 0.55 * gArr(i) + dInv * rnd.nextGaussian()
+      v(i) = x.toFloat
+      s += x * x
+      i += 1
+    }
+    val inv = (1.0 / math.sqrt(s)).toFloat
+    i = 0
+    while (i < Dim) { v(i) *= inv; i += 1 }
+    v
   }
 
   /** The x12 curation composition over a synthetic corpus of `n`
@@ -1567,6 +1755,23 @@ object Bench {
         kb.dedupCandidates(screen, threshold = 0.8)
           .write.format("noop").mode("overwrite").save()
       }
+      // ---- SEMANTIC dedup-screen-on-ingest (r12 verdict item 2): the
+      // same arriving-batch shape, screened in EMBEDDING space through
+      // the persisted ANN family — embed the 500 docs (provider cost,
+      // part of the real per-batch bill), probe nProbe/nlist lists,
+      // one pruned archive pass vs the broadcast batch, exact cosine
+      // verify + batch-internal keep-first. 10% of the batch embeds
+      // identically to archived docs (the hash provider is
+      // text-deterministic), so the drop path has genuine work; at
+      // 100 TB this is the paraphrase-robust second screen stage that
+      // never pays an O(corpus) re-mine.
+      setup(20.0)
+      val screenSem = (batchTexts(21).take(450) ++ copies).toDF("text")
+      record("svs_stream_semdedup", estS = 8.0) {
+        val (kept, _, cln) = kb.screenBatchSemantic(
+          screenSem, 0.9, provider, nProbe = 4)
+        try kept.count() finally cln()
+      }
     } finally {
       try q.stop() catch { case _: Throwable => () }
       KbStoreCleanup.delete(dir)
@@ -1665,11 +1870,14 @@ object Bench {
     }
   }
 
+  // NOTE r13: this used to also strip the leading zero ("0.36" →
+  // ".36") to shave the compact line — but ".36" is NOT valid JSON
+  // (strict parsers reject the whole line), which is the likely root
+  // cause of three rounds of wrapper "parsed": null. Keep the zero.
   private def trim2(v: Double): String = {
     var s = f"$v%.2f"
     while (s.endsWith("0")) s = s.dropRight(1)
     if (s.endsWith(".")) s = s.dropRight(1)
-    if (s.startsWith("0.")) s = s.substring(1)
     if (s.isEmpty) "0" else s
   }
 
@@ -1764,6 +1972,7 @@ object Bench {
     "svs_curation_sf1" -> "the same x12 composition over REAL corpus text at sf1 scale: the sfDir documents table key-offset-replicated x10 (ids +1e6/copy, the tools/make_bigsf.py convention — no sf1 parquet exists in this environment), with svs_curation_sf01 the un-replicated sf0.1 table for the ~10x ratio; restates the synthetic 200k->2M linearity claim on real data; no published counterpart",
     "svs_stream_ingest" -> "streaming store ingest with LIVE index upkeep: 6 x 500-doc micro-batches drained through startStoreIngest(maintainIndex=true) against a 20k-doc seeded store with ANN + lexical indexes built — each micro-batch is one atomic commit (embed, pack, docs+embeddings delta write) plus O(batch) incremental ANN and text refreshes; docs/s = 3000/value (a4: ~13 s/micro-batch = commit + ann refresh + text refresh, each a versioned-table write; high-frequency deployments batch refreshes instead — maintainIndex=false + periodic refresh, per the startStoreIngest scaladoc); seed, index builds and one warmup batch untimed; no published counterpart (the reference has no streaming path)",
     "svs_stream_dedup" -> "cross-snapshot incremental dedup through the persisted dedup_bands index family: screen a 500-doc arriving batch (10% exact copies of archived docs) against the ~23k-doc store — band the batch, ONE equi-join vs the stored MinHash band keys, exact-Jaccard verify of matched candidates; the index build is untimed (pay-per-layout) and the refresh after ingest is O(batch); at 100 TB this replaces the O(corpus) re-mine every new batch would otherwise pay; no published counterpart",
+    "svs_stream_semdedup" -> "SEMANTIC dedup-screen-on-ingest through the persisted ANN (IVF) family: embed a 500-doc arriving batch (10% embedding-identical to archived docs), probe 4/16 stored centroid lists, ONE pruned archive pass against the broadcast batch, exact cosine verify + batch-internal keep-first; survivors carry their screen-time vectors into the commit so the provider is never called twice. The paraphrase-robust second screen stage (SemDeDup order: lexical first, semantic on the survivors); at 100 TB the probed-fraction prune replaces the O(corpus) scan every batch would otherwise pay; no published counterpart",
     "svs_stream_ingest_fast" -> "the RECOMMENDED high-frequency configuration (maintainIndex=false + periodic refresh, the startStoreIngest scaladoc's deployment guidance): the same 6 x 500-doc micro-batches on the same store, per-batch cost = the atomic commit only, with ONE incremental ANN + text refresh timed at the end of the window; docs/s = 3000/value — quantifies what batching refreshes buys vs svs_stream_ingest's per-batch live-index mode",
     "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
     "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
@@ -1771,9 +1980,9 @@ object Bench {
     "svs_knn_join_1m" -> "the ABSOLUTE-number leg: IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256), per-call assignment (plain), both sides shuffled on centroid id, packed kernels end-to-end, blocked-kernel JIT paid by an untimed warmup call; ordering across the amortization ladder is certified by the cheaper svs_knn2k_* legs; no published counterpart (the reference retrieves one query at a time)",
     "svs_knn2k_plain_1m" -> "ordering-ladder BASELINE: the plain IVF knn join (per-call corpus assignment) at 2k probes x 1M candidates — the rung every amortized leg must beat; see the ladder note",
     "svs_knn2k_indexed_1m" -> "the same 2k x 1M join probing a PERSISTED assignment (pre-assigned+persisted outside the timer): saves the per-call assignment pass (the measured delta vs svs_knn2k_plain_1m); the candidates' packed vectors still cross the join exchange per call. The raw-blob ccid-BUCKETED variant was retired from the timed set after measuring 2.7x slower than this point: its relational core copies a 6KB blob per candidate pair, dwarfing the one exchange it elides (operator + exchange-elision plan spec remain in the library; bucketed layouts are for small-payload code tables)",
-    "svs_knn2k_pq_1m" -> "the same 2k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate. The stamped recall_at_10 is measured on THIS corpus — isotropic random unit vectors, the worst case for any quantizer: all 1M query dots concentrate within ~±0.03 (1/sqrt(1536)), so 96-byte codes cannot separate rank neighbors that differ by less than the quantization noise. Real embedding corpora are strongly anisotropic (cluster structure is what IVF/PQ exploit); the >=0.9 spec gates run on planted-structure data and the k3 oracle pins exactness at full probe+rerank",
+    "svs_knn2k_pq_1m" -> "the same 2k x 1M join through residual PQ codes: ADC (96 B/vector, per-query lookup tables behind a bounded LRU) pre-filters candidates, exact re-rank of 50 survivors/query; approximate (recall spec-gated at small scale; exact at full probe+rerank, the k3 oracle) — the compressed scale path when raw-vector joins dominate. The stamped recall_at_10 is measured on THIS corpus — isotropic random unit vectors, the worst case for any quantizer: all 1M query dots concentrate within ~±0.03 (1/sqrt(1536)), so 96-byte codes cannot separate rank neighbors that differ by less than the quantization noise. Real embedding corpora are strongly anisotropic (cluster structure is what IVF/PQ exploit); the IN-RECORD counterpart is recall_at_10_clustered — the same residual IVF-PQ path measured on a planted-structure 1M corpus (256 clusters x near-dup groups, the realistic macro-margin ranking problem) vs a brute-force exact truth pass — and the k3 oracle pins exactness at full probe+rerank",
     "svs_knn2k_pq_bucketed_1m" -> "the same compressed join through the CUSTOM physical operator (plans/AdcCodesJoin: requiredChildDistribution = ClusteredDistribution(cid) on both children) over a cid-bucketed codes catalog table: the planner accepts the bucketed scan as-is and shuffles only the probe rows per call — codes-side exchange elision a DataFrame-level kernel cannot express; at this local scale the codes exchange is only ~100 MB so the timed delta vs svs_knn2k_pq_1m sits inside run noise — therefore this rung is OUTSIDE the ladder_monotone ordering gate (r13 split contract): its certification is the STRUCTURAL plan assertion (OpsSpec/StoreScaleSpec: zero shuffles under the codes child), its time claim is bucketed_vs_pq_s ~ 0 (noise-bounded, retried when the published delta exceeds 1.3x the pq rung), and the payoff is at scale: at 100 TB raw the codes are ~1.5 TB per call that never cross the wire",
-    "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch floor -> pairs with the reference's 0.07s in-process SQLite insert (fn2 @10k)",
+    "svs_load_docs_10k" -> "single-task parquet write of a 10k-row text corpus; the residual ~0.2-0.3s is the JVM job-dispatch + output-committer floor, MEASURED and stamped as dispatch_floor_s in this point's provenance (median of 3 one-row single-task writes in the same weather) -> the gate miss vs the reference's 0.07s in-process SQLite insert (fn2 @10k) is the floor, not the write: value - dispatch_floor_s is the actual 10k write cost, and the same path at 1M is ~14x FASTER than baseline",
     "svs_zscan_pruned_6m" -> "z-ordered 6M x 256B table (~1.5 GB raw), 1/8-range predicate on one interleaved dim, payload-reading aggregate, page cache dropped before every rep (disk-bound, as any real cluster reading cold data): the engine's row-group stats prune because the LAYOUT made ranges tight; vs svs_scan_unordered_6m (identical data, naive layout, row groups straddle the predicate) the delta is the measured z-order win — and one layout serves range predicates on BOTH interleaved dims",
     "svs_skip_scan_6m" -> "the manifest file-skipping path over the same table (reads 15/64 files): reads only the manifest-selected files; times as svs_zscan_pruned_6m plus a fixed ~0.2s manifest lookup — honest local number; the file-level win (one manifest read replacing per-file footer opens, 4x fewer tasks) is object-store metadata latency this VM cannot exhibit; result parity LayoutSpec-pinned"
   ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
