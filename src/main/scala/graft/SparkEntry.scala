@@ -1062,6 +1062,17 @@ object SparkEntry {
     "m3_audio_stats" -> ((s, dir) =>
       graft.ops.Multimodal.audioStats(
         graft.ops.Multimodal.asWavMedia(t(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
+    // REAL ISO-BMFF (MP4) container decode: per-doc synthesized box
+    // trees (ftyp + moov[mvhd + avc1 video trak + (odd ids) mp4a audio
+    // trak] + mdat) round-tripped through the box walk — duration,
+    // track inventory, coded dimensions, codec fourccs: the catalog
+    // pass a pretraining pipeline runs on video before any codec.
+    // The oracle states every extracted field in closed form.
+    "m4_video_features" -> ((s, dir) =>
+      graft.ops.Multimodal.videoFeatures(
+        graft.ops.Multimodal.asMp4Media(t(s, dir, "documents"))).toDF()
         .orderBy(col("media_id")))
   )
 
@@ -3421,6 +3432,18 @@ object SparkEntry {
                     i -> power((ascii(substr(text, i, 1)) - 96) * 256.0, 2)))
                   / len(text)), 4) AS rms,
                 (len(text) * 1000 // 8000)::BIGINT AS duration_ms
+         FROM documents ORDER BY media_id""",
+
+    "m4_video_features" ->
+      """SELECT doc_id AS media_id,
+                (len(text) * 40)::BIGINT AS duration_ms,
+                1000::BIGINT AS timescale,
+                (1 + doc_id % 2)::BIGINT AS n_tracks,
+                (64 + (ascii(substr(text, 1, 1)) % 16) * 32)::BIGINT AS width,
+                (64 + (ascii(substr(text, 2, 1)) % 9) * 32)::BIGINT AS height,
+                'avc1' AS video_codec,
+                CASE WHEN doc_id % 2 = 1 THEN 'mp4a' ELSE 'none' END
+                  AS audio_codec
          FROM documents ORDER BY media_id"""
   )
 

@@ -583,4 +583,199 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(it => it.flatMap(PcmDecoder.decode))
   }
+
+  /** Container-level video features from an ISO-BMFF (MP4) box walk —
+    * what a pretraining pipeline catalogs before any codec runs:
+    * presentation duration, track inventory, the video track's coded
+    * dimensions and codec fourcc. */
+  case class VideoFeatures(media_id: Long, duration_ms: Long,
+      timescale: Long, n_tracks: Long, width: Long, height: Long,
+      video_codec: String, audio_codec: String)
+
+  /** ISO-BMFF (MP4/MOV) box walker — header-real like the image
+    * decoders (ISO/IEC 14496-12 box grammar: 4-byte big-endian size +
+    * fourcc; size 1 = 64-bit largesize follows, size 0 = to end of
+    * enclosing box; `moov`/`trak`/`mdia`/`minf`/`stbl` are pure
+    * containers). Extracts:
+    *  - `mvhd` (v0 or v1): movie timescale + duration →
+    *    duration_ms = duration × 1000 / timescale;
+    *  - one entry per `trak`: `tkhd` width/height (16.16 fixed point),
+    *    `hdlr` handler fourcc (vide/soun), and the first `stsd`
+    *    sample-entry fourcc (the codec: avc1, hvc1, mp4a, …);
+    *  - width/height/video_codec from the FIRST `vide` track,
+    *    audio_codec from the first `soun` track (`none` when absent).
+    * Every size field is attacker-controlled: advances are strictly
+    * positive and bounds-checked; a malformed size stops that box's
+    * walk with whatever was decoded so far. Non-BMFF payloads (no
+    * `ftyp`/`moov` at the top level) return None.
+    */
+  object Mp4Decoder {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    private case class Trak(var handler: String = "",
+      var codec: String = "", var w: Long = 0L, var h: Long = 0L)
+
+    private val Containers =
+      Set("moov", "trak", "mdia", "minf", "stbl")
+
+    def decode(r: MediaRow): Option[VideoFeatures] = {
+      val p = r.payload
+      if (p.length < 16) return None
+      var sawBmff = false
+      var timescale = 0L
+      var duration = 0L
+      val traks = scala.collection.mutable.ArrayBuffer.empty[Trak]
+      var cur: Trak = null
+
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        var o = start
+        while (o + 8 <= end && depth < 8) {
+          var size = be32(p, o)
+          val typ = tag(p, o + 4)
+          var hdr = 8
+          if (size == 1L && o + 16 <= end) { size = be64(p, o + 8); hdr = 16 }
+          else if (size == 0L) size = (end - o).toLong
+          if (size < hdr || o + size > end) return // malformed: stop
+          val bEnd = (o + size).toInt
+          typ match {
+            case "ftyp" => sawBmff = true
+            case "moov" => sawBmff = true; walk(o + hdr, bEnd, depth + 1)
+            case "trak" =>
+              cur = Trak(); traks += cur
+              walk(o + hdr, bEnd, depth + 1)
+              cur = null
+            case t if Containers(t) => walk(o + hdr, bEnd, depth + 1)
+            case "mvhd" if o + hdr + 4 <= bEnd =>
+              val v = p(o + hdr) & 0xff
+              if (v == 1 && o + hdr + 28 <= bEnd) {
+                timescale = be32(p, o + hdr + 20)
+                duration = be64(p, o + hdr + 24)
+              } else if (v == 0 && o + hdr + 20 <= bEnd) {
+                timescale = be32(p, o + hdr + 12)
+                duration = be32(p, o + hdr + 16)
+              }
+            case "tkhd" if cur != null && o + hdr + 4 <= bEnd =>
+              val v = p(o + hdr) & 0xff
+              // width/height are the LAST 8 bytes of the fixed-size
+              // payload (v0: 84, v1: 96), 16.16 fixed point
+              val wOff = o + hdr + (if (v == 1) 88 else 76)
+              if (wOff + 8 <= bEnd) {
+                cur.w = be32(p, wOff) >> 16
+                cur.h = be32(p, wOff + 4) >> 16
+              }
+            case "hdlr" if cur != null && o + hdr + 12 <= bEnd =>
+              cur.handler = tag(p, o + hdr + 8)
+            case "stsd" if cur != null && o + hdr + 16 <= bEnd =>
+              // ver/flags(4) entry_count(4) then the first sample
+              // entry: size(4) + codec fourcc(4)
+              cur.codec = tag(p, o + hdr + 12)
+            case _ => () // leaf we don't decode (mdat, free, mdhd, …)
+          }
+          o = bEnd
+        }
+      }
+      walk(0, p.length, 0)
+      if (!sawBmff) return None
+      val vid = traks.find(_.handler == "vide")
+      val aud = traks.find(_.handler == "soun")
+      Some(VideoFeatures(r.media_id,
+        duration_ms =
+          if (timescale > 0) duration * 1000L / timescale else 0L,
+        timescale = timescale, n_tracks = traks.size.toLong,
+        width = vid.map(_.w).getOrElse(0L),
+        height = vid.map(_.h).getOrElse(0L),
+        video_codec = vid.map(_.codec).filter(_.nonEmpty).getOrElse("none"),
+        audio_codec = aud.map(_.codec).filter(_.nonEmpty).getOrElse("none")))
+    }
+  }
+
+  /** Synthesize a REAL (minimal) ISO-BMFF container per doc, like
+    * [[asWavMedia]] does for RIFF: `ftyp(isom)` + `moov[mvhd +
+    * trak(avc1 video) + (odd ids) trak(mp4a audio)] + mdat(text
+    * bytes)`. Deterministic in both engines: timescale 1000, duration
+    * = 40 ticks/char (25 fps), video dimensions derived from the first
+    * two text bytes exactly like [[FakeDecoder]], so the oracle states
+    * every extracted field in closed form.
+    */
+  def asMp4Media(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        def be32(v: Long): Array[Byte] = Array(
+          ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+          val body = payload.flatten.toArray
+          be32(8L + body.length) ++
+            typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+        }
+        val n = text.length
+        val b0 = if (n > 0) text.charAt(0).toInt & 0xff else 0
+        val b1 = if (n > 1) text.charAt(1).toInt & 0xff else 0
+        val width = 64L + (b0 % 16) * 32L
+        val height = 64L + (b1 % 9) * 32L
+        val mvhd = box("mvhd",
+          be32(0), // version 0 + flags
+          be32(0), be32(0), // ctime, mtime
+          be32(1000), // timescale
+          be32(n.toLong * 40L), // duration: 40 ticks/char
+          be32(0x00010000L), Array[Byte](0, 0x64.toByte, 0, 0), // rate, volume+res
+          new Array[Byte](8), // reserved
+          // identity matrix
+          be32(0x00010000L), be32(0), be32(0),
+          be32(0), be32(0x00010000L), be32(0),
+          be32(0), be32(0), be32(0x40000000L),
+          new Array[Byte](24), // pre_defined
+          be32(3)) // next_track_ID
+        def tkhd(trackId: Long, w: Long, h: Long): Array[Byte] = box("tkhd",
+          be32(7), // version 0, flags: enabled|in_movie|in_preview
+          be32(0), be32(0), be32(trackId), be32(0),
+          be32(n.toLong * 40L), // duration (movie timescale)
+          new Array[Byte](8), // reserved
+          new Array[Byte](8), // layer, alt_group, volume, reserved
+          be32(0x00010000L), be32(0), be32(0),
+          be32(0), be32(0x00010000L), be32(0),
+          be32(0), be32(0), be32(0x40000000L),
+          be32(w << 16), be32(h << 16)) // 16.16 fixed point
+        def hdlr(handler: String): Array[Byte] = box("hdlr",
+          be32(0), be32(0),
+          handler.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+          new Array[Byte](12), Array[Byte](0)) // reserved + empty name
+        def stsd(codec: String): Array[Byte] = box("stsd",
+          be32(0), be32(1), // version/flags, entry_count
+          box(codec, new Array[Byte](8))) // minimal sample entry
+        def trak(trackId: Long, handler: String, codec: String,
+            w: Long, h: Long): Array[Byte] =
+          box("trak", tkhd(trackId, w, h),
+            box("mdia", hdlr(handler),
+              box("minf", box("stbl", stsd(codec)))))
+        val traks =
+          if (id % 2 == 1)
+            Array(trak(1, "vide", "avc1", width, height),
+              trak(2, "soun", "mp4a", 0, 0))
+          else Array(trak(1, "vide", "avc1", width, height))
+        val payload = box("ftyp",
+            "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+            be32(512),
+            "mp42".getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+          box("moov", (Array(mvhd) ++ traks): _*) ++
+          box("mdat", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        MediaRow(id, "video", payload)
+      }.toDF()
+  }
+
+  /** Per-partition batched ISO-BMFF feature extraction — the video
+    * modality's catalog pass (m4). Non-BMFF rows are dropped. */
+  def videoFeatures(media: DataFrame): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(it => it.flatMap(Mp4Decoder.decode))
+  }
 }

@@ -419,6 +419,44 @@ class OpsSpec extends SparkSpec {
     assert(hf.width == 8000 && hf.height == 1 && hf.n_frames == 4)
   }
 
+  test("ISO-BMFF box walk: synthesized MP4 round-trips duration/tracks/" +
+      "dims/codecs; malformed and non-BMFF payloads reject safely") {
+    import spark.implicits._
+    // even id: video-only; odd id: video + audio traks
+    val docs = Seq((8L, "abcdef"), (9L, "zy")).toDF("doc_id", "text")
+    val feats = Multimodal.videoFeatures(Multimodal.asMp4Media(docs))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    val v8 = feats(0)
+    assert(v8.media_id == 8L && v8.duration_ms == 240L && // 6 chars × 40
+      v8.timescale == 1000L && v8.n_tracks == 1L &&
+      v8.video_codec == "avc1" && v8.audio_codec == "none")
+    assert(v8.width == 64 + ('a'.toInt % 16) * 32 &&
+      v8.height == 64 + ('b'.toInt % 9) * 32)
+    val v9 = feats(1)
+    assert(v9.n_tracks == 2L && v9.audio_codec == "mp4a" &&
+      v9.duration_ms == 80L)
+    // malformed: a box whose size overruns the payload stops the walk
+    // with what was decoded so far; garbage and truncation reject
+    val mp4 = Multimodal.asMp4Media(docs).select("payload")
+      .head.getAs[Array[Byte]](0)
+    val overrun = mp4.clone()
+    // ftyp is 20 bytes, so moov's 4-byte size starts at offset 20:
+    // force its high byte → the box claims to extend way past the
+    // buffer and the walk must stop rather than read out of bounds
+    overrun(20) = 0x7f
+    val partial = Multimodal.Mp4Decoder.decode(
+      Multimodal.MediaRow(1L, "video", overrun))
+    assert(partial.isDefined && partial.get.n_tracks == 0L,
+      "ftyp still identifies BMFF; the oversized moov is skipped")
+    assert(Multimodal.Mp4Decoder.decode(
+      Multimodal.MediaRow(2L, "video", mp4.take(30))).isDefined ==
+      false || Multimodal.Mp4Decoder.decode(
+        Multimodal.MediaRow(2L, "video", mp4.take(30))).get.n_tracks == 0L)
+    assert(Multimodal.Mp4Decoder.decode(Multimodal.MediaRow(3L, "video",
+      "definitely not an mp4 container at all".getBytes("UTF-8"))).isEmpty)
+  }
+
   test("PNM full-pixel decode: luma, box-resize thumbnail, malformed rejects") {
     import spark.implicits._
     // P5 4×2 grayscale with a comment: left half 0, right half 200
