@@ -556,10 +556,15 @@ object Bench {
             (name, prev, healthyPart1.get(name).map(prev / _))
           }
         }.filter { case (_, prev, dev) =>
-          prev < 3.0 || dev.exists(_ > 2.0)
+          // ≥3 s points re-run on a 1.25× deviation, not only the 2×
+          // blow-ups (r12 item 7: g4/d2/g3 published 1.2-1.4× their
+          // healthy anchors and the 2× bar let the drift stand
+          // unconfirmed for a round); still deviation-ORDERED, still
+          // budget-gated per candidate, so a healthy run spends ~0 here
+          prev < 3.0 || dev.exists(_ > 1.25)
         }.sortBy { case (_, _, dev) => -dev.getOrElse(1.0) }
         candidates.foreach { case (name, prev, dev) =>
-          val isOutlier = dev.exists(_ > 2.0)
+          val isOutlier = dev.exists(_ > 1.25)
           // an outlier re-run is budgeted at its HEALTHY cost (the
           // point of re-running is that the weather passed); a rep that
           // is still slow simply won't multiply under record()'s 20s
@@ -1390,6 +1395,17 @@ object Bench {
     try streamIngestPoint(spark)
     catch { case _: BudgetUp => addSkip("(streaming ingest section skipped on budget)") }
 
+    // planted-structure recall counterpart (r12 verdict item 3) — NEW
+    // coverage this round, so it runs BEFORE the pairs/neardup sweeps
+    // (which re-certify numbers the r12 record already holds): on a
+    // budget-starved day the re-certifications are the right thing to
+    // lose, not the round's first-time stamps. Its own corpus (6.3 GB)
+    // plus the still-cached raw corpus both fit the 64g heap's
+    // protected pool.
+    try clusteredRecallPoint(spark)
+    catch { case _: BudgetUp =>
+      addSkip("(clustered recall counterpart skipped on budget)") }
+
     // ---- most expensive non-headline sweeps LAST ----
     // §3.3 scale point: top-25 pairwise scores over the SAME 1M × d1536
     // corpus via the sketch-candidates + exact-re-rank path. The exact
@@ -1415,15 +1431,6 @@ object Bench {
 
     dropCorpus()
     KbStoreCleanup.delete(kept1m)
-
-    // planted-structure recall counterpart (r12 verdict item 3) — runs
-    // LAST in the 1M section: it needs the storage pool the corpus
-    // just vacated, and on a budget-starved day it is the right thing
-    // to lose (the stamps it adds contextualize numbers the record
-    // already holds)
-    try clusteredRecallPoint(spark)
-    catch { case _: BudgetUp =>
-      addSkip("(clustered recall counterpart skipped on budget)") }
   }
 
   /** Clustered-corpus recall stamps (r12 verdict item 3): the ladder's
