@@ -1166,6 +1166,36 @@ class StoreScaleSpec extends SparkSpec {
       md5.take(6).map("%02x".format(_)).mkString
     assert(!spark.catalog.tableExists(tblName),
       "compact's stale-drop must drop the mirror's catalog table")
+
+    // r12 ADVICE (medium): rebuild BEFORE vacuum — the orphaned
+    // external files still populate _pq_codes_data, and a CTAS into a
+    // non-empty location throws under Spark's default
+    // allowNonEmptyLocationInCTAS=false (or, with the legacy flag,
+    // silently mixes the stale code files into the new mirror).
+    // bucketPqCodes must clear the orphans first and serve a
+    // byte-correct mirror.
+    kb.bucketPqCodes(buckets = 4)
+    assert(Files.exists(markerPath),
+      "rebuild over an orphaned data dir must land a fresh marker")
+    val rebuiltRows = spark.table(tblName)
+      .select(col("cid"), col("id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    val currentCodes = kb.readTableForSpec(KbStore.IvfPqCodesTable)
+      .select(col("cid"), col("vec_id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(rebuiltRows == currentCodes,
+      "rebuild-before-vacuum must serve exactly the current codes — " +
+        "no orphaned stale files mixed in")
+
+    // re-create the marker-less orphan state (invalidate, rebuild
+    // unbucketed, compact drops the marker again) for the
+    // vacuum-reclaim assertion
+    kb.setDocEmbedding(3L, Some(unit))
+    kb.buildPqIndex(nlist = 4, m = 4, ncodes = 16, iters = 2, sampleMod = 1)
+    kb.compact()
+    assert(!Files.exists(markerPath))
     kb.vacuum()
     assert(!Files.exists(Paths.get(s"$path/_pq_codes_data")),
       "vacuum must reclaim a marker-less orphaned mirror data dir")
