@@ -988,7 +988,10 @@ object Bench {
     // ~35, streaming ~45): ladder RETRIES only run when the remaining
     // budget covers them PLUS this — budget death hits retries, never
     // first-time coverage (r10 item 3)
-    val designCostS = 345.0
+    // r13: +70 for the two new first-time sections (clustered recall
+    // ~60, semantic screen ~10); the worst ordering inversion's FIRST
+    // retry is reservation-funded and exempt from this gate
+    val designCostS = 415.0
     try {
       runCycle(availableLegs) // cycle 1 (absorbs any residual JIT)
       reservedS = 42.0 * calib
@@ -1292,6 +1295,25 @@ object Bench {
     assigned1m.unpersist()
     KbStoreCleanup.delete(ivfPath)
 
+    // ---- design points: the round's FIRST-TIME coverage runs before
+    // the sections the r12 record already certifies — both rehearsal
+    // days this round lost the design TAIL to CPU-steal waves, and a
+    // new point that never lands is absent from the round entirely
+    // while a re-certified one just keeps its prior-record value ----
+
+    // planted-structure recall counterpart (r12 verdict item 3): new
+    // stamps this round. Its own corpus (6.3 GB) plus the still-cached
+    // raw corpus both fit the 64g heap's protected pool.
+    try clusteredRecallPoint(spark)
+    catch { case _: BudgetUp =>
+      addSkip("(clustered recall counterpart skipped on budget)") }
+
+    // streaming store ingest + the dedup screens — svs_stream_semdedup
+    // (r12 verdict item 2) is new this round and lives at this
+    // section's end, so the section as a whole moves up
+    try streamIngestPoint(spark)
+    catch { case _: BudgetUp => addSkip("(streaming ingest section skipped on budget)") }
+
     // ---- remaining design points (corpus-independent), cheapest and
     // least-often-certified first ----
     // composed end-to-end curation at two scales (r10): the 100×
@@ -1392,20 +1414,6 @@ object Bench {
 
     // streaming store ingest with live index upkeep (r10 verdict item
     // 6: the streaming path had specs but never a throughput number)
-    try streamIngestPoint(spark)
-    catch { case _: BudgetUp => addSkip("(streaming ingest section skipped on budget)") }
-
-    // planted-structure recall counterpart (r12 verdict item 3) — NEW
-    // coverage this round, so it runs BEFORE the pairs/neardup sweeps
-    // (which re-certify numbers the r12 record already holds): on a
-    // budget-starved day the re-certifications are the right thing to
-    // lose, not the round's first-time stamps. Its own corpus (6.3 GB)
-    // plus the still-cached raw corpus both fit the 64g heap's
-    // protected pool.
-    try clusteredRecallPoint(spark)
-    catch { case _: BudgetUp =>
-      addSkip("(clustered recall counterpart skipped on budget)") }
-
     // ---- most expensive non-headline sweeps LAST ----
     // §3.3 scale point: top-25 pairwise scores over the SAME 1M × d1536
     // corpus via the sketch-candidates + exact-re-rank path. The exact
