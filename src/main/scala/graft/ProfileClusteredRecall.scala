@@ -25,34 +25,14 @@ import graft.functions.FloatVecDot
 object ProfileClusteredRecall {
   private final val Dim = 1536
 
-  private def vec(id: Long): Array[Float] = {
-    val rnd = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
-    val v = new Array[Float](Dim)
-    var s = 0.0
-    var i = 0
-    while (i < Dim) { val x = rnd.nextGaussian(); v(i) = x.toFloat; s += x * x; i += 1 }
-    val inv = (1.0 / math.sqrt(s)).toFloat
-    i = 0
-    while (i < Dim) { v(i) *= inv; i += 1 }
-    v
-  }
+  // SHARED with the official run (r13 review): the profiler exists to
+  // validate exactly the generators and margins Bench.clusteredRecallPoint
+  // pays for, so it calls them rather than carrying copies that could
+  // silently drift from the FINDING comment's parity claim
+  private def vec(id: Long): Array[Float] = Bench.syntheticVec(id)
 
   private def member(cArr: Array[Float], gArr: Array[Float],
-      seed: Long): Array[Float] = {
-    val rnd = new java.util.Random(seed * 2862933555777941757L + 3037000493L)
-    val dInv = 0.15 / math.sqrt(Dim)
-    val v = new Array[Float](Dim)
-    var s = 0.0
-    var i = 0
-    while (i < Dim) {
-      val x = cArr(i) + 0.55 * gArr(i) + dInv * rnd.nextGaussian()
-      v(i) = x.toFloat; s += x * x; i += 1
-    }
-    val inv = (1.0 / math.sqrt(s)).toFloat
-    i = 0
-    while (i < Dim) { v(i) *= inv; i += 1 }
-    v
-  }
+      seed: Long): Array[Float] = Bench.clusterMemberVec(cArr, gArr, seed)
 
   def main(args: Array[String]): Unit = {
     val groups = if (args.nonEmpty) args(0).toLong else 6250L

@@ -619,7 +619,17 @@ final class KbStore private (
     // re-calling the provider for the survivors would double the
     // provider bill. Magnitude-checked like every other embedding
     // entry point; absent the column, the provider is called as before.
-    val hasVec = withParent.columns.contains("vec")
+    // The path engages ONLY on the exact ArrayType(FloatType) schema
+    // the screen produces: a `vec` column of any other type (e.g. the
+    // packed-BINARY corpus convention) is ignored like every other
+    // extra column, as it was before this path existed — not crashed
+    // on, not silently committed.
+    val hasVec = withParent.schema.fields.exists(f =>
+      f.name == "vec" && (f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }))
     import spark.implicits._
     // dense id assignment from the high-water mark. Persisted: the
     // id-bearing frame feeds the parent check, both table writes, and
@@ -2167,6 +2177,16 @@ final class KbStore private (
     * (survivors incl. vec, screened-count, cleanup). Shared by the
     * streaming semantic dedup-on-ingest mode and
     * [[bulkAddDocsScreenedSemantic]].
+    *
+    * Caveat (r13 review): the once-per-doc provider bill holds as long
+    * as the survivors' cached blocks survive until the commit — a lost
+    * executor (impossible in local mode, possible on a cluster)
+    * recomputes lost partitions from lineage, which re-runs the embed
+    * stage for them. A replayed embed re-bills but cannot corrupt:
+    * the streaming source pins each micro-batch's rows, the screen is
+    * deterministic in them, and the magnitude check still guards the
+    * commit. Cluster deployments that must hard-bound the provider
+    * bill should checkpoint the survivors before committing.
     */
   private[graft] def screenBatchSemantic(batch: DataFrame,
       cosThreshold: Double, provider: EmbeddingProvider,

@@ -1065,7 +1065,7 @@ object Dedup {
     * beyond `exactLimit`); within-batch reuses the same core with the
     * batch on both sides and keeps the ordered (earlier, later) pairs.
     * The store twin prunes the archive side to the IVF-probed lists
-    * first — see `KbStore.semanticDropIds`.
+    * first — see `KbStore.semanticDropHits`.
     */
   def semanticScreen(archive: DataFrame, batch: DataFrame,
       threshold: Double, exactLimit: Long = 20000L,
