@@ -468,15 +468,27 @@ object StreamingIngest {
     * (crash between the store commit and the streaming checkpoint)
     * finds the marker and skips. Returns whether the batch was applied.
     */
-  def applyIngestBatch(kb: graft.core.KbStore, batch: DataFrame,
+  def applyIngestBatch(kb: graft.core.KbStore, rawBatch: DataFrame,
       provider: EmbeddingProvider, markerKey: String, batchId: Long,
       maintainIndex: Boolean,
       dedupScreen: Option[Double] = None,
       semanticScreen: Option[Double] = None,
-      semanticNProbe: Int = 8): Boolean = {
+      semanticNProbe: Int = 8,
+      curate: DataFrame => DataFrame = identity): Boolean = {
     val last = kb.getKeyOr(markerKey, -1L).asInstanceOf[Long]
-    if (batchId <= last || batch.isEmpty) false
+    if (batchId <= last || rawBatch.isEmpty) false
     else {
+      // CURATION stage (round 13): an arbitrary deterministic batch
+      // transform — quality rules, lang-id filters, PII redaction —
+      // applied BEFORE every screen and before the provider, the
+      // standard pipeline order (curate → dedup → embed): a doc the
+      // rules drop never costs a screen pass, a provider call, or a
+      // corpus slot, and a doc the rules REWRITE (redaction) is
+      // screened and embedded in its stored form. Exactly-once holds
+      // for the same reason as the screens: it runs before the
+      // marker-carrying commit and must be deterministic in the
+      // batch's rows (a replay re-curates identically).
+      val batch = curate(rawBatch)
       // dedup-on-ingest (round 12): screen the arriving batch against
       // the WHOLE archive through the persisted dedup_bands family
       // before paying the embed + commit — a near-dup doc dropped here
@@ -608,19 +620,28 @@ object StreamingIngest {
     * `maintainIndex`. MinHash catches copies; this catches
     * paraphrases — run both for full-coverage dedup-on-ingest.
     */
+  /** `curate`: a deterministic per-batch transform (quality rules,
+    * lang-id filters, PII redaction — any of the stateless curation
+    * ops compose here) applied BEFORE the screens and the provider,
+    * the standard pipeline order (curate → dedup → embed). Dropped
+    * docs never cost a screen pass or a provider call; rewritten docs
+    * (redaction) are screened and embedded in their stored form.
+    */
   def startStoreIngest(source: DataFrame, kb: graft.core.KbStore,
       provider: EmbeddingProvider, checkpoint: String,
       maintainIndex: Boolean = false,
       dedupScreen: Option[Double] = None,
       semanticScreen: Option[Double] = None,
-      semanticNProbe: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      semanticNProbe: Int = 8,
+      curate: DataFrame => DataFrame = identity): org.apache.spark.sql.streaming.StreamingQuery = {
     val markerKey = s"__graft_ingest::$checkpoint"
     source.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIngestBatch(kb, batch, provider, markerKey, batchId,
-          maintainIndex, dedupScreen, semanticScreen, semanticNProbe)
+          maintainIndex, dedupScreen, semanticScreen, semanticNProbe,
+          curate)
         ()
       }
       .start()

@@ -600,6 +600,59 @@ class StreamingSpec extends SparkSpec {
     kb.close()
   }
 
+  test("curation-on-ingest: the curate hook filters and rewrites " +
+      "batches before the screens and the provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-skb5")
+    val kb = graft.core.KbStore.create(spark,
+      dir.resolve("kb").toString, Map("provider" -> "mock"))
+    val p = new SemanticScreenSpec.BagProvider
+    def mk(tag: String): String =
+      s"cdoc $tag " + (0 until 30).map(w => s"${tag}c${w}k${(w * 3) % 17}")
+        .mkString(" ")
+    kb.bulkAddDocs(p) { a => (0 until 10).foreach(i => a.add(mk(s"a$i"))) }
+    kb.buildDedupIndex()
+
+    // curate = drop docs under 5 tokens, redact emails — the standard
+    // pipeline order: a rules-dropped doc never reaches a screen or
+    // the provider, a rewritten doc is screened/stored in rewritten form
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => b.where(size(split(col("text"), " ")) >= 5)
+        .withColumn("text", regexp_replace(col("text"),
+          "[a-z0-9._]+@[a-z0-9.]+", "[EMAIL]"))
+
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.startStoreIngest(
+      stream.toDF().toDF("text"), kb, p,
+      dir.resolve("ckpt").toString, maintainIndex = false,
+      dedupScreen = Some(0.8), curate = curate)
+    try {
+      stream.addData(Seq(
+        mk("fresh") + " contact me at someone@example.com today",
+        "too short",      // curation drop — never screened or embedded
+        mk("a4")))        // archived copy — still lexically screened
+      q.processAllAvailable()
+      assert(kb.len == 11, "only the curated+screened survivor lands")
+      val stored = kb.docs.toDF()
+        .where($"text".contains("[EMAIL]")).collect()
+      assert(stored.length == 1 &&
+        !stored(0).getString(3).contains("example.com"),
+        "the survivor must be stored in its REDACTED form")
+      assert(kb.docs.toDF().where($"text" === "too short").count() == 0)
+
+      // an all-curated-away batch still advances the marker (no wedge)
+      stream.addData(Seq("tiny", "also tiny"))
+      q.processAllAvailable()
+      assert(kb.len == 11)
+      stream.addData(Seq(mk("later")))
+      q.processAllAvailable()
+      assert(kb.len == 12, "the stream keeps flowing after an " +
+        "all-curated-away batch")
+    } finally q.stop()
+    kb.close()
+  }
+
   test("streaming ingest into the KbStore via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
