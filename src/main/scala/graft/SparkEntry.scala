@@ -1073,6 +1073,17 @@ object SparkEntry {
     "m4_video_features" -> ((s, dir) =>
       graft.ops.Multimodal.videoFeatures(
         graft.ops.Multimodal.asMp4Media(t(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
+    // Walsh square-wave band energies over genuinely decoded PCM — the
+    // integer-exact spectral proxy of audio curation (silence / tone /
+    // noise discrimination without a floating-point FFT; Walsh bases
+    // take only ±1, so no libm trig parity risk cross-engine). The
+    // oracle restates the waveform AND the square-wave correlations in
+    // closed form.
+    "m5_audio_bands" -> ((s, dir) =>
+      graft.ops.Multimodal.audioBandEnergies(
+        graft.ops.Multimodal.asWavMedia(t(s, dir, "documents"))).toDF()
         .orderBy(col("media_id")))
   )
 
@@ -3444,7 +3455,35 @@ object SparkEntry {
                 'avc1' AS video_codec,
                 CASE WHEN doc_id % 2 = 1 THEN 'mp4a' ELSE 'none' END
                   AS audio_codec
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+
+    "m5_audio_bands" ->
+      """WITH s AS (
+           SELECT doc_id AS media_id,
+                  list_transform(range(1, least(len(text), 64) + 1),
+                    i -> (ascii(substr(text, i, 1)) - 96) * 256) AS sm
+           FROM documents),
+         c AS (
+           SELECT media_id,
+                  list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 1) % 2))))::BIGINT AS c0,
+                  list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 2) % 2))))::BIGINT AS c1,
+                  list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 4) % 2))))::BIGINT AS c2,
+                  list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 8) % 2))))::BIGINT AS c3
+           FROM s)
+         SELECT media_id,
+                (c0 * c0)::BIGINT AS e0, (c1 * c1)::BIGINT AS e1,
+                (c2 * c2)::BIGINT AS e2, (c3 * c3)::BIGINT AS e3,
+                (CASE
+                   WHEN c0*c0 >= c1*c1 AND c0*c0 >= c2*c2
+                        AND c0*c0 >= c3*c3 THEN 0
+                   WHEN c1*c1 >= c2*c2 AND c1*c1 >= c3*c3 THEN 1
+                   WHEN c2*c2 >= c3*c3 THEN 2
+                   ELSE 3 END)::BIGINT AS dominant_band
+         FROM c ORDER BY media_id"""
   )
 
   private def relationalOracle: Map[String, String] = Map(

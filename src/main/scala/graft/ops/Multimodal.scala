@@ -481,7 +481,11 @@ object Multimodal {
     * anything that is not PCM 16-bit WAV with an in-bounds data chunk.
     */
   object PcmDecoder {
-    def decode(r: MediaRow): Option[AudioFeatures] = {
+    /** The RIFF walk + raw 16-bit PCM sample decode underlying every
+      * audio feature: (sample rate, channels, samples). Rejects (None)
+      * non-PCM codecs, non-16-bit widths, and truncated/overrunning
+      * data chunks — same hardening as before the r13 split. */
+    def samples(r: MediaRow): Option[(Int, Int, Array[Int])] = {
       val p = r.payload
       if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE")
         return None
@@ -508,20 +512,32 @@ object Multimodal {
           dataOff < 0 || dataSize < 0 ||
           dataOff.toLong + dataSize.toLong > p.length) return None
       val n = dataSize / 2
-      var (i, peak, sumSq) = (0, 0L, 0.0)
+      val out = new Array[Int](n)
+      var i = 0
       while (i < n) {
         val off = dataOff + i * 2
-        val s = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort.toInt
-        if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
-        sumSq += s.toDouble * s; i += 1
+        out(i) = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort.toInt
+        i += 1
       }
-      val rms =
-        if (n == 0) 0.0
-        else BigDecimal(math.sqrt(sumSq / n))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Some(AudioFeatures(r.media_id, n, rate, channels, peak, rms,
-        n.toLong * 1000L / (rate.toLong * channels)))
+      Some((rate, channels, out))
     }
+
+    def decode(r: MediaRow): Option[AudioFeatures] =
+      samples(r).map { case (rate, channels, sm) =>
+        val n = sm.length
+        var (i, peak, sumSq) = (0, 0L, 0.0)
+        while (i < n) {
+          val s = sm(i)
+          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+          sumSq += s.toDouble * s; i += 1
+        }
+        val rms =
+          if (n == 0) 0.0
+          else BigDecimal(math.sqrt(sumSq / n))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        AudioFeatures(r.media_id, n, rate, channels, peak, rms,
+          n.toLong * 1000L / (rate.toLong * channels))
+      }
 
     private def le32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
@@ -777,5 +793,50 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(it => it.flatMap(Mp4Decoder.decode))
+  }
+
+  /** Walsh square-wave band energies per clip. */
+  case class AudioBands(media_id: Long, e0: Long, e1: Long, e2: Long,
+      e3: Long, dominant_band: Long)
+
+  /** Spectral-proxy features over genuinely decoded PCM — the cheap
+    * frequency summary of audio curation (silence vs tone vs noise
+    * discrimination) WITHOUT a floating-point FFT: band k correlates
+    * the first `window` samples against the ±1 square wave of period
+    * 2^(k+1) (a Walsh function: sign_k(i) = +1 when ((i >> k) & 1) ==
+    * 0), and energy_k = correlation². Walsh bases take only ±1, so the
+    * whole feature is INTEGER-exact end to end — no libm trig parity
+    * risk between engines, the DuckDB oracle matches byte-for-byte
+    * (the reason this is Walsh and not a DFT: a cos()-based power at
+    * 4 dp would hash-compare on the last ulp of two different libm
+    * implementations). dominant_band = argmax energy, ties to the
+    * smaller band. Non-PCM rows are dropped; `window` bounds per-row
+    * work so a pathological clip can't stall a partition.
+    */
+  def audioBandEnergies(media: DataFrame,
+      window: Int = 64): Dataset[AudioBands] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      PcmDecoder.samples(r).map { case (_, _, sm) =>
+        val n = math.min(sm.length, window)
+        val c = new Array[Long](4)
+        var i = 0
+        while (i < n) {
+          val s = sm(i).toLong
+          var k = 0
+          while (k < 4) {
+            c(k) += (if (((i >> k) & 1) == 0) s else -s)
+            k += 1
+          }
+          i += 1
+        }
+        val e = c.map(x => x * x)
+        var dom = 0
+        var k = 1
+        while (k < 4) { if (e(k) > e(dom)) dom = k; k += 1 }
+        AudioBands(r.media_id, e(0), e(1), e(2), e(3), dom.toLong)
+      }
+    })
   }
 }

@@ -457,6 +457,35 @@ class OpsSpec extends SparkSpec {
       "definitely not an mp4 container at all".getBytes("UTF-8"))).isEmpty)
   }
 
+  test("Walsh band energies: hand-computed correlations over decoded " +
+      "PCM, smaller-band ties, window bound, non-PCM rejects") {
+    import spark.implicits._
+    // 'ab' -> samples 256, 512. Band 0 signs (+,-): c0 = -256.
+    // Bands 1-3 see both i=0,1 as +: c = 768. e1=e2=e3 > e0, ties to
+    // the SMALLER band -> dominant 1.
+    val docs = Seq((5L, "ab")).toDF("doc_id", "text")
+    val out = Multimodal.audioBandEnergies(
+      Multimodal.asWavMedia(docs)).collect()
+    assert(out.length == 1)
+    val b = out.head
+    assert(b.media_id == 5L && b.e0 == 256L * 256 &&
+      b.e1 == 768L * 768 && b.e2 == 768L * 768 && b.e3 == 768L * 768 &&
+      b.dominant_band == 1L)
+    // the window bounds per-row work: a 200-char doc and its 64-char
+    // prefix produce identical energies at window = 64
+    val long200 = ('a' to 'z').mkString * 8
+    val pair = Seq((6L, long200), (7L, long200.take(64)))
+      .toDF("doc_id", "text")
+    val es = Multimodal.audioBandEnergies(
+        Multimodal.asWavMedia(pair), window = 64)
+      .collect().sortBy(_.media_id)
+    assert(es(0).copy(media_id = 0L) == es(1).copy(media_id = 0L))
+    // non-PCM payloads drop, like every other audio feature
+    val junk = Seq(Multimodal.MediaRow(8L, "audio",
+      "not a riff container".getBytes("UTF-8"))).toDF()
+    assert(Multimodal.audioBandEnergies(junk).collect().isEmpty)
+  }
+
   test("PNM full-pixel decode: luma, box-resize thumbnail, malformed rejects") {
     import spark.implicits._
     // P5 4×2 grayscale with a comment: left half 0, right half 200
