@@ -481,11 +481,13 @@ object Multimodal {
     * anything that is not PCM 16-bit WAV with an in-bounds data chunk.
     */
   object PcmDecoder {
-    /** The RIFF walk + raw 16-bit PCM sample decode underlying every
-      * audio feature: (sample rate, channels, samples). Rejects (None)
-      * non-PCM codecs, non-16-bit widths, and truncated/overrunning
-      * data chunks — same hardening as before the r13 split. */
-    def samples(r: MediaRow): Option[(Int, Int, Array[Int])] = {
+    /** The RIFF chunk walk underlying every audio feature:
+      * (sample rate, channels, data chunk offset, total sample count).
+      * Rejects (None) non-PCM codecs, non-16-bit widths, and
+      * truncated/overrunning data chunks — same hardening as before
+      * the r13 split. No sample is decoded here, so consumers choose
+      * their own per-row work bound. */
+    private def header(r: MediaRow): Option[(Int, Int, Int, Int)] = {
       val p = r.payload
       if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE")
         return None
@@ -510,24 +512,38 @@ object Multimodal {
       }
       if (malformed || bits != 16 || rate <= 0 || channels <= 0 ||
           dataOff < 0 || dataSize < 0 ||
-          dataOff.toLong + dataSize.toLong > p.length) return None
-      val n = dataSize / 2
-      val out = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        val off = dataOff + i * 2
-        out(i) = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort.toInt
-        i += 1
-      }
-      Some((rate, channels, out))
+          dataOff.toLong + dataSize.toLong > p.length) None
+      else Some((rate, channels, dataOff, dataSize / 2))
     }
 
+    /** Raw 16-bit PCM sample decode: (sample rate, channels, first
+      * min(n, maxSamples) samples). `maxSamples` bounds per-row memory
+      * and work — a windowed consumer ([[Multimodal.audioBandEnergies]])
+      * must never materialize a pathological clip's full data chunk. */
+    def samples(r: MediaRow,
+        maxSamples: Int = Int.MaxValue): Option[(Int, Int, Array[Int])] =
+      header(r).map { case (rate, channels, dataOff, n) =>
+        val m = math.min(n, math.max(maxSamples, 0))
+        val p = r.payload
+        val out = new Array[Int](m)
+        var i = 0
+        while (i < m) {
+          val off = dataOff + i * 2
+          out(i) = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        (rate, channels, out)
+      }
+
     def decode(r: MediaRow): Option[AudioFeatures] =
-      samples(r).map { case (rate, channels, sm) =>
-        val n = sm.length
+      header(r).map { case (rate, channels, dataOff, n) =>
+        // Streaming fold over the data chunk — peak/rms need every
+        // sample, but never an Array[Int] twice the payload's size.
+        val p = r.payload
         var (i, peak, sumSq) = (0, 0L, 0.0)
         while (i < n) {
-          val s = sm(i)
+          val off = dataOff + i * 2
+          val s = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort.toInt
           if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
           sumSq += s.toDouble * s; i += 1
         }
@@ -818,8 +834,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.flatMap { r =>
-      PcmDecoder.samples(r).map { case (_, _, sm) =>
-        val n = math.min(sm.length, window)
+      PcmDecoder.samples(r, window).map { case (_, _, sm) =>
+        val n = sm.length
         val c = new Array[Long](4)
         var i = 0
         while (i < n) {

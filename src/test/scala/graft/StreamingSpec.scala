@@ -641,10 +641,18 @@ class StreamingSpec extends SparkSpec {
         "the survivor must be stored in its REDACTED form")
       assert(kb.docs.toDF().where($"text" === "too short").count() == 0)
 
-      // an all-curated-away batch still advances the marker (no wedge)
+      // an all-curated-away batch still advances the marker (no wedge):
+      // read the exactly-once marker key itself, not just len (a silent
+      // marker-advance failure would leave len identical either way)
+      val markerKey = "__graft_ingest::" + dir.resolve("ckpt").toString
+      val markerBefore = kb.getKeyOr(markerKey, -1L).asInstanceOf[Long]
       stream.addData(Seq("tiny", "also tiny"))
       q.processAllAvailable()
       assert(kb.len == 11)
+      val markerAfter = kb.getKeyOr(markerKey, -1L).asInstanceOf[Long]
+      assert(markerAfter > markerBefore,
+        s"the all-curated-away batch must advance the ingest marker " +
+          s"(before=$markerBefore after=$markerAfter)")
       stream.addData(Seq(mk("later")))
       q.processAllAvailable()
       assert(kb.len == 12, "the stream keeps flowing after an " +
