@@ -1134,6 +1134,40 @@ object SparkEntry {
       graft.ops.Csv.ingestDistinct(good, "text").orderBy($"doc_id")
     }),
 
+    // S10 JSONL ingest — the de-facto LLM training-data interchange
+    // format (gzip-compressed line-delimited JSON shards), previously
+    // only sbt-pinned (OpsSpec): synthesize a compressed shard with
+    // clean objects, objects missing the required `text` key, and
+    // syntactically malformed lines, then parse-and-quarantine
+    // ([[graft.ops.Jsonl.readWithQuarantine]]) and summarize BOTH
+    // sides — good rows per lang, quarantined rows per reason — so the
+    // oracle pins the routing, not just the survivor count.
+    "s10_jsonl_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = "/tmp/graft_s10_fixture"
+      val docs = t(s, dir, "documents")
+      val clean = docs.where(pmod($"doc_id", lit(11)) =!= 0)
+        .select(to_json(struct($"doc_id", $"text", $"lang")).as("value"))
+      val missing = docs.where(pmod($"doc_id", lit(11)) === 0)
+        .select(to_json(struct($"doc_id", $"lang")).as("value"))
+      val bad = s.range(10).select(
+        concat(lit("{\"doc_id\": "), $"id",
+          lit(", \"text\": \"unterminated")).as("value"))
+      clean.union(missing).union(bad).coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip").text(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType)))
+      val (good, quar) = graft.ops.Jsonl.readWithQuarantine(
+        s, path, schema, Seq("doc_id", "text"))
+      good.groupBy($"lang").agg(count(lit(1)).as("n"))
+        .select(concat(lit("ok:"), $"lang").as("bucket"), $"n")
+        .unionByName(quar.groupBy($"reason").agg(count(lit(1)).as("n"))
+          .select(concat(lit("quarantined:"), $"reason").as("bucket"), $"n"))
+        .orderBy($"bucket")
+    }),
+
     // S5 embedding-matrix scan + A4 dim probe (kb.py:573-618): row count +
     // uniform-dimensionality assertion, expressed as one aggregate.
     "s5_emb_scan_dims" -> ((s, dir) => {
@@ -1521,6 +1555,29 @@ object SparkEntry {
         .select(col("a.l_partkey").cast("long").as("src"),
           col("b.l_partkey").cast("long").as("dst"))
       graft.ops.GraphOps.triangleCounts(e).orderBy($"id")
+    }),
+
+    // connected components first-class (CC already powers d6's dedup
+    // internally): parts co-ordered in exactly-2-line orders form 56
+    // components at sf0.01 (one ~1600-node giant + 55 small), so the
+    // fixture exercises both multi-round convergence and isolation.
+    // FORCED through the large-star/small-star scale path (Kiveris et
+    // al. SoCC'14, O(log n) rounds) — the path a 100 TB pair graph
+    // takes — and pinned against the oracle's exact recursive closure.
+    "g5_connected_components" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val duo = li.groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n")).where($"n" === 2)
+        .select($"l_orderkey")
+      val lj = li.join(duo, "l_orderkey")
+      val e = lj.alias("a").join(lj.alias("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as("doc1"),
+          col("b.l_partkey").cast("long").as("doc2"))
+        .distinct()
+      val (cc, _) = graft.ops.Dedup.alternatingConnectedComponents(e)
+      cc.orderBy($"doc_id")
     }),
 
     // running distinct-type count per user: the COUNT(DISTINCT) OVER
@@ -3437,11 +3494,12 @@ object SparkEntry {
                 len(text)::BIGINT AS n_samples,
                 8000::BIGINT AS sample_rate,
                 1::BIGINT AS channels,
-                (256 * list_max(list_transform(range(1, len(text)+1),
-                    i -> abs(ascii(substr(text, i, 1)) - 96))))::BIGINT AS peak,
-                round(sqrt(list_sum(list_transform(range(1, len(text)+1),
-                    i -> power((ascii(substr(text, i, 1)) - 96) * 256.0, 2)))
-                  / len(text)), 4) AS rms,
+                coalesce(256 * list_max(list_transform(range(1, len(text)+1),
+                    i -> abs(ascii(substr(text, i, 1)) - 96))), 0)::BIGINT AS peak,
+                CASE WHEN len(text) = 0 THEN 0.0 ELSE
+                  round(sqrt(list_sum(list_transform(range(1, len(text)+1),
+                      i -> power((ascii(substr(text, i, 1)) - 96) * 256.0, 2)))
+                    / len(text)), 4) END AS rms,
                 (len(text) * 1000 // 8000)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
 
@@ -3464,15 +3522,17 @@ object SparkEntry {
                     i -> (ascii(substr(text, i, 1)) - 96) * 256) AS sm
            FROM documents),
          c AS (
+           -- coalesce: list_sum over an empty list is NULL in DuckDB,
+           -- but the engine folds an empty window to 0 (and dominant 0).
            SELECT media_id,
-                  list_sum(list_transform(range(0, len(sm)),
-                    i -> sm[i + 1] * (1 - 2 * ((i // 1) % 2))))::BIGINT AS c0,
-                  list_sum(list_transform(range(0, len(sm)),
-                    i -> sm[i + 1] * (1 - 2 * ((i // 2) % 2))))::BIGINT AS c1,
-                  list_sum(list_transform(range(0, len(sm)),
-                    i -> sm[i + 1] * (1 - 2 * ((i // 4) % 2))))::BIGINT AS c2,
-                  list_sum(list_transform(range(0, len(sm)),
-                    i -> sm[i + 1] * (1 - 2 * ((i // 8) % 2))))::BIGINT AS c3
+                  coalesce(list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 1) % 2)))), 0)::BIGINT AS c0,
+                  coalesce(list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 2) % 2)))), 0)::BIGINT AS c1,
+                  coalesce(list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 4) % 2)))), 0)::BIGINT AS c2,
+                  coalesce(list_sum(list_transform(range(0, len(sm)),
+                    i -> sm[i + 1] * (1 - 2 * ((i // 8) % 2)))), 0)::BIGINT AS c3
            FROM s)
          SELECT media_id,
                 (c0 * c0)::BIGINT AS e0, (c1 * c1)::BIGINT AS e1,
@@ -3808,6 +3868,28 @@ object SparkEntry {
          SELECT n.id, coalesce(pn.t, 0)::BIGINT AS triangles
          FROM nodes n LEFT JOIN pn USING (id)
          ORDER BY n.id""",
+
+    // exact transitive closure: component = min id reachable over the
+    // undirected edge set (the engine's large-star/small-star must
+    // agree node-for-node)
+    "g5_connected_components" ->
+      """WITH RECURSIVE
+           le AS (SELECT l_orderkey, l_partkey FROM lineitem),
+           duo AS (SELECT l_orderkey FROM le
+                   GROUP BY l_orderkey HAVING count(*) = 2),
+           e0 AS (SELECT DISTINCT a.l_partkey::BIGINT AS src,
+                                  b.l_partkey::BIGINT AS dst
+                  FROM le a JOIN le b ON a.l_orderkey = b.l_orderkey
+                  JOIN duo d ON a.l_orderkey = d.l_orderkey
+                  WHERE a.l_partkey < b.l_partkey),
+           e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           nodes AS (SELECT DISTINCT src AS id FROM e),
+           reach(id, r) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+         SELECT id AS doc_id, min(r)::BIGINT AS component
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     "w3_running_distinct" ->
       """WITH f AS (
@@ -4188,6 +4270,18 @@ object SparkEntry {
          WHERE trim(CASE WHEN doc_id % 7 = 0 THEN text || ' x,"y'
                          ELSE text END) <> ''
          ORDER BY doc_id""",
+
+    // the fixture routes doc_id % 11 = 0 to missing:text, plus exactly
+    // 10 synthesized malformed lines; everything else lands per-lang
+    "s10_jsonl_ingest" ->
+      """SELECT 'ok:' || lang AS bucket, count(*)::BIGINT AS n
+         FROM documents WHERE doc_id % 11 <> 0 GROUP BY lang
+         UNION ALL
+         SELECT 'quarantined:malformed', 10::BIGINT
+         UNION ALL
+         SELECT 'quarantined:missing:text', count(*)::BIGINT
+         FROM documents WHERE doc_id % 11 = 0
+         ORDER BY bucket""",
 
     "s5_emb_scan_dims" ->
       """SELECT count(*) AS n_vecs,

@@ -719,12 +719,19 @@ object Dedup {
       .distinct()
       .localCheckpoint(eager = true)
     var rounds = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged && rounds < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      // both phases end in distinct(), so edges and next are SETS:
+      // equal counts + empty (next \ edges) ⟹ equality. The count is a
+      // near-free aggregate over the just-checkpointed frame, so the
+      // set-difference job only runs on candidate-fixpoint rounds
+      // (typically once) instead of twice every round.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
 
