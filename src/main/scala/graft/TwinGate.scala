@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Engine-side brute-force twin gate (dev tool) for the three dedup
-  * queries whose naive DuckDB oracle is quadratic in the replicated
-  * duplicate-group size and cannot finish at the ×10 scale
+/** Engine-side brute-force twin gate (dev tool) for the queries whose
+  * naive DuckDB oracle is quadratic in the replicated duplicate-group
+  * (or connected-component) size and cannot finish at the ×10 scale
   * (`tools/make_bigsf.py`): `d4_ngram_jaccard`, `d6_semantic_dedup`,
-  * `d9_contamination`. The r10 round recorded those rows as
-  * oracle-timeouts; this gate decides them.
+  * `d9_contamination`, and (r13) `g5_connected_components`. The r10
+  * round recorded the dedup rows as oracle-timeouts; this gate decides
+  * them.
   *
   * Each twin is an INDEPENDENT elementary implementation of the same
   * semantics (reference pair ordering: `util.py:206-233`):
@@ -114,32 +115,55 @@ object TwinGate {
       .select(col("doc_id"), (-col("m.neg")).as("best_match"),
         col("m.jaccard").as("jaccard"))
 
+    // ---- driver-side union-find (shared by the d6 and g5 twins):
+    // min-id labeling — union attaches larger roots under smaller ones,
+    // so find() already yields the component's min id
+    def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap { case (a, b) => Seq(a, b) }.distinct.toSeq
+        .map(v => (v, find(v)))
+    }
+
     // ---- d6 twin: union-find over the d4 twin's pairs (driver-side)
     val edges = d4Twin.select(col("doc1"), col("doc2")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val n = parent(c); parent(c) = r; c = n
-      }
-      r
-    }
-    edges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
-    // min-id labeling: union attached larger roots under smaller ones,
-    // so find() already yields the component's min id
-    val d6Twin = verts.map(v => (v, find(v))).toSeq
+    val d6Twin = unionFindLabels(edges)
       .toDF("doc_id", "component")
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("component")).as("keep"))
+
+    // ---- g5 twin: the 2-line-order parts graph, components by
+    // union-find (no large-star/small-star iteration — the twin decides
+    // the engine's alternating path at the ×4 replicated graph scale,
+    // where the naive recursive-closure SQL is quadratic in the giant
+    // component's size)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val duo = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n")).where(col("n") === 2)
+      .select(col("l_orderkey"))
+    val lj = li.join(duo, "l_orderkey")
+    val g5Edges = lj.alias("a").join(lj.alias("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("long").as("doc1"),
+        col("b.l_partkey").cast("long").as("doc2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val g5Twin = unionFindLabels(g5Edges).toDF("doc_id", "component")
 
     // ---- compare each twin against the Verify-written engine output
     def engine(name: String): DataFrame =
@@ -176,7 +200,9 @@ object TwinGate {
       ("d9_contamination",
         compare("d9_contamination", d9Twin, Seq("doc_id"))),
       ("d6_semantic_dedup",
-        compare("d6_semantic_dedup", d6Twin, Seq("doc_id"))))
+        compare("d6_semantic_dedup", d6Twin, Seq("doc_id"))),
+      ("g5_connected_components",
+        compare("g5_connected_components", g5Twin, Seq("doc_id"))))
 
     val json = results.map { case (name, (ok, rows, detail)) =>
       val det = if (detail.isEmpty) "" else s""","detail":"$detail""""
