@@ -194,6 +194,30 @@ object SparkEntry {
       graft.ops.TextAnalysis.knPerplexity(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // WET-style text extraction from markup (ops/Html.scala) — the
+    // stage every web-crawl pipeline runs before any other curation
+    // op here. Markup is synthesized deterministically around the
+    // corpus text (script/style payloads, a comment, entities,
+    // multi-space runs) so the oracle can replicate the transform with
+    // the same RE2-compatible patterns. All codegen'd built-ins.
+    "x34_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<script type=\"text/javascript\">var n="), id,
+        lit("; track(n);</script>"),
+        lit("<style>.nav { display: none; }</style></head>"),
+        lit("<body><!-- autogen --><h1>Doc &lt;"), id,
+        lit("&gt; &amp; friends</h1>  <p>"), $"text",
+        lit("</p> <div class=\"nav\">home&nbsp;|&nbsp;next</div>"),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.ops.Html.extractText(html).as("extracted"))
+        .orderBy($"doc_id")
+    }),
+
     "x3_lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(t(s, dir, "documents"), langMarkers)
         .orderBy(col("doc_id"))),
@@ -2138,6 +2162,37 @@ object SparkEntry {
                 coalesce(agg.kn_ppl, 0.0) AS kn_ppl
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // same synthesis, same RE2-compatible strip chain; DuckDB's
+    // regexp_replace needs the explicit 'g' flag (Spark's is global)
+    "x34_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  '<html><head><title>Doc ' || doc_id || '</title>'
+                  || '<script type="text/javascript">var n=' || doc_id
+                  || '; track(n);</script>'
+                  || '<style>.nav { display: none; }</style></head>'
+                  || '<body><!-- autogen --><h1>Doc &lt;' || doc_id
+                  || '&gt; &amp; friends</h1>  <p>' || text
+                  || '</p> <div class="nav">home&nbsp;|&nbsp;next</div>'
+                  || '</body></html>' AS html
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(html,
+                      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?s)<[^>]+>', ' ', 'g') AS t
+           FROM h)
+         SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(t,
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS extracted
+         FROM s ORDER BY doc_id""",
 
     "x3_lang_id" ->
       """WITH u AS (

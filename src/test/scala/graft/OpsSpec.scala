@@ -23,6 +23,30 @@ class OpsSpec extends SparkSpec {
     assert(r.getBoolean(3))
   }
 
+  test("html extract: script/style payloads drop, tags space, " +
+      "entities decode in standard order, whitespace collapses") {
+    import spark.implicits._
+    val cases = Seq(
+      // dotall + case-insensitive element drop, payload incl. a '<'
+      (1L, "<p>a</p><SCRIPT>\nif (x < 2) { y(); }\n</SCRIPT><p>b</p>", "a b"),
+      (2L, "<style media=\"all\">.x{}</style>keep", "keep"),
+      // comment payload drops; adjacent text never fuses across a tag
+      (3L, "x<!-- <p>gone</p> -->y<br>z", "x y z"),
+      // &amp;lt; must yield the literal "&lt;", not double-decode to "<"
+      (4L, "&amp;lt; &lt; &gt; &quot; &#39; &nbsp;end", "&lt; < > \" ' end"),
+      // unclosed/bare tags strip; runs of whitespace collapse
+      (5L, "  a   <b>bold   text</b >  ", "a bold text"),
+      (6L, "", ""))
+    val got = cases.toDF("id", "html", "want")
+      .select($"id", Html.extractText($"html").as("got"), $"want")
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"case ${r.getLong(0)}: got '${r.getString(1)}' " +
+          s"want '${r.getString(2)}'")
+    }
+  }
+
   test("shingles: k=3 word n-grams, short docs yield empty sets") {
     import spark.implicits._
     val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
