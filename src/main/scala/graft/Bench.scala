@@ -1478,12 +1478,28 @@ object Bench {
     // entry gate covers only the generate+truth slice (~12 s healthy):
     // a 90 s whole-section estimate at calib 2+ priced the section out
     // of days that could in fact afford it (rehearsal 3) — the
-    // expensive encode slice re-gates itself below, so the worst case
-    // is ~12 s of generation paid before a mid-section skip
-    setup(20.0)
+    // expensive encode slice re-gates itself inside the core, so the
+    // worst case is ~12 s of generation paid before a mid-section skip
+    val recall = clusteredRecallCore(spark, groups = 62500L,
+      stage = (_, estS) => body => { setup(estS); body })
+    Seq("svs_knn2k_pq_1m", "svs_knn2k_pq_bucketed_1m",
+      "svs_ivfpq_probe_1m").foreach(
+      setRecallKey(_, "recall_at_10_clustered", recall))
+  }
+
+  /** The clustered-recall measurement core, SHARED between the official
+    * point above and [[ProfileClusteredRecall]] (the r13 review: the
+    * profiler exists to validate exactly this pipeline, so it must run
+    * this code, not a copy that can silently drift): planted-structure
+    * corpus → blocked exact truth → probed-lists-only residual IVF-PQ →
+    * recall@10. `stage(name, estimateS)(body)` wraps each expensive
+    * slice — the official point budget-gates there, the profiler times.
+    */
+  private[graft] def clusteredRecallCore(spark: SparkSession,
+      groups: Long,
+      stage: (String, Double) => (=> Unit) => Unit): Double = {
     import spark.implicits._
     import graft.functions.FloatVecDot.floatVecDot
-    val groups = 62500L
     val perGroup = 16
     val kClusters = 256
     val centers = Array.tabulate(kClusters)(c =>
@@ -1502,8 +1518,9 @@ object Bench {
         }
       }.toDF("id", "vec").persist(StorageLevel.MEMORY_AND_DISK)
     var codes: DataFrame = null
+    var recall = 0.0
     try {
-      corpus.count()
+      stage("generate+persist", 20.0) { corpus.count(): Unit }
       // 32 fresh queries, one per distinct near-dup group (spread
       // across clusters): each query's true top-10 is dominated by its
       // group's 16 members — the macro-margin ranking problem a real
@@ -1521,72 +1538,73 @@ object Bench {
       // query array with per-partition top-10 heaps (a DataFrame
       // crossJoin would ship 12 KB of vectors per pair row — measured
       // 58 s vs ~2 s for this shape at 1M × 32)
-      setup(10.0)
-      val bcQ = spark.sparkContext.broadcast(qArr)
-      val partTops = corpus.select(col("id"), col("vec"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val qs = bcQ.value
-          val topS = Array.fill(qs.length)(
-            Array.fill(10)(Double.NegativeInfinity))
-          val topI = Array.fill(qs.length)(new Array[Long](10))
-          it.foreach { case (id, vb) =>
-            val v = FloatVecDot.unpack(vb)
-            var qi = 0
-            while (qi < qs.length) {
-              val s = graft.functions.VecKernels.dotFloats(v, qs(qi)._2)
-              val ts = topS(qi)
-              if (s > ts(9)) {
-                val ti = topI(qi)
-                var j = 9
-                while (j > 0 && s > ts(j - 1)) {
-                  ts(j) = ts(j - 1); ti(j) = ti(j - 1); j -= 1
+      var exact: Map[Long, Set[Long]] = Map.empty
+      stage("exact truth (blocked)", 10.0) {
+        val bcQ = spark.sparkContext.broadcast(qArr)
+        val partTops = corpus.select(col("id"), col("vec"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val qs = bcQ.value
+            val topS = Array.fill(qs.length)(
+              Array.fill(10)(Double.NegativeInfinity))
+            val topI = Array.fill(qs.length)(new Array[Long](10))
+            it.foreach { case (id, vb) =>
+              val v = FloatVecDot.unpack(vb)
+              var qi = 0
+              while (qi < qs.length) {
+                val s = graft.functions.VecKernels.dotFloats(v, qs(qi)._2)
+                val ts = topS(qi)
+                if (s > ts(9)) {
+                  val ti = topI(qi)
+                  var j = 9
+                  while (j > 0 && s > ts(j - 1)) {
+                    ts(j) = ts(j - 1); ti(j) = ti(j - 1); j -= 1
+                  }
+                  ts(j) = s; ti(j) = id
                 }
-                ts(j) = s; ti(j) = id
+                qi += 1
               }
-              qi += 1
             }
-          }
-          qs.indices.iterator.flatMap { qi =>
-            (0 until 10).iterator
-              .filter(topS(qi)(_) > Double.NegativeInfinity)
-              .map(j => (qs(qi)._1, topI(qi)(j), topS(qi)(j)))
-          }
-        }.collect()
-      val exact = partTops.groupBy(_._1).map { case (q, rs) =>
-        q -> rs.sortBy(r => (-r._3, r._2)).take(10).map(_._2).toSet
+            qs.indices.iterator.flatMap { qi =>
+              (0 until 10).iterator
+                .filter(topS(qi)(_) > Double.NegativeInfinity)
+                .map(j => (qs(qi)._1, topI(qi)(j), topS(qi)(j)))
+            }
+          }.collect()
+        exact = partTops.groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(r => (-r._3, r._2)).take(10).map(_._2).toSet
+        }
       }
       // the SAME residual IVF-PQ path the pq rungs time. Codes are
       // built only for the lists the 32 queries PROBE (union of
       // per-query top-4 centroids, computed on the driver): the join
       // never scores a candidate outside them, so the skipped lists
       // cannot change the measured recall — and the encode bill halves
-      setup(55.0)
-      val probedCids = qArr.flatMap { case (_, qv) =>
-        centsArr.map { case (cid, cv) =>
-          (cid, graft.functions.VecKernels.dotFloats(qv, cv)) }
-          .sortBy(-_._2).take(4).map(_._1)
-      }.distinct.toSeq
-      val res = graft.ops.VectorQuant.ivfResiduals(corpus, centsArr)
-        .where(col("cid").isin(probedCids: _*))
-      val books = graft.ops.VectorQuant.pqTrain(
-        res.select(col("id"), col("rvec").as("vec")), m = 96,
-        ncodes = 256, sampleMod = 100, iters = 2)
-      codes = graft.ops.VectorQuant.ivfPqEncode(res, books)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      codes.count()
-      val ap = graft.ops.VectorQuant.knnJoinIvfPq(queries, codes,
-          centsArr, books, corpus, k = 10, nProbe = 4, rerank = 50)
-        .select(col("qid"), col("cid")).collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val per = exact.toSeq.map { case (q, ex) =>
-        ap.get(q).map(_.intersect(ex).size.toDouble / ex.size)
-          .getOrElse(0.0) }
-      val recall = per.sum / math.max(1, per.size)
-      Seq("svs_knn2k_pq_1m", "svs_knn2k_pq_bucketed_1m",
-        "svs_ivfpq_probe_1m").foreach(
-        setRecallKey(_, "recall_at_10_clustered", recall))
+      stage("residual pq train+encode (probed lists only)", 55.0) {
+        val probedCids = qArr.flatMap { case (_, qv) =>
+          centsArr.map { case (cid, cv) =>
+            (cid, graft.functions.VecKernels.dotFloats(qv, cv)) }
+            .sortBy(-_._2).take(4).map(_._1)
+        }.distinct.toSeq
+        val res = graft.ops.VectorQuant.ivfResiduals(corpus, centsArr)
+          .where(col("cid").isin(probedCids: _*))
+        val books = graft.ops.VectorQuant.pqTrain(
+          res.select(col("id"), col("rvec").as("vec")), m = 96,
+          ncodes = 256, sampleMod = 100, iters = 2)
+        codes = graft.ops.VectorQuant.ivfPqEncode(res, books)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        val ap = graft.ops.VectorQuant.knnJoinIvfPq(queries, codes,
+            centsArr, books, corpus, k = 10, nProbe = 4, rerank = 50)
+          .select(col("qid"), col("cid")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val per = exact.toSeq.map { case (q, ex) =>
+          ap.get(q).map(_.intersect(ex).size.toDouble / ex.size)
+            .getOrElse(0.0) }
+        recall = per.sum / math.max(1, per.size)
+      }
+      recall
     } finally {
       if (codes != null) codes.unpersist(true)
       corpus.unpersist(true)

@@ -1135,7 +1135,10 @@ object SparkEntry {
     "s9_csv_ingest" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types._
-      val path = "/tmp/graft_s9_fixture"
+      // applicationId-scoped: a concurrent builder + driver pair (or
+      // Verify vs Bench) must not overwrite-delete each other's fixture
+      // mid-read; within one session reps overwrite sequentially
+      val path = s"/tmp/graft_s9_fixture_${s.sparkContext.applicationId}"
       val docs = t(s, dir, "documents").select($"doc_id",
         when(pmod($"doc_id", lit(7)) === 0, concat($"text", lit(" x,\"y")))
           .otherwise($"text").as("txt"))
@@ -1169,7 +1172,8 @@ object SparkEntry {
     "s10_jsonl_ingest" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types._
-      val path = "/tmp/graft_s10_fixture"
+      // applicationId-scoped (same rationale as s9's fixture path)
+      val path = s"/tmp/graft_s10_fixture_${s.sparkContext.applicationId}"
       val docs = t(s, dir, "documents")
       val clean = docs.where(pmod($"doc_id", lit(11)) =!= 0)
         .select(to_json(struct($"doc_id", $"text", $"lang")).as("value"))
@@ -2191,7 +2195,7 @@ object SparkEntry {
                   replace(replace(replace(replace(replace(replace(t,
                     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                     '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-                  '\s+', ' ', 'g')) AS extracted
+                  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS extracted
          FROM s ORDER BY doc_id""",
 
     "x3_lang_id" ->

@@ -53,7 +53,13 @@ object Html {
 
   /** Full extraction: strip tags, decode entities, collapse all
     * whitespace runs to single spaces, trim.
+    *
+    * The whitespace class is EXPLICIT, not `\s`: Java's `\s` includes
+    * vertical tab (0x0B) while RE2's does not, so `\s+` would silently
+    * break the cross-engine byte-for-byte claim on a document carrying
+    * a VT. Both engines accept the spelled-out class identically.
     */
   def extractText(c: Column): Column =
-    trim(regexp_replace(decodeEntities(stripTags(c)), "\\s+", " "))
+    trim(regexp_replace(decodeEntities(stripTags(c)),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 }

@@ -679,13 +679,19 @@ object Multimodal {
             case "ftyp" => sawBmff = true
             case "moov" => sawBmff = true; walk(o + hdr, bEnd, depth + 1)
             case "trak" =>
+              // save/restore around the recursion: a (malformed) trak
+              // nested inside a trak must not leave the OUTER track's
+              // remaining hdlr/stsd boxes unattributed
+              val outer = cur
               cur = Trak(); traks += cur
               walk(o + hdr, bEnd, depth + 1)
-              cur = null
+              cur = outer
             case t if Containers(t) => walk(o + hdr, bEnd, depth + 1)
             case "mvhd" if o + hdr + 4 <= bEnd =>
               val v = p(o + hdr) & 0xff
-              if (v == 1 && o + hdr + 28 <= bEnd) {
+              // v1 payload: ver/flags(4) ctime(8) mtime(8) timescale(4)
+              // duration(8) — the be64 below reads bytes 24..31
+              if (v == 1 && o + hdr + 32 <= bEnd) {
                 timescale = be32(p, o + hdr + 20)
                 duration = be64(p, o + hdr + 24)
               } else if (v == 0 && o + hdr + 20 <= bEnd) {

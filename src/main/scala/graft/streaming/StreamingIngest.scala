@@ -608,8 +608,8 @@ object StreamingIngest {
     * `maintainIndex` additionally keeps the OTHER families
     * (ANN/int8/text/PQ) live per batch; the screen-only mode is the
     * high-frequency deployment the scaladoc above recommends.
-    */
-  /** `semanticScreen = Some(cosThreshold)`: the EMBEDDING-SPACE screen
+    *
+    * `semanticScreen = Some(cosThreshold)`: the EMBEDDING-SPACE screen
     * — each batch (after the lexical screen, when both are on) is
     * embedded once and screened against the archive through the
     * persisted ANN (IVF) family (`nProbe = semanticNProbe` lists
@@ -619,8 +619,8 @@ object StreamingIngest {
     * family itself, so semantic-screen-only mode needs no
     * `maintainIndex`. MinHash catches copies; this catches
     * paraphrases — run both for full-coverage dedup-on-ingest.
-    */
-  /** `curate`: a deterministic per-batch transform (quality rules,
+    *
+    * `curate`: a deterministic per-batch transform (quality rules,
     * lang-id filters, PII redaction — any of the stateless curation
     * ops compose here) applied BEFORE the screens and the provider,
     * the standard pipeline order (curate → dedup → embed). Dropped
