@@ -479,6 +479,36 @@ class OpsSpec extends SparkSpec {
         Multimodal.MediaRow(2L, "video", mp4.take(30))).get.n_tracks == 0L)
     assert(Multimodal.Mp4Decoder.decode(Multimodal.MediaRow(3L, "video",
       "definitely not an mp4 container at all".getBytes("UTF-8"))).isEmpty)
+
+    // r13 review regressions — hand-built boxes
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isomiso2avc1".getBytes("US-ASCII"))
+    // a clip cut mid-mvhd: version=1 but only 28 payload bytes, so the
+    // 8-byte duration read would run 4 bytes past the box (and, the box
+    // being last, past the buffer) — must decode to 0s, not throw
+    val cutMvhd = ftyp ++ box("moov", box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+        be32(1000L) ++ be32(77L)))
+    val cut = Multimodal.Mp4Decoder.decode(
+      Multimodal.MediaRow(4L, "video", cutMvhd))
+    assert(cut.isDefined && cut.get.duration_ms == 0L &&
+      cut.get.timescale == 0L,
+      "truncated v1 mvhd stops cleanly instead of overrunning")
+    // a trak nested inside a trak must not orphan the OUTER track's
+    // remaining hdlr/stsd boxes
+    val hdlr = box("hdlr", new Array[Byte](8) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](4))
+    val stsd = box("stsd", new Array[Byte](12) ++
+      "avc1".getBytes("US-ASCII"))
+    val nested = ftyp ++ box("moov",
+      box("trak", box("trak", Array.empty[Byte]) ++ hdlr ++ stsd))
+    val nf = Multimodal.Mp4Decoder.decode(
+      Multimodal.MediaRow(5L, "video", nested))
+    assert(nf.isDefined && nf.get.video_codec == "avc1",
+      "outer trak's hdlr/stsd still attribute after a nested trak")
   }
 
   test("Walsh band energies: hand-computed correlations over decoded " +
