@@ -558,6 +558,28 @@ object SparkEntry {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
+    // split-leakage audit: near-dup pairs (d2's pipeline) that straddle
+    // the deterministic train/val/test assignment (d12's hash) — the
+    // standard eval-contamination check run before training. Composes
+    // two already-banded stages, so the scale shape is d2's: no new
+    // all-pairs work, two hash-computed split columns on the pair set.
+    "d20_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashNearDups(docs,
+        k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      val splits = graft.ops.TextAnalysis.assignSplit(
+          docs.select($"doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"doc_id", $"split")
+      pairs
+        .join(splits.toDF("doc1", "split1"), "doc1")
+        .join(splits.toDF("doc2", "split2"), "doc2")
+        .where($"split1" =!= $"split2")
+        .select($"doc1", $"doc2", $"jaccard", $"split1", $"split2")
+        .orderBy($"doc1", $"doc2")
+    }),
+
     "d3_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhash(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
@@ -1061,6 +1083,22 @@ object SparkEntry {
         .select($"vec_id",
           round(dot(asDouble($"embedding"), $"qv"), 6).as("score"))
         .where($"score" >= 0.2)
+        .orderBy(desc("score"), $"vec_id")
+    }),
+
+    // filtered vector search: top-k under a metadata predicate, with the
+    // predicate on the SCAN side of the dot kernel (pre-filter — the
+    // exact strategy; the IVF post-filter twin and its full-probe
+    // equivalence are pinned by OpsSpec). The reference post-filters in
+    // Python after scoring the whole matrix.
+    "v3_filtered_retrieve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0L)
+        .select(asDouble($"embedding").as("qv"))
+      graft.ops.SimilaritySearch.filteredTopK(
+          emb, $"label".isin(2, 5), qv, k = 10, keep = Seq("label"))
+        .withColumn("label", $"label".cast("long"))
         .orderBy(desc("score"), $"vec_id")
     }),
 
@@ -2367,6 +2405,56 @@ object SparkEntry {
          WHERE jaccard >= 0.8
          ORDER BY doc1, doc2""",
 
+    // d2's pairs joined with d12's split hash, kept when the sides land
+    // in different splits
+    "d20_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(s) >= 3 THEN
+                    list_transform(range(1, len(s) - 1),
+                      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])
+                  ELSE [] END) AS sg
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(sg) AS shingle FROM sh),
+         hx AS (
+           SELECT doc_id, grp * 4 + slice AS hi,
+                  min(substr(md5(grp || ':' || shingle), 1 + slice * 8, 8)) AS sig
+           FROM ex
+           CROSS JOIN (SELECT unnest(range(0, 2)) AS grp)
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS slice)
+           GROUP BY doc_id, grp * 4 + slice),
+         bands AS (
+           SELECT doc_id, hi // 2 AS band,
+                  md5(string_agg(sig, '|' ORDER BY hi)) AS key
+           FROM hx GROUP BY doc_id, hi // 2),
+         cands AS (
+           SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT doc1, doc2,
+                  round(len(list_intersect(s1.sg, s2.sg))::DOUBLE /
+                        len(list_distinct(list_concat(s1.sg, s2.sg))), 6) AS jaccard
+           FROM cands
+           JOIN sh s1 ON cands.doc1 = s1.doc_id
+           JOIN sh s2 ON cands.doc2 = s2.doc_id),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 15))::BIGINT
+                         % 100 < 80 THEN 'train'
+                       WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 15))::BIGINT
+                         % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+         SELECT j.doc1, j.doc2, j.jaccard,
+                s1.split AS split1, s2.split AS split2
+         FROM j
+         JOIN sp s1 ON j.doc1 = s1.doc_id
+         JOIN sp s2 ON j.doc2 = s2.doc_id
+         WHERE j.jaccard >= 0.8 AND s1.split <> s2.split
+         ORDER BY j.doc1, j.doc2""",
+
     // d2's pipeline restricted to pairs touching the mod-5 batch: the
     // oracle recomputes ALL pairs and filters — the engine must reach
     // the same set from batch-bands × all-bands only
@@ -3357,6 +3445,16 @@ object SparkEntry {
          FROM embeddings e, q
          WHERE round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) >= 0.2
          ORDER BY score DESC, e.vec_id""",
+
+    "v3_filtered_retrieve" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, e.label::BIGINT AS label,
+                round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+         FROM embeddings e, q
+         WHERE e.label IN (2, 5)
+         ORDER BY score DESC, e.vec_id
+         LIMIT 10""",
 
     "n2_ivf_ann" ->
       """WITH cents AS (

@@ -1204,23 +1204,7 @@ final class KbStore private (
     import graft.functions.FloatVecDot.floatVecDot
     import graft.functions.FloatVecPack.floatVecPack
     val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
-    // probe selection: same sequential double fold and (score desc,
-    // cid asc) tie order as ivfTopK's probe subquery
-    val probed = read(KbStore.IvfCentroidsTable).collect()
-      .map { r =>
-        val cv = r.getSeq[Double](1).toArray
-        var acc = 0.0
-        var i = 0
-        while (i < cv.length && i < qv.length) {
-          acc += cv(i) * qv(i).toDouble; i += 1
-        }
-        // + 0.0 canonicalizes -0.0 to +0.0: Scala's total Double order
-        // ranks -0.0 < 0.0, while the SQL twin treats them as equal and
-        // tie-breaks on cid — parity requires the same here
-        (r.getLong(0), acc + 0.0)
-      }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nProbe).map(_._1).toSeq
+    val probed = ivfProbeCids(qv, nProbe)
     if (probed.isEmpty) return Seq.empty
     val packed = embeddings.toDF()
       .select($"id".as("vec_id"), floatVecPack($"vec").as("pv"))
@@ -1230,6 +1214,76 @@ final class KbStore private (
       .select($"vec_id",
         round(floatVecDot($"pv", lit(FloatVecDot.pack(qv))), 6).as("score"))
       .where(!isnan($"score")) // NaN would sort above every real score
+      .orderBy(desc("score"), $"vec_id")
+      .limit(n)
+      .as[(Long, Double)].collect()
+    if (hits.isEmpty) return Seq.empty
+    val docByEmb = docs.filter($"emb_id".isin(hits.map(_._1): _*))
+      .collect().map(d => d.emb_id.get -> d).toMap
+    hits.toSeq.map { case (embId, score) => Retrieval(score, docByEmb(embId)) }
+  }
+
+  /** Probe selection against the persisted centroid table: same
+    * sequential double fold and (score desc, cid asc) tie order as
+    * ivfTopK's probe subquery. `+ 0.0` canonicalizes -0.0 to +0.0:
+    * Scala's total Double order ranks -0.0 < 0.0, while the SQL twin
+    * treats them as equal and tie-breaks on cid — parity requires the
+    * same here.
+    */
+  private def ivfProbeCids(qv: Array[Float], nProbe: Int): Seq[Long] =
+    read(KbStore.IvfCentroidsTable).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length && i < qv.length) {
+          acc += cv(i) * qv(i).toDouble; i += 1
+        }
+        (r.getLong(0), acc + 0.0)
+      }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** [[annRetrieve]] under a document predicate — filtered vector
+    * search through the persisted IVF family (the reference's callers
+    * post-filter retrieve() results in Python; a filtered corpus query
+    * belongs INSIDE the probe so the dot kernel never runs on excluded
+    * rows). `pred` is a Column over the docs table's columns (level,
+    * parent_id, meta JSON via get_json_object, …); docs matching it
+    * are semi-joined onto the probed inverted lists BEFORE scoring, so
+    * per-call cost is probe ranking + selectivity × probed-list size.
+    * Approximate exactly like [[annRetrieve]] (unprobed lists are
+    * unseen); `nProbe = nlist` is exact — equivalence with
+    * post-filtering the full-probe retrieval is spec-pinned.
+    */
+  def annRetrieveFiltered(query: String, n: Int,
+      provider: EmbeddingProvider,
+      pred: org.apache.spark.sql.Column, nProbe: Int = 8): Seq[Retrieval] = {
+    require(hasAnnIndex, annIndexState match {
+      case KbStore.AnnStale =>
+        "ANN index is stale: call refreshAnnIndex() to catch it up"
+      case _ => "no ANN index: call buildAnnIndex()"
+    })
+    if (n <= 0) return Seq.empty
+    import spark.implicits._
+    import graft.functions.FloatVecDot
+    import graft.functions.FloatVecDot.floatVecDot
+    import graft.functions.FloatVecPack.floatVecPack
+    val qv = Embeddings.checkMagnitude(provider.embed(Seq(query))).head
+    val probed = ivfProbeCids(qv, nProbe)
+    if (probed.isEmpty) return Seq.empty
+    val allowed = docs.toDF().where(pred)
+      .where($"emb_id".isNotNull)
+      .select($"emb_id".as("vec_id"))
+    val packed = embeddings.toDF()
+      .select($"id".as("vec_id"), floatVecPack($"vec").as("pv"))
+    val hits = read(KbStore.IvfAssignTable)
+      .where($"cid".isin(probed: _*))
+      .join(allowed, "vec_id") // predicate before the dot kernel
+      .join(packed, "vec_id")
+      .select($"vec_id",
+        round(floatVecDot($"pv", lit(FloatVecDot.pack(qv))), 6).as("score"))
+      .where(!isnan($"score"))
       .orderBy(desc("score"), $"vec_id")
       .limit(n)
       .as[(Long, Double)].collect()

@@ -30,6 +30,68 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Filtered vector search, pre-filter strategy: exact top-k by dot
+    * product among the rows satisfying `pred`. The reference has no
+    * filtered retrieval (retrieve scores the whole matrix,
+    * `/root/reference/src/svs/kb.py:1184-1189`, and callers post-filter
+    * in Python); production vector stores treat predicate + top-k as one
+    * operator because WHERE the predicate runs decides the cost at
+    * scale.
+    *
+    * Pre-filter is the exact path and the right one when the predicate
+    * is selective: the filter sits directly on the scan, so against a
+    * parquet corpus it reaches the reader (`PushedFilters` — row groups
+    * whose stats exclude the predicate are never read) and the dot
+    * kernel runs ONLY on surviving rows. Plan shape: scan(+pushed
+    * filter) → narrow map → TakeOrderedAndProject; no shuffle of the
+    * corpus, identical to [[topK]] minus the skipped rows.
+    *
+    * Output: (vec_id, label-preserving `keep` columns…, score).
+    */
+  def filteredTopK(emb: DataFrame, pred: org.apache.spark.sql.Column,
+      queryVec: DataFrame, k: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val cols = (col("vec_id") +: keep.map(col)) :+
+      round(dot(asDouble(col("embedding")), col("qv")), 6).as("score")
+    emb.filter(pred)
+      .crossJoin(broadcast(queryVec))
+      .select(cols: _*)
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Filtered vector search, IVF post-filter strategy: probe the
+    * `nProbe` lists closest to the query and apply `pred` to the probed
+    * candidates BEFORE the dot kernel, so a non-selective predicate
+    * over a huge corpus pays IVF's probed-lists cost (not a full scan)
+    * and the scoring kernel still only runs on rows that can appear in
+    * the result. Approximate like every IVF probe — a matching row
+    * whose list was not probed is missed — and exact when `nProbe`
+    * covers all lists ([[filteredTopK]] equivalence is spec-pinned).
+    * The standard failure mode of post-filtering (k survivors don't
+    * exist inside the probed lists) is the caller's dial: raise
+    * `nProbe` — the probe cost is linear in lists touched, and the
+    * predicate keeps the scored row count at selectivity × list size.
+    */
+  def filteredTopKIvf(assigned: DataFrame, centroids: DataFrame,
+      pred: org.apache.spark.sql.Column, queryVec: DataFrame, k: Int,
+      nProbe: Int, keep: Seq[String] = Nil): DataFrame = {
+    val probes = centroids.crossJoin(broadcast(queryVec))
+      .select(col("cid"),
+        dot(asDouble(col("cvec")), col("qv")).as("pscore"))
+      .orderBy(desc("pscore"), col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    val cols = (col("vec_id") +: keep.map(col)) :+
+      round(dot(asDouble(col("embedding")), col("qv")), 6).as("score")
+    assigned.join(broadcast(probes), "cid")
+      .filter(pred)
+      .crossJoin(broadcast(queryVec))
+      .select(cols: _*)
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Matryoshka (truncated-dimension) two-stage retrieval (Kusupati et
     * al., "Matryoshka Representation Learning", NeurIPS'22): shortlist
     * by cosine over the FIRST `dPrime` dimensions (renormalized — MRL

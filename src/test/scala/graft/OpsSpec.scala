@@ -47,6 +47,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered retrieval: pre-filter exact, predicate pushed to the " +
+      "parquet scan, IVF post-filter at full probe identical") {
+    import spark.implicits._
+    val qv = emb.filter($"vec_id" === 0L)
+      .select(asDouble($"embedding").as("qv"))
+    val pred = $"label".isin(2, 5)
+    val pre = SimilaritySearch.filteredTopK(emb, pred, qv, k = 10,
+      keep = Seq("label"))
+    val rows = pre.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(2, 5).contains(r.getInt(1))))
+    // exactness: equals brute-force score-then-filter
+    val brute = emb.crossJoin(broadcast(qv))
+      .select($"vec_id", $"label",
+        round(dot(asDouble($"embedding"), $"qv"), 6).as("score"))
+      .where(pred)
+      .orderBy(desc("score"), $"vec_id").limit(10).collect()
+    assert(rows.toSeq == brute.toSeq)
+    // the predicate must reach the parquet reader, not run post-scan:
+    // at 100 TB this is the difference between reading matching row
+    // groups and scanning the corpus
+    val scan = pre.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("PushedFilters") && scan.contains("label"),
+      s"label predicate not pushed to scan: $scan")
+    // IVF post-filter twin: predicate before the dot kernel, exact at
+    // full probe
+    val cents = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val assigned = SimilaritySearch.ivfAssign(emb, cents)
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+    val post = SimilaritySearch.filteredTopKIvf(assigned, cents, pred,
+      qv, k = 10, nProbe = 10, keep = Seq("label")).collect()
+    assert(post.toSeq == rows.toSeq)
+  }
+
   test("shingles: k=3 word n-grams, short docs yield empty sets") {
     import spark.implicits._
     val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")

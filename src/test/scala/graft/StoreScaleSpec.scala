@@ -274,6 +274,25 @@ class StoreScaleSpec extends SparkSpec {
       assert(ann3.map(r => (r.doc.emb_id.get, r.score)) == twin)
     }
 
+    // filtered retrieval through the persisted family: at full probe it
+    // equals post-filtering the exact retrieval; the predicate runs
+    // inside the probe (semi-join before the dot kernel), never as a
+    // client-side filter of scored results
+    locally {
+      import org.apache.spark.sql.functions.col
+      val pred = col("id") % 3L === 0L
+      val full = kb.annRetrieve("query text", 200, p, nProbe = 8)
+      val want = full.filter(_.doc.id % 3 == 0).take(5)
+        .map(r => (r.doc.id, r.score))
+      val got = kb.annRetrieveFiltered("query text", 5, p, pred, nProbe = 8)
+        .map(r => (r.doc.id, r.score))
+      assert(got == want)
+      assert(got.nonEmpty && got.forall(_._1 % 3 == 0))
+      // a predicate matching nothing returns empty, not an error
+      assert(kb.annRetrieveFiltered("query text", 5, p,
+        col("id") < 0L, nProbe = 8).isEmpty)
+    }
+
     // batch knn JOIN through the persisted assignment: at full probe
     // it equals the exact brute-force join on the same packed vectors
     locally {
