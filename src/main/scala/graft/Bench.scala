@@ -1311,6 +1311,26 @@ object Bench {
         .collect()
     }
     stampProbeRecall("svs_ivf_probe_1m", probeRows)
+
+    // filtered probe: the same 8-list probe under a 30%-selectivity
+    // metadata predicate applied to the probed lists BEFORE the dot
+    // kernel (SimilaritySearch.filteredTopKIvf's shape) — the scored
+    // row count drops to selectivity × probed-list size, which is the
+    // whole point of pushing the predicate inside the probe
+    record("svs_filtered_probe_1m", estS = 2.0) {
+      val qv = lit(FloatVecDot.pack(syntheticVec(2L)))
+      val probes = cents2
+        .select(col("cid"), FloatVecDot.floatVecDot(col("cvec"), qv).as("ps"))
+        .orderBy(desc("ps")).limit(8).select(col("cid"))
+      val candIds = assigned1m.join(broadcast(probes), "cid")
+        .where(col("vec_id") % 10 < 3) // predicate before the kernel
+        .select(col("vec_id"))
+      corpus1m
+        .join(broadcast(candIds), corpus1m("id") === col("vec_id"))
+        .select(col("id"), FloatVecDot.floatVecDot(col("vec"), qv).as("score"))
+        .orderBy(desc("score"), col("id")).limit(100)
+        .collect()
+    }
     assigned1m.unpersist()
     KbStoreCleanup.delete(ivfPath)
 
@@ -2031,6 +2051,7 @@ object Bench {
     "svs_stream_ingest_fast" -> "the RECOMMENDED high-frequency configuration (maintainIndex=false + periodic refresh, the startStoreIngest scaladoc's deployment guidance): the same 6 x 500-doc micro-batches on the same store, per-batch cost = the atomic commit only, with ONE incremental ANN + text refresh timed at the end of the window; docs/s = 3000/value — quantifies what batching refreshes buys vs svs_stream_ingest's per-batch live-index mode",
     "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
     "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
+    "svs_filtered_probe_1m" -> "the same 8/256-list IVF probe under a 30%-selectivity metadata predicate (vec_id % 10 < 3) applied to the probed lists BEFORE the dot kernel — filtered vector search's post-filter strategy (SimilaritySearch.filteredTopKIvf): scored rows = selectivity x probed-list size, so the filtered probe should run at or under the unfiltered one; no published counterpart",
     "svs_cold_1m" -> "single-shot read-from-DISK retrieve: the OS page cache is sync+dropped first (privileged container) so the number measures disk, not the cache echo of the store written moments earlier; where the drop is not permitted the number degrades to a cache-warm read and this note is the caveat",
     "svs_knn_join_1m" -> "the ABSOLUTE-number leg: IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256), per-call assignment (plain), both sides shuffled on centroid id, packed kernels end-to-end, blocked-kernel JIT paid by an untimed warmup call; ordering across the amortization ladder is certified by the cheaper svs_knn2k_* legs; no published counterpart (the reference retrieves one query at a time)",
     "svs_knn2k_plain_1m" -> "ordering-ladder BASELINE: the plain IVF knn join (per-call corpus assignment) at 2k probes x 1M candidates — the rung every amortized leg must beat; see the ladder note",
