@@ -1331,6 +1331,27 @@ object Bench {
         .orderBy(desc("score"), col("id")).limit(100)
         .collect()
     }
+
+    // late-interaction (MaxSim) retrieval at 1M: the cached corpus
+    // re-read as 200k docs x 5 token vectors, scored against 8 query
+    // tokens — one corpus pass, 8M packed-kernel dots, then two narrow
+    // aggregate shuffles (docs x 8 rows, then docs rows), top-100.
+    // SimilaritySearch.maxSimTopK's plan shape at bench scale.
+    record("svs_maxsim_1m", estS = 4.0) {
+      import spark.implicits._
+      val qts = (0 until 8).map(i =>
+        (i.toLong, FloatVecDot.pack(syntheticVec(3000000L + i))))
+        .toDF("qidx", "qv")
+      corpus1m
+        .select(expr("id div 5").as("doc_id"), col("vec"))
+        .crossJoin(broadcast(qts))
+        .select(col("doc_id"), col("qidx"),
+          FloatVecDot.floatVecDot(col("vec"), col("qv")).as("s"))
+        .groupBy(col("doc_id"), col("qidx")).agg(max(col("s")).as("m"))
+        .groupBy(col("doc_id")).agg(sum(col("m")).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(100)
+        .collect()
+    }
     assigned1m.unpersist()
     KbStoreCleanup.delete(ivfPath)
 
@@ -2052,6 +2073,7 @@ object Bench {
     "svs_ivf_build_1m" -> "batch IVF index build: packed-f32 argmax of 1M x d1536 against 256 broadcast centroids + inverted-list table write; no published counterpart (the reference has no ANN index)",
     "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
     "svs_filtered_probe_1m" -> "the same 8/256-list IVF probe under a 30%-selectivity metadata predicate (vec_id % 10 < 3) applied to the probed lists BEFORE the dot kernel — filtered vector search's post-filter strategy (SimilaritySearch.filteredTopKIvf): scored rows = selectivity x probed-list size, so the filtered probe should run at or under the unfiltered one; no published counterpart",
+    "svs_maxsim_1m" -> "late-interaction (ColBERT MaxSim) retrieval over the 1M corpus read as 200k multi-vector docs (5 token vectors each) x 8 query tokens: ONE corpus pass of 8M packed dots, per-(doc, qtoken) max with map-side combine, per-doc sum, top-100 — the shuffles carry docs x 8 narrow rows, never vectors (SimilaritySearch.maxSimTopK's shape); no published counterpart (the reference is single-vector only)",
     "svs_cold_1m" -> "single-shot read-from-DISK retrieve: the OS page cache is sync+dropped first (privileged container) so the number measures disk, not the cache echo of the store written moments earlier; where the drop is not permitted the number degrades to a cache-warm read and this note is the caveat",
     "svs_knn_join_1m" -> "the ABSOLUTE-number leg: IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256), per-call assignment (plain), both sides shuffled on centroid id, packed kernels end-to-end, blocked-kernel JIT paid by an untimed warmup call; ordering across the amortization ladder is certified by the cheaper svs_knn2k_* legs; no published counterpart (the reference retrieves one query at a time)",
     "svs_knn2k_plain_1m" -> "ordering-ladder BASELINE: the plain IVF knn join (per-call corpus assignment) at 2k probes x 1M candidates — the rung every amortized leg must beat; see the ladder note",

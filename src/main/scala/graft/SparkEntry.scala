@@ -1102,6 +1102,20 @@ object SparkEntry {
         .orderBy(desc("score"), $"vec_id")
     }),
 
+    // --- late-interaction retrieval (SimilaritySearch.maxSimTopK): the
+    // embeddings table re-read as multi-vector docs (5 consecutive
+    // vec_ids = one doc's token vectors), queried with doc 0's tokens.
+    "v4_maxsim_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val tokens = emb.select(
+        expr("vec_id div 5").as("doc_id"), $"embedding")
+      val query = emb.filter($"vec_id" < 5L)
+        .select($"vec_id".as("qidx"), asDouble($"embedding").as("qv"))
+      graft.ops.SimilaritySearch.maxSimTopK(tokens, query, k = 10)
+        .orderBy(desc("score"), $"doc_id")
+    }),
+
     // --- multimodal plumbing (SURVEY §7.5; decode stubbed) ---------------
     "m1_media_features" -> ((s, dir) =>
       longs(graft.ops.Multimodal.extractFeatures(
@@ -3454,6 +3468,20 @@ object SparkEntry {
          FROM embeddings e, q
          WHERE e.label IN (2, 5)
          ORDER BY score DESC, e.vec_id
+         LIMIT 10""",
+
+    "v4_maxsim_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS qidx, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         per AS (
+           SELECT e.vec_id // 5 AS doc_id, q.qidx,
+                  max(list_dot_product(e.embedding::DOUBLE[], q.qv)) AS m
+           FROM embeddings e, q
+           GROUP BY 1, 2)
+         SELECT doc_id, round(sum(m), 6) AS score
+         FROM per GROUP BY doc_id
+         ORDER BY score DESC, doc_id
          LIMIT 10""",
 
     "n2_ivf_ann" ->

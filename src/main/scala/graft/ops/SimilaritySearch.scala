@@ -131,6 +131,43 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Late-interaction (multi-vector) retrieval — MaxSim (ColBERT,
+    * Khattab & Zaharia, SIGIR 2020). A document is a SET of token
+    * vectors, the query is a (small) set of token vectors, and
+    * score(Q, D) = Σ_{q∈Q} max_{d∈D} q·d — each query token matches its
+    * best doc token independently, which is what makes the scheme robust
+    * to word order and partial matches. The reference is single-vector
+    * only (one embedding per doc, `/root/reference/src/svs/kb.py:
+    * 1184-1189`); late interaction is the standard next rung of
+    * retrieval quality a training-data pipeline reaches for.
+    *
+    * Plan shape at 100 TB: `tokenVecs` (doc_id, embedding — MANY rows
+    * per doc) is scanned ONCE; the m query tokens are broadcast and
+    * expand each corpus row m-fold inside the map stage (m is small —
+    * tens). The (doc_id, qidx) max is a hash aggregate with map-side
+    * partial combine, so the shuffle carries at most |docs|·m narrow
+    * rows, not the corpus; the per-doc sum is a second, |docs|-row
+    * aggregate; top-k is TakeOrderedAndProject. No corpus-side shuffle
+    * of vectors, no window over a single partition.
+    *
+    * Deterministic: the per-(doc, token) max is order-independent, the
+    * per-doc sum is rounded to 6 dp before ranking, ties break on
+    * doc_id — engine-portable, so the DuckDB twin is exact.
+    *
+    * Output: (doc_id, score), top-k by score desc, doc_id asc.
+    */
+  def maxSimTopK(tokenVecs: DataFrame, queryVecs: DataFrame,
+      k: Int): DataFrame = {
+    tokenVecs
+      .crossJoin(broadcast(queryVecs.select(col("qidx"), col("qv"))))
+      .select(col("doc_id"), col("qidx"),
+        dot(asDouble(col("embedding")), col("qv")).as("s"))
+      .groupBy(col("doc_id"), col("qidx")).agg(max(col("s")).as("m"))
+      .groupBy(col("doc_id")).agg(round(sum(col("m")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Exact brute-force k-NN join: for every query vector, the top-k
     * scoring candidates. Query side is broadcast; ranking is a window
     * per query id.

@@ -82,6 +82,43 @@ class OpsSpec extends SparkSpec {
     assert(post.toSeq == rows.toSeq)
   }
 
+  test("maxsim late-interaction: equals the brute-force sum-of-max, " +
+      "self-doc ranks first, shuffles carry aggregates not the corpus") {
+    import spark.implicits._
+    val tokens = emb.select(expr("vec_id div 5").as("doc_id"), $"embedding")
+    val query = emb.filter($"vec_id" < 5L)
+      .select($"vec_id".as("qidx"), asDouble($"embedding").as("qv"))
+    val got = SimilaritySearch.maxSimTopK(tokens, query, k = 10)
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    // brute force on the driver: score(D) = sum over q of max over d of q.d
+    val all = emb.select($"vec_id", asDouble($"embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qs = all.filter(_._1 < 5L).sortBy(_._1).map(_._2)
+    val byDoc = all.groupBy(_._1 / 5)
+    val expect = byDoc.map { case (doc, vs) =>
+      val s = qs.map(q => vs.map { case (_, v) =>
+        q.zip(v).map { case (a, b) => a * b }.sum
+      }.max).sum
+      doc -> BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    assert(rows.toSeq == expect,
+      s"maxsim mismatch:\n got ${rows.toSeq}\nwant $expect")
+    // the query tokens ARE doc 0's token set, so doc 0 must self-match top
+    assert(rows.head._1 == 0L, s"self-doc not ranked first: ${rows.head}")
+    // plan shape: top-k is a bounded TakeOrdered merge and the only
+    // exchanges are the two narrow aggregate shuffles (|docs|x|q| rows),
+    // never the corpus vectors
+    // AQE's toString prints the final AND the initial plan — count
+    // shuffles in the final section only
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"expected <=2 aggregate shuffles: $plan")
+  }
+
   test("shingles: k=3 word n-grams, short docs yield empty sets") {
     import spark.implicits._
     val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
