@@ -996,9 +996,10 @@ object Bench {
     // budget covers them PLUS this — budget death hits retries, never
     // first-time coverage (r10 item 3)
     // r13: +70 for the two new first-time sections (clustered recall
-    // ~60, semantic screen ~10); the worst ordering inversion's FIRST
-    // retry is reservation-funded and exempt from this gate
-    val designCostS = 415.0
+    // ~60, semantic screen ~10) and +6 for the pruned-maxsim tier
+    // point; the worst ordering inversion's FIRST retry is
+    // reservation-funded and exempt from this gate
+    val designCostS = 421.0
     try {
       runCycle(availableLegs) // cycle 1 (absorbs any residual JIT)
       reservedS = 42.0 * calib
@@ -1344,6 +1345,46 @@ object Bench {
         .toDF("qidx", "qv")
       corpus1m
         .select(expr("id div 5").as("doc_id"), col("vec"))
+        .crossJoin(broadcast(qts))
+        .select(col("doc_id"), col("qidx"),
+          FloatVecDot.floatVecDot(col("vec"), col("qv")).as("s"))
+        .groupBy(col("doc_id"), col("qidx")).agg(max(col("s")).as("m"))
+        .groupBy(col("doc_id")).agg(sum(col("m")).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(100)
+        .collect()
+    }
+
+    // IVF-pruned MaxSim (PLAID's candidate generation) on the same
+    // corpus and query set: each query token probes 8 of the 256
+    // token-level centroids (the persisted assignment table doubles as
+    // the token IVF), candidate docs rank by the centroid approximation
+    // over the NARROW (doc, cid) table — no vector access — and only
+    // the top 1000 docs (0.5% of the corpus) pay the exact token
+    // kernel: 40k dots instead of svs_maxsim_1m's 8M
+    // (SimilaritySearch.maxSimTopKIvfAssigned's shape).
+    record("svs_maxsim_ivf_1m", estS = 2.0) {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val qts = (0 until 8).map(i =>
+        (i.toLong, FloatVecDot.pack(syntheticVec(3000000L + i))))
+        .toDF("qidx", "qv")
+      val probed = cents2.crossJoin(broadcast(qts))
+        .select(col("qidx"), col("cid"),
+          FloatVecDot.floatVecDot(col("cvec"), col("qv")).as("ps"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qidx")).orderBy(desc("ps"), col("cid"))))
+        .where(col("rk") <= 8)
+        .select(col("qidx"), col("cid"), col("ps"))
+      val cand = assigned1m
+        .select(expr("vec_id div 5").as("doc_id"), col("cid")).distinct()
+        .join(broadcast(probed), "cid")
+        .groupBy(col("doc_id"), col("qidx")).agg(max(col("ps")).as("m"))
+        .groupBy(col("doc_id")).agg(sum(col("m")).as("appr"))
+        .orderBy(desc("appr"), col("doc_id")).limit(1000)
+        .select(col("doc_id"))
+      corpus1m
+        .select(expr("id div 5").as("doc_id"), col("vec"))
+        .join(broadcast(cand), "doc_id")
         .crossJoin(broadcast(qts))
         .select(col("doc_id"), col("qidx"),
           FloatVecDot.floatVecDot(col("vec"), col("qv")).as("s"))
@@ -2074,6 +2115,7 @@ object Bench {
     "svs_ivf_probe_1m" -> "IVF probe of 8/256 lists (~1/32 of the corpus scored) through the written index; no published counterpart",
     "svs_filtered_probe_1m" -> "the same 8/256-list IVF probe under a 30%-selectivity metadata predicate (vec_id % 10 < 3) applied to the probed lists BEFORE the dot kernel — filtered vector search's post-filter strategy (SimilaritySearch.filteredTopKIvf): scored rows = selectivity x probed-list size, so the filtered probe should run at or under the unfiltered one; no published counterpart",
     "svs_maxsim_1m" -> "late-interaction (ColBERT MaxSim) retrieval over the 1M corpus read as 200k multi-vector docs (5 token vectors each) x 8 query tokens: ONE corpus pass of 8M packed dots, per-(doc, qtoken) max with map-side combine, per-doc sum, top-100 — the shuffles carry docs x 8 narrow rows, never vectors (SimilaritySearch.maxSimTopK's shape); no published counterpart (the reference is single-vector only)",
+    "svs_maxsim_ivf_1m" -> "IVF-pruned MaxSim (PLAID candidate generation) on the same corpus/query set: 8 query tokens probe 8 of 256 token-level centroids, candidate docs rank by the centroid approximation over the narrow (doc, cid) table (no vector access), top-1000 docs (0.5% of corpus) pay the exact token kernel — 40k dots vs svs_maxsim_1m's 8M (SimilaritySearch.maxSimTopKIvfAssigned's shape); the sublinear scale path for late-interaction retrieval",
     "svs_cold_1m" -> "single-shot read-from-DISK retrieve: the OS page cache is sync+dropped first (privileged container) so the number measures disk, not the cache echo of the store written moments earlier; where the drop is not permitted the number degrades to a cache-warm read and this note is the caveat",
     "svs_knn_join_1m" -> "the ABSOLUTE-number leg: IVF k-NN join of 10k queries x 1M candidates at d1536 (nProbe 4/256), per-call assignment (plain), both sides shuffled on centroid id, packed kernels end-to-end, blocked-kernel JIT paid by an untimed warmup call; ordering across the amortization ladder is certified by the cheaper svs_knn2k_* legs; no published counterpart (the reference retrieves one query at a time)",
     "svs_knn2k_plain_1m" -> "ordering-ladder BASELINE: the plain IVF knn join (per-call corpus assignment) at 2k probes x 1M candidates — the rung every amortized leg must beat; see the ladder note",

@@ -280,6 +280,16 @@ object SparkEntry {
         textCol = "txt", unicode = true)
     }),
 
+    // RM3 pseudo-relevance feedback (Lavrenko & Croft): top-10 BM25
+    // hits vote on expansion terms via score-weighted tf/dl, the top-10
+    // relevance-model terms interpolate with the query at α=0.5, and
+    // the weighted rescore ranks — the expansion rung above b1's plain
+    // BM25; feedback set broadcasts, postings never shuffle for it
+    "b4_rm3_expansion" -> ((s, dir) =>
+      graft.ops.TextRetrieval.rm3TopK(t(s, dir, "documents"),
+        Seq("spark", "join", "window"), k = 20,
+        fbDocs = 10, fbTerms = 10, alpha = 0.5)),
+
     // corpus vocabulary heavy hitters (vocab/BPE-prep step): two-phase
     // partial-agg count, top-k without a global sort
     "x10_vocab_topk" -> ((s, dir) =>
@@ -1113,6 +1123,26 @@ object SparkEntry {
       val query = emb.filter($"vec_id" < 5L)
         .select($"vec_id".as("qidx"), asDouble($"embedding").as("qv"))
       graft.ops.SimilaritySearch.maxSimTopK(tokens, query, k = 10)
+        .orderBy(desc("score"), $"doc_id")
+    }),
+
+    // IVF-pruned MaxSim (PLAID's candidate-generation shape): token
+    // vectors clustered to 10 stored centroids, each query token
+    // probes 3, candidates ranked by the centroid approximation of
+    // MaxSim (narrow doc×cid table only), exact MaxSim on the top 30 —
+    // the DuckDB twin replicates the REDUCED-probe path end to end
+    // (the n2 oracle style), not just the full-probe degeneracy
+    "v5_maxsim_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val tokens = emb.select(
+        expr("vec_id div 5").as("doc_id"), $"embedding")
+      val cents = emb.filter($"vec_id" < 10L)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val query = emb.filter($"vec_id" < 5L)
+        .select($"vec_id".as("qidx"), asDouble($"embedding").as("qv"))
+      graft.ops.SimilaritySearch.maxSimTopKIvf(tokens, cents, query,
+          k = 10, nProbe = 3, nCandidates = 30)
         .orderBy(desc("score"), $"doc_id")
     }),
 
@@ -2659,6 +2689,62 @@ object SparkEntry {
          ORDER BY score DESC, doc_id
          LIMIT 20""",
 
+    "b4_rm3_expansion" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         posting AS (
+           SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+           GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM posting GROUP BY doc_id),
+         stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+         qtf AS (SELECT * FROM posting
+                 WHERE term IN ('spark', 'join', 'window')),
+         qdf AS (SELECT term, count(*)::DOUBLE AS df FROM qtf GROUP BY term),
+         fb AS (
+           SELECT doc_id, score FROM (
+             SELECT qtf.doc_id,
+                    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                              * (tf * (1.2 + 1.0))
+                              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                      AS score
+             FROM qtf JOIN qdf USING (term) JOIN dl USING (doc_id)
+                  CROSS JOIN stats
+             GROUP BY qtf.doc_id
+             ORDER BY score DESC, doc_id LIMIT 10)
+           WHERE score > 0),
+         z AS (SELECT sum(score) AS z FROM fb),
+         wd AS (SELECT doc_id, score / z.z AS wd FROM fb CROSS JOIN z),
+         rmtop AS (
+           SELECT term, rm FROM (
+             SELECT p.term, round(sum(w.wd * p.tf / d.dl), 6) AS rm
+             FROM posting p JOIN wd w USING (doc_id) JOIN dl d USING (doc_id)
+             GROUP BY p.term)
+           ORDER BY rm DESC, term LIMIT 10),
+         orig AS (
+           SELECT unnest(['spark', 'join', 'window']) AS term,
+                  1.0 / 3.0 AS p_orig),
+         wts AS (
+           SELECT coalesce(o.term, r.term) AS term,
+                  round(coalesce(o.p_orig, 0) * 0.5
+                        + coalesce(r.rm, 0) * 0.5, 6) AS w
+           FROM orig o FULL OUTER JOIN rmtop r ON o.term = r.term),
+         ftf AS (
+           SELECT p.doc_id, p.term, p.tf, w.w
+           FROM posting p
+           JOIN (SELECT * FROM wts WHERE w > 0) w USING (term)),
+         fdf AS (SELECT term, count(*)::DOUBLE AS df FROM ftf GROUP BY term)
+         SELECT ftf.doc_id,
+                round(sum(w * ln(1 + (n - df + 0.5) / (df + 0.5))
+                          * (tf * (1.2 + 1.0))
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                  AS score
+         FROM ftf JOIN fdf USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats
+         GROUP BY ftf.doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 20""",
+
     "x10_vocab_topk" ->
       """SELECT term, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
@@ -3478,6 +3564,48 @@ object SparkEntry {
            SELECT e.vec_id // 5 AS doc_id, q.qidx,
                   max(list_dot_product(e.embedding::DOUBLE[], q.qv)) AS m
            FROM embeddings e, q
+           GROUP BY 1, 2)
+         SELECT doc_id, round(sum(m), 6) AS score
+         FROM per GROUP BY doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 10""",
+
+    "v5_maxsim_ivf" ->
+      """WITH cents AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+           FROM embeddings WHERE vec_id < 10),
+         q AS (
+           SELECT vec_id AS qidx, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         assign AS (
+           SELECT vec_id // 5 AS doc_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) DESC,
+                               c.cid) AS rk
+             FROM embeddings e CROSS JOIN cents c)
+           WHERE rk = 1),
+         probed AS (
+           SELECT qidx, cid, pscore FROM (
+             SELECT q.qidx, c.cid,
+                    list_dot_product(c.cvec, q.qv) AS pscore,
+                    row_number() OVER (PARTITION BY q.qidx
+                      ORDER BY list_dot_product(c.cvec, q.qv) DESC, c.cid) AS rk
+             FROM cents c CROSS JOIN q)
+           WHERE rk <= 3),
+         cand AS (
+           SELECT doc_id FROM (
+             SELECT d.doc_id, p.qidx, max(p.pscore) AS m
+             FROM (SELECT DISTINCT doc_id, cid FROM assign) d
+             JOIN probed p ON d.cid = p.cid
+             GROUP BY 1, 2)
+           GROUP BY doc_id
+           ORDER BY round(sum(m), 6) DESC, doc_id
+           LIMIT 30),
+         per AS (
+           SELECT a.doc_id, q.qidx,
+                  max(list_dot_product(a.embedding::DOUBLE[], q.qv)) AS m
+           FROM assign a JOIN cand c ON a.doc_id = c.doc_id CROSS JOIN q
            GROUP BY 1, 2)
          SELECT doc_id, round(sum(m), 6) AS score
          FROM per GROUP BY doc_id

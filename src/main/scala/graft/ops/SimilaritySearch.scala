@@ -168,6 +168,85 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF-pruned MaxSim — the scale path for [[maxSimTopK]], after
+    * PLAID (Santhanam et al., "PLAID: An Efficient Engine for Late
+    * Interaction Retrieval", CIKM 2022): exact one-pass MaxSim touches
+    * every token vector per query set, so at corpus scale the candidate
+    * set must shrink first. Token vectors are clustered (IVF over
+    * TOKENS, not docs); each query token probes its `nProbe` closest
+    * centroids; candidate docs are ranked by the CENTROID approximation
+    * of MaxSim (score(Q, D) ≈ Σ_q max over D's probed centroids of
+    * q·c — PLAID's stage-2 bound, computed from the narrow (doc, cid)
+    * table with no vector access); only the top `nCandidates` docs pay
+    * the exact token-level kernel.
+    *
+    * Plan shape at 100 TB: the probe ranking is a window over
+    * (#query-tokens × nlist) tiny rows; candidate ranking touches ONLY
+    * the distinct (doc_id, cid) narrow table (no vectors cross a
+    * shuffle); the exact rerank semi-joins the token table on the
+    * broadcast candidate id set, so the vector kernel runs on
+    * O(nCandidates · tokens-per-doc) rows instead of the corpus.
+    *
+    * `nProbe = nlist` with `nCandidates ≥ #docs` degenerates to the
+    * exact [[maxSimTopK]] (every doc becomes a candidate) —
+    * OpsSpec-pinned, and the shape the DuckDB twin replicates at
+    * reduced probe. Deterministic: candidate and final scores round to
+    * 6 dp before ranking, ties on doc_id.
+    *
+    * Input: `tokenVecs` (doc_id, embedding — many rows per doc),
+    * `centroids` (cid, cvec), `queryVecs` (qidx, qv DOUBLE array).
+    * Output: (doc_id, score), top-k by score desc, doc_id asc.
+    */
+  def maxSimTopKIvf(tokenVecs: DataFrame, centroids: DataFrame,
+      queryVecs: DataFrame, k: Int, nProbe: Int,
+      nCandidates: Int): DataFrame = {
+    // token-level assignment reuses ivfAssign's broadcast-argmax kernel
+    // (same tie rule: smaller cid wins) — doc_id rides through as the
+    // row id since assignment never groups by it
+    val assigned = ivfAssign(
+        tokenVecs.select(col("doc_id").as("vec_id"), col("embedding")),
+        centroids)
+      .select(col("vec_id").as("doc_id"), col("embedding"), col("cid"))
+    maxSimTopKIvfAssigned(assigned, centroids, queryVecs, k, nProbe,
+      nCandidates)
+  }
+
+  /** [[maxSimTopKIvf]] over a pre-assigned token table
+    * (doc_id, embedding, cid) — the form a persisted token-level IVF
+    * family would feed, so the assignment cost amortizes across
+    * queries.
+    */
+  def maxSimTopKIvfAssigned(assigned: DataFrame, centroids: DataFrame,
+      queryVecs: DataFrame, k: Int, nProbe: Int,
+      nCandidates: Int): DataFrame = {
+    val q = queryVecs.select(col("qidx"), col("qv"))
+    // per-query-token probe set: nlist × m rows, window is per-qidx
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("qidx"), col("cid"),
+        dot(asDouble(col("cvec")), col("qv")).as("pscore"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qidx")).orderBy(desc("pscore"), col("cid"))))
+      .where(col("rk") <= nProbe)
+      .select(col("qidx"), col("cid"), col("pscore"))
+    // centroid-approximated MaxSim over the narrow (doc, cid) table
+    val cand = assigned.select(col("doc_id"), col("cid")).distinct()
+      .join(broadcast(probed), "cid")
+      .groupBy(col("doc_id"), col("qidx")).agg(max(col("pscore")).as("m"))
+      .groupBy(col("doc_id")).agg(round(sum(col("m")), 6).as("appr"))
+      .orderBy(desc("appr"), col("doc_id"))
+      .limit(nCandidates)
+      .select(col("doc_id"))
+    // exact MaxSim kernel on candidate docs' tokens only
+    assigned.join(broadcast(cand), "doc_id")
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("qidx"),
+        dot(asDouble(col("embedding")), col("qv")).as("s"))
+      .groupBy(col("doc_id"), col("qidx")).agg(max(col("s")).as("m"))
+      .groupBy(col("doc_id")).agg(round(sum(col("m")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Exact brute-force k-NN join: for every query vector, the top-k
     * scoring candidates. Query side is broadcast; ranking is a window
     * per query id.

@@ -198,4 +198,100 @@ object TextRetrieval {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  /** RM3 pseudo-relevance feedback term weights (Lavrenko & Croft's
+    * relevance model, interpolated with the original query — the
+    * standard query-expansion default of Indri/Anserini). The top
+    * `fbDocs` BM25 hits vote on expansion terms: each feedback doc
+    * contributes its maximum-likelihood term distribution tf/dl,
+    * weighted by its normalized retrieval score; the top `fbTerms`
+    * terms of that relevance model are interpolated with the original
+    * query's term distribution at mixing weight `alpha`:
+    * w(t) = (1−α)·P(t|Q) + α·RM(t), over the union of the query terms
+    * and the truncated model.
+    *
+    * Plan shape: the feedback set is ≤ fbDocs rows (broadcast), so the
+    * relevance model is ONE broadcast-pruned pass over postings — the
+    * corpus-size tables never shuffle for it. Deterministic: fb scores
+    * arrive 6-dp rounded from [[bm25TopKIndexed]]; RM(t) and w(t)
+    * round to 6 dp; truncation ties break on ascending term.
+    *
+    * Output: (term, w) with w > 0 — the input [[bm25TopKWeighted]]
+    * takes.
+    */
+  def rm3TermWeights(postings: DataFrame, docLens: DataFrame,
+      queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
+      alpha: Double, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val fb = bm25TopKIndexed(postings, docLens, queryTerms, fbDocs, k1, b)
+      .where(col("score") > 0.0)
+    val z = fb.agg(sum(col("score")).as("z"))
+    val wd = fb.crossJoin(broadcast(z))
+      .select(col("doc_id"), (col("score") / col("z")).as("wd"))
+    // fb doc lengths ride with the broadcast weights, so the relevance
+    // model is postings ⨝ broadcast(≤fbDocs rows): a semi-join prune of
+    // the corpus-size postings, no shuffle
+    val fbLens = docLens.join(broadcast(wd), "doc_id")
+    val rmTop = postings.join(broadcast(fbLens), "doc_id")
+      .groupBy(col("term"))
+      .agg(round(sum(col("wd") * col("tf") / col("dl")), 6).as("rm"))
+      .orderBy(desc("rm"), col("term"))
+      .limit(fbTerms)
+    val total = queryTerms.size.toDouble
+    val orig = queryTerms.groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.size.toDouble / total) }
+      .toDF("term", "p_orig")
+    orig.join(rmTop, Seq("term"), "full_outer")
+      .select(col("term"),
+        round(coalesce(col("p_orig"), lit(0.0)) * (1.0 - alpha) +
+          coalesce(col("rm"), lit(0.0)) * alpha, 6).as("w"))
+      .where(col("w") > 0.0)
+  }
+
+  /** Weighted BM25: score(d) = Σ_t w(t) · idf(t) · tf-saturation(t, d)
+    * — the rescoring half of RM3 (and of any term-weighted query:
+    * boosted fields, decayed history terms). Same plan shape as
+    * [[bm25TopKIndexed]] except the term filter is a broadcast join
+    * against the (small) weight table rather than a static `isin`.
+    */
+  def bm25TopKWeighted(postings: DataFrame, docLens: DataFrame,
+      weights: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = postings.join(broadcast(weights), "term")
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = docLens.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    tf.join(broadcast(dfreq), "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (col("w") *
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** One-shot RM3 retrieval: initial BM25 pass → relevance-model
+    * expansion → weighted rescore. `alpha = 0` degenerates to plain
+    * BM25 up to the query's ML weighting (spec-pinned); the reference
+    * has no lexical retrieval at all — this is the expansion rung above
+    * the engine's own BM25 tier.
+    */
+  def rm3TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      fbDocs: Int = 10, fbTerms: Int = 10, alpha: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
+    val (postings, docLens) = buildIndex(docs, textCol, unicode)
+    val w = rm3TermWeights(postings, docLens, queryTerms, fbDocs, fbTerms,
+      alpha, k1, b)
+    bm25TopKWeighted(postings, docLens, w, k, k1, b)
+  }
 }

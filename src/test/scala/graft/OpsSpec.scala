@@ -119,6 +119,37 @@ class OpsSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <=2 aggregate shuffles: $plan")
   }
 
+  test("IVF-pruned maxsim: exact at full probe, pruned candidates keep " +
+      "exact per-doc scores, self-doc survives pruning") {
+    import spark.implicits._
+    val tokens = emb.select(expr("vec_id div 5").as("doc_id"), $"embedding")
+    val query = emb.filter($"vec_id" < 5L)
+      .select($"vec_id".as("qidx"), asDouble($"embedding").as("qv"))
+    val cents = emb.filter($"vec_id" < 10L)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val nDocs = tokens.select($"doc_id").distinct().count().toInt
+    val exactAll = SimilaritySearch.maxSimTopK(tokens, query, k = nDocs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = exactAll.take(10)
+    // full probe + all docs as candidates degenerates to the exact op
+    val full = SimilaritySearch.maxSimTopKIvf(tokens, cents, query,
+      k = 10, nProbe = 10, nCandidates = nDocs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+    // reduced probe: the self-doc (whose tokens ARE the query tokens)
+    // must survive candidate pruning and stay on top with its exact
+    // score, and every published score is the exact score for that doc
+    // (pruning shrinks the candidate set; the kernel stays exact)
+    val pruned = SimilaritySearch.maxSimTopKIvf(tokens, cents, query,
+      k = 10, nProbe = 3, nCandidates = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.head == exact.head, s"self-doc lost: ${pruned.head}")
+    val exactByDoc = exactAll.toMap
+    pruned.foreach { case (d, s) =>
+      assert(exactByDoc(d) == s, s"doc $d: pruned score $s != exact")
+    }
+  }
+
   test("shingles: k=3 word n-grams, short docs yield empty sets") {
     import spark.implicits._
     val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
@@ -1144,6 +1175,41 @@ class OpsSpec extends SparkSpec {
     assert(score(1L) > score(2L))
     // rarer term (df 1 vs 2) outscores the common term at equal tf
     assert(score(3L) > score(2L))
+  }
+
+  test("rm3 expansion: feedback terms retrieve docs the plain query " +
+      "cannot; alpha=0 degenerates to the BM25 ranking") {
+    import spark.implicits._
+    val filler = (1 to 6).map(i => s"f$i").mkString(" ")
+    val d = Seq(
+      (1L, s"spark shuffle shuffle $filler"),
+      (2L, s"spark shuffle shuffle $filler"),
+      (3L, s"shuffle shuffle $filler"), // no query term: expansion-only
+      (4L, filler), (5L, filler)
+    ).toDF("doc_id", "text")
+    val plain = TextRetrieval.bm25TopK(d, Seq("spark"), k = 10)
+      .collect().map(_.getLong(0))
+    assert(!plain.contains(3L)) // unreachable without expansion
+    val rm3 = TextRetrieval.rm3TopK(d, Seq("spark"), k = 10,
+      fbDocs = 2, fbTerms = 2, alpha = 0.5)
+      .collect().map(_.getLong(0))
+    assert(rm3.contains(3L),
+      s"expansion failed to surface doc 3: ${rm3.toSeq}")
+    // the weight table carries the query term plus the fb-shared
+    // vocabulary, all strictly positive
+    val (p, dl) = TextRetrieval.buildIndex(d)
+    val w = TextRetrieval.rm3TermWeights(p, dl, Seq("spark"),
+      fbDocs = 2, fbTerms = 2, alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(w.contains("spark") && w.contains("shuffle"), w.toString)
+    assert(w.values.forall(_ > 0))
+    p.unpersist()
+    // alpha = 0: zero expansion mass — the weighted rescore ranks
+    // exactly like plain BM25 (scores scale by P(t|Q), order preserved)
+    val a0 = TextRetrieval.rm3TopK(d, Seq("spark"), k = 10,
+      fbDocs = 2, fbTerms = 2, alpha = 0.0)
+      .collect().map(_.getLong(0))
+    assert(a0.toSeq == plain.toSeq)
   }
 
   test("repetition ratio: multiset bigram share of the top bigram") {
