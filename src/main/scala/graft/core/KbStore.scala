@@ -1926,6 +1926,45 @@ final class KbStore private (
     hits.toSeq.map { case (id, score) => (score, byId(id)) }
   }
 
+  /** RM3 retrieval through the persistent postings — the
+    * pseudo-relevance-feedback expansion rung above [[bm25Retrieve]]
+    * (consumer #8 of the index lifecycle). Every postings scan stays
+    * pruned: the feedback pass reads only the query terms' bucket
+    * partitions, the relevance model reads only the broadcast feedback
+    * docs' rows, and the weighted rescore reads only the EXPANDED term
+    * set's buckets (the weight table is tiny — ≤ |query| + fbTerms
+    * rows — so its buckets are known driver-side before the scan).
+    */
+  def rm3Retrieve(query: String, n: Int, fbDocs: Int = 10,
+      fbTerms: Int = 10, alpha: Double = 0.5): Seq[(Double, Doc)] = {
+    require(hasTextIndex, textIndexState match {
+      case KbStore.AnnStale =>
+        "text index is stale: call refreshTextIndex() to catch it up"
+      case _ => "no text index: call buildTextIndex()"
+    })
+    if (n <= 0) return Seq.empty
+    import spark.implicits._
+    val terms = graft.ops.TextRetrieval.tokenizeQuery(query, textIndexUnicode)
+    if (terms.isEmpty) return Seq.empty
+    val docLens = read(KbStore.TextDocLensTable)
+    val allPost = read(KbStore.TextPostingsTable)
+    val qBuckets = terms.map(KbStore.termBucketOf).distinct
+    val weights = graft.ops.TextRetrieval.rm3TermWeights(
+        allPost, docLens, terms, fbDocs, fbTerms, alpha,
+        fbPostings = Some(allPost.where($"bucket".isin(qBuckets: _*))))
+      .as[(String, Double)].collect()
+    if (weights.isEmpty) return Seq.empty
+    val wBuckets = weights.map(t => KbStore.termBucketOf(t._1)).distinct
+    val hits = graft.ops.TextRetrieval.bm25TopKWeighted(
+        allPost.where($"bucket".isin(wBuckets.toSeq: _*)), docLens,
+        weights.toSeq.toDF("term", "w"), n)
+      .as[(Long, Double)].collect()
+    if (hits.isEmpty) return Seq.empty
+    val byId = docs.filter($"id".isin(hits.map(_._1): _*))
+      .collect().map(d => d.id -> d).toMap
+    hits.toSeq.map { case (id, score) => (score, byId(id)) }
+  }
+
   // ------------------------------------------------------------------
   // persistent dedup-signature index: MinHash LSH band keys as a FIFTH
   // manifest-managed index family — cross-snapshot incremental dedup.

@@ -221,11 +221,17 @@ object TextRetrieval {
     */
   def rm3TermWeights(postings: DataFrame, docLens: DataFrame,
       queryTerms: Seq[String], fbDocs: Int, fbTerms: Int,
-      alpha: Double, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      alpha: Double, k1: Double = 1.2, b: Double = 0.75,
+      fbPostings: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val spark = postings.sparkSession
     import spark.implicits._
-    val fb = bm25TopKIndexed(postings, docLens, queryTerms, fbDocs, k1, b)
+    // the feedback pass touches only the query terms' postings — a
+    // deployment with a term-bucketed table passes the bucket-pruned
+    // view here (KbStore.rm3Retrieve) while the relevance model still
+    // reads `postings` (all terms of the fb docs, doc-keyed prune)
+    val fb = bm25TopKIndexed(fbPostings.getOrElse(postings), docLens,
+        queryTerms, fbDocs, k1, b)
       .where(col("score") > 0.0)
     val z = fb.agg(sum(col("score")).as("z"))
     val wd = fb.crossJoin(broadcast(z))

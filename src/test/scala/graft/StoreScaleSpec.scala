@@ -539,6 +539,23 @@ class StoreScaleSpec extends SparkSpec {
     // queries return empty
     assert(kb.bm25Retrieve("zzz qqq", 3).isEmpty)
 
+    // RM3 expansion rung over the same persisted (bucket-pruned)
+    // postings: exact parity with the ops-level composition on the
+    // identical corpus — the store path's three pruned scans change
+    // nothing about the result
+    val rm3Store = kb.rm3Retrieve("spark table", 5, fbDocs = 3,
+        fbTerms = 4).map { case (s, d) => (d.id, s) }
+    assert(rm3Store.nonEmpty)
+    val corpusDf = kb.docs.toDF()
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val rm3Ops = graft.ops.TextRetrieval.rm3TopK(corpusDf,
+        graft.ops.TextRetrieval.tokenizeQuery("spark table",
+          unicode = false), k = 5, fbDocs = 3, fbTerms = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rm3Store == rm3Ops.toSeq,
+      s"store $rm3Store vs ops ${rm3Ops.toSeq}")
+
     // adds stale it; refresh is incremental and then serves the new doc
     kb.bulkAddDocs(p)(_.add("fresh zebra document"))
     assert(kb.textIndexState == KbStore.AnnStale)
