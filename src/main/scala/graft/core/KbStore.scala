@@ -654,18 +654,39 @@ final class KbStore private (
         }.toDF("id", "parent_id", "text", "meta")
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
+    // ONE stats pass over the cached id frame: row count, char volume
+    // (the dataset-card delta) and whether any row carries a parent —
+    // previously three separate jobs (count, chars agg, the
+    // missing-parent isEmpty), each a full dispatch per micro-batch
+    val stats = ids.agg(count(lit(1)), coalesce(sum(length($"text")),
+      lit(0L)), count($"parent_id")).collect()(0)
+    val added = stats.getLong(0)
+    val charsAdded = stats.getLong(1)
+    val anyParents = stats.getLong(2) > 0L
+
     // level derivation: one broadcast-or-shuffle join against existing
-    // docs; missing parents fail the job before anything is committed
-    val parents = docs.toDF().select($"id".as("pid"), $"level".as("plevel"))
-    val levelCols = Seq($"id", $"parent_id", $"text", $"meta",
-      when($"parent_id".isNull, 0).otherwise($"plevel" + 1).as("level")) ++
-      (if (hasVec) Seq($"vec") else Nil)
-    val levelled = ids.join(parents, ids("parent_id") === col("pid"), "left")
-      .select(levelCols: _*)
-    val missing = levelled.filter($"parent_id".isNotNull && $"level".isNull)
-    if (!missing.isEmpty)
-      throw new IllegalArgumentException(
-        "some parent_ids do not exist in the store")
+    // docs; missing parents fail the job before anything is committed.
+    // A batch with NO parent_ids (the common root-docs ingest shape)
+    // skips the join — and with it the per-batch scan of the docs
+    // table, which at 100 TB is the difference between O(batch) and
+    // O(corpus) per micro-batch commit
+    val levelled = if (!anyParents) {
+      val cols = Seq($"id", $"parent_id", $"text", $"meta",
+        lit(0).as("level")) ++ (if (hasVec) Seq($"vec") else Nil)
+      ids.select(cols: _*)
+    } else {
+      val parents = docs.toDF().select($"id".as("pid"), $"level".as("plevel"))
+      val levelCols = Seq($"id", $"parent_id", $"text", $"meta",
+        when($"parent_id".isNull, 0).otherwise($"plevel" + 1).as("level")) ++
+        (if (hasVec) Seq($"vec") else Nil)
+      val lv = ids.join(parents, ids("parent_id") === col("pid"), "left")
+        .select(levelCols: _*)
+      val missing = lv.filter($"parent_id".isNotNull && $"level".isNull)
+      if (!missing.isEmpty)
+        throw new IllegalArgumentException(
+          "some parent_ids do not exist in the store")
+      lv
+    }
 
     // batched embedding inside mapPartitions (chunk=200, kb.py:52);
     // emb ids share the doc id (1:1 for the distributed path)
@@ -690,12 +711,17 @@ final class KbStore private (
 
     val docRows = levelled.select($"id", $"parent_id",
       $"level".cast("int").as("level"), $"text", $"id".as("emb_id"), $"meta")
-    // count the persisted id frame, not the source (which would
-    // re-evaluate the caller's input a fourth time)
-    val added = ids.count()
+    // small batches (the streaming micro-batch shape) collapse to one
+    // output file per segment: the source frame inherits the session's
+    // parallelism, so without this a 500-doc commit writes ~32 tiny
+    // files per table whose chain every subsequent read must fold —
+    // file-count hygiene per guide §6, worth nothing at bulk-load
+    // sizes (left untouched) and a lot at high commit frequency
+    val onePart = (df: DataFrame) =>
+      if (added <= 2048) df.coalesce(1) else df
     val patches = Map(
-      "docs" -> KbStore.TablePatch(add = Some(docRows)),
-      "embeddings" -> KbStore.TablePatch(add = Some(embRows.toDF()))) ++
+      "docs" -> KbStore.TablePatch(add = Some(onePart(docRows))),
+      "embeddings" -> KbStore.TablePatch(add = Some(onePart(embRows.toDF())))) ++
       ingestMarker.map { case (mk, mv) =>
         "keyval" -> KbStore.TablePatch(
           del = Some(Seq(mk).toDF("key")),
@@ -707,8 +733,9 @@ final class KbStore private (
           docs = added, embeddings = added,
           keys = ingestMarker.map(m =>
             if (hasKey(m._1)) 0L else 1L).getOrElse(0L),
-          chars = ids.agg(coalesce(sum(length($"text")), lit(0L)))
-            .collect()(0).getLong(0))))
+          // char volume precomputed in the single stats pass above —
+          // the thunk no longer dispatches its own aggregation job
+          chars = charsAdded)))
     } finally ids.unpersist(blocking = false)
     added
   }
@@ -1072,6 +1099,59 @@ final class KbStore private (
   /** Whether a CURRENT ANN index exists (a stale one never serves). */
   def hasAnnIndex: Boolean = annIndexState == KbStore.AnnCurrent
 
+  /** Net rows added to / keys removed from `table` strictly after
+    * manifest version `since`, derived from the delta-segment chain
+    * alone — O(changed) IO with NO full-table scan and NO anti-join
+    * over the corpus. The segment route is exact iff the table's base
+    * pointer is unchanged since `since` and the head's chain extends
+    * `since`'s chain (the [[tableChangelog]] criterion); anything else
+    * (a compaction, a full rewrite, a vacuumed history file) returns
+    * None and the caller falls back to the full keyed diff.
+    *
+    * This is what makes the per-batch index refreshes of a
+    * continuously ingesting store O(batch): before round 13 every
+    * refresh anti-joined the FULL data table against the FULL index
+    * table just to find the handful of changed ids — at 100 TB that
+    * is two corpus scans plus two corpus-sized exchanges per
+    * micro-batch; the segment route reads exactly the delta files the
+    * index missed.
+    */
+  private def changedSince(table: String, since: Long)
+      : Option[(DataFrame, DataFrame)] = {
+    val head = metaCache
+    if (!head.table_versions.contains(table)) return None
+    val old =
+      if (since == head.version) head
+      else scala.util.Try(metaAt(since)).getOrElse(return None)
+    if (!old.table_versions.contains(table)) return None
+    def basePtr(m: KbMeta): Long =
+      m.table_bases.getOrElse(table, m.table_versions(table))
+    val oldChain = old.table_deltas.getOrElse(table, Seq.empty[Long])
+    val headChain = head.table_deltas.getOrElse(table, Seq.empty[Long])
+    if (basePtr(old) != basePtr(head) || !headChain.startsWith(oldChain))
+      return None
+    val appended = headChain.drop(oldChain.size)
+    val keys = KbStore.DeltaKeys(table)
+    val schema = read(table).limit(0)
+    var adds = schema
+    var dels = schema.select(keys.map(col(_)): _*)
+    // fold in publish order: a segment's tombstones apply to earlier
+    // segments' adds (removed-then-added, the read-side contract), so
+    // a row added then deleted inside the window nets out of `adds`
+    appended.foreach { v =>
+      val dir = tableDir(table, v)
+      if (KbStore.hasParquetFiles(s"$dir/del")) {
+        val d = spark.read.parquet(s"$dir/del").select(keys.map(col(_)): _*)
+        adds = adds.join(d, keys, "left_anti")
+        dels = dels.unionByName(d)
+      }
+      if (KbStore.hasParquetFiles(s"$dir/add"))
+        adds = adds.unionByName(spark.read.parquet(s"$dir/add")
+          .select(schema.columns.map(col(_)): _*))
+    }
+    Some((adds, dels.distinct()))
+  }
+
   /** Catch a stale index up with the batch it missed: assignments of
     * deleted ids drop (semi join against the live embeddings), new ids
     * are assigned to the STORED centroids with the packed kernel, and
@@ -1080,6 +1160,11 @@ final class KbStore private (
     * the index in batch" half of the index story; no-op when current,
     * error when no index survives (vector replacement requires
     * [[buildAnnIndex]]).
+    *
+    * Since round 13 the changed ids come from [[changedSince]]'s
+    * segment route when the manifests prove it exact — O(batch) IO,
+    * no corpus scan — with the original full anti-join pair as the
+    * fallback.
     */
   def refreshAnnIndex(): Unit = annIndexState match {
     case KbStore.AnnCurrent => ()
@@ -1089,14 +1174,24 @@ final class KbStore private (
       import spark.implicits._
       import graft.functions.FloatVecDot
       import graft.functions.FloatVecPack.floatVecPack
-      val emb = embeddings.toDF()
-        .select($"id".as("vec_id"), $"vec".as("embedding"))
-      val old = read(KbStore.IvfAssignTable)
       // delta commit: tombstone assignments of deleted ids, append
-      // assignments of new ids — write volume O(changed), not O(index)
-      val removed = old.select($"vec_id")
-        .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti")
-      val newEmb = emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
+      // assignments of new ids — write volume O(changed), not O(index).
+      // Changed ids via the segment route when provable (O(batch) IO);
+      // full anti-join pair otherwise.
+      val (newEmb, removed) =
+        changedSince("embeddings",
+            metaCache.table_versions(KbStore.IvfAssignTable)) match {
+          case Some((adds, dels)) =>
+            (adds.select($"id".as("vec_id"), $"vec".as("embedding")),
+              dels.select($"id".as("vec_id")))
+          case None =>
+            val emb = embeddings.toDF()
+              .select($"id".as("vec_id"), $"vec".as("embedding"))
+            val old = read(KbStore.IvfAssignTable)
+            (emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti"),
+              old.select($"vec_id")
+                .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti"))
+        }
       val packedCents = read(KbStore.IvfCentroidsTable).collect()
         .map { r =>
           (r.getLong(0),
@@ -1375,13 +1470,23 @@ final class KbStore private (
     case KbStore.AnnStale =>
       import spark.implicits._
       import graft.functions.FloatVecPack.floatVecPack
-      val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
-      val old = read(KbStore.SqCodesTable)
-      val removed = old.select($"vec_id")
-        .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti")
+      // changed ids via the segment route when provable (O(batch) IO,
+      // no corpus anti-join); full keyed diff otherwise
+      val (newEmb, removed) =
+        changedSince("embeddings",
+            metaCache.table_versions(KbStore.SqCodesTable)) match {
+          case Some((adds, dels)) =>
+            (adds.select($"id".as("vec_id"), $"vec"),
+              dels.select($"id".as("vec_id")))
+          case None =>
+            val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
+            val old = read(KbStore.SqCodesTable)
+            (emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti"),
+              old.select($"vec_id")
+                .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti"))
+        }
       val added = graft.ops.VectorQuant.sqEncodePacked(
-          emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
-            .select($"vec_id".as("id"), floatVecPack($"vec").as("vec")))
+          newEmb.select($"vec_id".as("id"), floatVecPack($"vec").as("vec")))
         .withColumnRenamed("id", "vec_id")
       // ENCODE work was already O(changed); the delta commit makes the
       // WRITE O(changed) too (the r5 verdict's remaining disclosure)
@@ -1530,13 +1635,25 @@ final class KbStore private (
     case KbStore.AnnStale =>
       import spark.implicits._
       import graft.functions.FloatVecPack.floatVecPack
-      val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
       val old = read(KbStore.IvfPqCodesTable)
-      val removed = old.select($"vec_id")
-        .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti")
-      val newEmb = emb
-        .join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
-        .select($"vec_id".as("id"), floatVecPack($"vec").as("vec"))
+      // changed ids via the segment route when provable (O(batch) IO,
+      // no corpus anti-join); full keyed diff otherwise. `old` is
+      // still needed below for the sharded mirror's cid lookup, but in
+      // the fast path it is scanned once behind a broadcast join, not
+      // anti-joined against the corpus.
+      val (newEmb, removed) =
+        changedSince("embeddings",
+            metaCache.table_versions(KbStore.IvfPqCodesTable)) match {
+          case Some((adds, dels)) =>
+            (adds.select($"id", floatVecPack($"vec").as("vec")),
+              dels.select($"id".as("vec_id")))
+          case None =>
+            val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
+            (emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
+               .select($"vec_id".as("id"), floatVecPack($"vec").as("vec")),
+              old.select($"vec_id")
+                .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti"))
+        }
       val added = graft.ops.VectorQuant.ivfPqEncode(
           graft.ops.VectorQuant.ivfResiduals(newEmb, loadPqCents()),
           loadPqBooks())
@@ -1867,10 +1984,21 @@ final class KbStore private (
       "no text index to refresh — call buildTextIndex()")
     case KbStore.AnnStale =>
       import spark.implicits._
-      val live = docs.toDF().select($"id".as("doc_id"), $"text")
-      val oldLens = read(KbStore.TextDocLensTable)
-      val ids = live.select($"doc_id")
-      val newDocs = live.join(oldLens.select($"doc_id"), Seq("doc_id"), "left_anti")
+      // changed ids via the segment route when provable (O(batch) IO,
+      // no corpus anti-join); full keyed diff otherwise
+      val (newDocs, goneIds) =
+        changedSince("docs",
+            metaCache.table_versions(KbStore.TextPostingsTable)) match {
+          case Some((adds, dels)) =>
+            (adds.select($"id".as("doc_id"), $"text"),
+              dels.select($"id".as("doc_id")))
+          case None =>
+            val live = docs.toDF().select($"id".as("doc_id"), $"text")
+            val oldLens = read(KbStore.TextDocLensTable)
+            (live.join(oldLens.select($"doc_id"), Seq("doc_id"), "left_anti"),
+              oldLens.select($"doc_id")
+                .join(live.select($"doc_id"), Seq("doc_id"), "left_anti"))
+        }
       // tokenize the catch-up batch exactly as the original build did
       val (addPost, addLens) =
         graft.ops.TextRetrieval.buildIndex(newDocs, unicode = textIndexUnicode)
@@ -1880,8 +2008,6 @@ final class KbStore private (
       // identically to the stored ones and the add segment persists
       // partitioned by bucket, so retrieval's partition pruning spans
       // base and deltas alike.
-      val goneIds = oldLens.select($"doc_id")
-        .join(ids, Seq("doc_id"), "left_anti")
       try commitDelta(Map(
         KbStore.TextPostingsTable -> KbStore.TablePatch(
           del = Some(goneIds),
@@ -2058,12 +2184,21 @@ final class KbStore private (
     case KbStore.AnnStale =>
       import spark.implicits._
       val (k, nh, rpb, uni) = dedupParams
-      val live = docs.toDF().select($"id".as("doc_id"), $"text")
-      val stored = read(KbStore.DedupBandsTable)
-        .select($"doc_id").distinct()
-      val newDocs = live.join(stored, Seq("doc_id"), "left_anti")
-      val goneIds = stored.join(live.select($"doc_id"),
-        Seq("doc_id"), "left_anti")
+      // changed ids via the segment route when provable (O(batch) IO,
+      // no corpus anti-join); full keyed diff otherwise
+      val (newDocs, goneIds) =
+        changedSince("docs",
+            metaCache.table_versions(KbStore.DedupBandsTable)) match {
+          case Some((adds, dels)) =>
+            (adds.select($"id".as("doc_id"), $"text"),
+              dels.select($"id".as("doc_id")))
+          case None =>
+            val live = docs.toDF().select($"id".as("doc_id"), $"text")
+            val stored = read(KbStore.DedupBandsTable)
+              .select($"doc_id").distinct()
+            (live.join(stored, Seq("doc_id"), "left_anti"),
+              stored.join(live.select($"doc_id"), Seq("doc_id"), "left_anti"))
+        }
       commitDelta(Map(
         KbStore.DedupBandsTable -> KbStore.TablePatch(
           del = Some(goneIds),

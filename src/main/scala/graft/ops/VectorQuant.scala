@@ -148,7 +148,8 @@ object VectorQuant {
       val bc = spark.sparkContext.broadcast(books)
       val (sums, counts) = rows.mapPartitions { it =>
         val bs = bc.value
-        val flats = bs.map(flattenBook)
+        val flats = bs.map(flattenBookT)
+        val dacc = new Array[Double](k)
         val sums = Array.ofDim[Double](m, k, dsub)
         val counts = Array.ofDim[Long](m, k)
         it.foreach { case (_, vb) =>
@@ -163,7 +164,7 @@ object VectorQuant {
             var s = 0
             while (s < m) {
               val fl = flats(s)
-              val j = nearestCodeFlat(fl._1, fl._2, dsub, v, s * dsub)
+              val j = nearestCodeT(fl._1, fl._2, dsub, v, s * dsub, dacc)
               val acc = sums(s)(j)
               var i = 0
               while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
@@ -241,6 +242,64 @@ object VectorQuant {
     (flat, norms)
   }
 
+  /** Dimension-major (transposed) codebook layout for the encode hot
+    * path: `flatT(i * ncodes + j) = book(j)(i)` as double, plus the
+    * codeword L2 norms. [[nearestCodeT]] accumulates v·c_j for ALL
+    * codewords in one daxpy-shaped pass per dimension — the
+    * codes-major [[nearestCodeFlat]] form pays a SIMD horizontal
+    * reduction per codeword (ncodes × m × corpus of them at encode
+    * time, the dominant cost at dsub = 16 where each dot is a single
+    * vector op but the reduce is tens of cycles), while the
+    * transposed inner loop over 256 codewords is the shape the JIT
+    * auto-vectorizes with no reductions at all. Per-codeword
+    * accumulation stays double, ascending-i — the scalar kernels'
+    * summation order.
+    */
+  private[graft] def flattenBookT(book: Array[Array[Float]])
+      : (Array[Double], Array[Double]) = {
+    val k = book.length
+    val dsub = if (k == 0) 0 else book(0).length
+    val flatT = new Array[Double](k * dsub)
+    val norms = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = book(j)
+      var i = 0
+      while (i < dsub) { flatT(i * k + j) = c(i).toDouble; i += 1 }
+      norms(j) = graft.functions.VecKernels.dotFloats(c, c)
+      j += 1
+    }
+    (flatT, norms)
+  }
+
+  /** Transposed-book nearest codeword: same argmin_j (||c_j||² −
+    * 2·v·c_j) objective, strict-< ascending-j tie rule and NaN → code
+    * 0 behavior as [[nearestCodeFlat]]. `acc` is a caller-provided
+    * ncodes-sized scratch (reused across subspaces and rows).
+    */
+  private[ops] def nearestCodeT(flatT: Array[Double], norms: Array[Double],
+      dsub: Int, v: Array[Float], off: Int, acc: Array[Double]): Int = {
+    val k = norms.length
+    java.util.Arrays.fill(acc, 0, k, 0.0)
+    var i = 0
+    while (i < dsub) {
+      val vi = v(off + i).toDouble
+      val base = i * k
+      var j = 0
+      while (j < k) { acc(j) += vi * flatT(base + j); j += 1 }
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      val d = norms(j) - 2.0 * acc(j)
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
   /** SIMD nearest codeword: argmin_j ||v−c_j||² computed as
     * argmin_j (||c_j||² − 2·v·c_j) over the flattened book, the dot on
     * [[graft.functions.VecKernels.dotFloatsAt]]. Same strict-< /
@@ -277,14 +336,15 @@ object VectorQuant {
     emb.select(col("id"), col("vec")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val bs = bc.value
-        val flats = bs.map(flattenBook)
+        val flats = bs.map(flattenBookT)
+        val acc = new Array[Double](if (bs.isEmpty) 0 else bs(0).length)
         it.map { case (id, vb) =>
           val v = FloatVecDot.unpack(vb)
           val code = new Array[Byte](m)
           var s = 0
           while (s < m) {
             val fl = flats(s)
-            code(s) = nearestCodeFlat(fl._1, fl._2, dsub, v, s * dsub).toByte
+            code(s) = nearestCodeT(fl._1, fl._2, dsub, v, s * dsub, acc).toByte
             s += 1
           }
           (id, code)
@@ -410,14 +470,15 @@ object VectorQuant {
       .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
         val bs = bc.value
-        val flats = bs.map(flattenBook)
+        val flats = bs.map(flattenBookT)
+        val acc = new Array[Double](if (bs.isEmpty) 0 else bs(0).length)
         it.map { case (id, cid, vb) =>
           val v = FloatVecDot.unpack(vb)
           val code = new Array[Byte](m)
           var s = 0
           while (s < m) {
             val fl = flats(s)
-            code(s) = nearestCodeFlat(fl._1, fl._2, dsub, v, s * dsub).toByte
+            code(s) = nearestCodeT(fl._1, fl._2, dsub, v, s * dsub, acc).toByte
             s += 1
           }
           (id, cid, code)
