@@ -133,6 +133,12 @@ object Bench {
     * indexed and pq vs plain. */
   @volatile private var bucketedVsPqS: Option[Double] = None
 
+  /** True when the opening calibration read > 1.5 and the run
+    * therefore inverted its priority order (part-1 sweep and the
+    * corpus-independent design sections before the 1M spine) — stated
+    * in the contract so a degraded-day record is self-describing. */
+  @volatile private var sweepFirstG: Boolean = false
+
   /** Guards results/skipped/ratios/provenance AND the
     * BENCH_FULL/stdout emission: the SIGTERM shutdown hook runs
     * [[emitAll]] concurrently with the main thread's [[record]]
@@ -343,13 +349,30 @@ object Bench {
     * still get their chance; their gates re-check the budget). */
   private final class BudgetUp extends RuntimeException("bench budget exhausted")
 
+  /** Single-point spend cap (r13 postmortem, verdict item 1): a BIG
+    * point whose calibrated estimate exceeds half the remaining
+    * headroom is skipped on a degraded day instead of eating what is
+    * left of the run (r13: the official record spent 355.9 s on
+    * svs_build_1m and recorded 9 of 157 points). Estimates under 60 s
+    * calibrated are never cap-skipped, so a healthy run — where every
+    * estimate ≤ 75 s meets ≥ 300 s of headroom — behaves exactly as
+    * before; only the expensive spine legs of a high-calib day are
+    * sacrificed, which is the priority order the r13 verdict asked
+    * for (the cheap sweep is the information-dense half). */
+  private def overCap(estS: Double, avail: Double): Boolean = {
+    val est = estS * calib
+    est > 60.0 && est > 0.5 * (avail - ReserveS)
+  }
+
   /** Gate an UNTIMED setup block: if the remaining budget (minus any
     * active ladder-spine reservation, unless this block IS spine) can't
-    * cover `estS` (calibration-scaled) plus the emission reserve, stop
-    * measuring this section. */
+    * cover `estS` (calibration-scaled) plus the emission reserve — or
+    * the block alone would eat most of what remains ([[overCap]]) —
+    * stop measuring this section. */
   private def setup(estS: Double, spine: Boolean = false): Unit = {
     val avail = if (spine) remainS else remainS - reservedS
-    if (avail < estS * calib + ReserveS) throw new BudgetUp
+    if (avail < estS * calib + ReserveS || overCap(estS, avail))
+      throw new BudgetUp
   }
 
   /** Time one point, budget-aware and adaptively repped (see class doc).
@@ -366,7 +389,9 @@ object Bench {
       spine: Boolean = false)(body: => Any): Unit = {
     if (remainS < ReserveS) { addSkip(name); throw new BudgetUp }
     val avail = if (spine) remainS else remainS - reservedS
-    if (avail < estS * calib + ReserveS) { addSkip(name); return }
+    if (avail < estS * calib + ReserveS || overCap(estS, avail)) {
+      addSkip(name); return
+    }
     val cpu0 = cpuSnap()
     val first = timed(body)
     val firstCpu = cpuRunRatio(cpu0)
@@ -494,8 +519,21 @@ object Bench {
     // minimum slice ~135 s + PQ/assignment prep ~110 s + two 2k ladder
     // cycles ~60 s, healthy), stepped down at each spine milestone —
     // so the part-1 sweep on a calib-3 day stops early instead of
-    // starving the certification the round is graded on
-    if (runSvs) reservedS = 305.0 * calib
+    // starving the certification the round is graded on.
+    //
+    // r14 (r13 verdict item 1): ONLY on a healthy-ish day. At calib 5
+    // the reservation (1525 s) exceeded the whole 1380 s budget and
+    // gated out all 147 part-1 points, while the raw-remainder-gated
+    // spine still spent 476 s on svs_build_1m/svs_cold_1m — the
+    // official record carried 9 of 157 points. Past calib 1.5 the
+    // priority INVERTS: no reservation (the cheap, information-dense
+    // part-1 sweep runs first on whatever the day allows), svsHeavy
+    // runs its corpus-independent design sections before the 1M spine
+    // (see [[svsHeavy]]), and the expensive spine legs — each also
+    // subject to the [[overCap]] single-point spend cap — are the
+    // ones sacrificed.
+    sweepFirstG = calib > 1.5
+    if (runSvs && !sweepFirstG) reservedS = 305.0 * calib
 
     // ---- the operator inventory at sfDir, SINGLE-REP, EARLY ----
     // warmup at the smallest SF: pays JIT + codegen for the query shapes
@@ -750,6 +788,136 @@ object Bench {
       try ioProbe(spark, replace = true, spine = true)
       catch { case _: BudgetUp => }
     }
+    // ---- corpus-INDEPENDENT design sections, hoisted into a local
+    // def (r14, r13 verdict item 1): each block below is
+    // individually budget-gated and try-caught. On a degraded day
+    // (calib > 1.5 after the re-probe above) they run BEFORE the 1M
+    // spine, so a BudgetUp in the protocol — which unwinds this whole
+    // function — can no longer erase the round's design coverage
+    // (r13's official record lost all of it to exactly that unwind);
+    // on a healthy day they run exactly where they always did, after
+    // the compressed tiers, and the emitted order is unchanged.
+    val independentFirst = calib > 1.5
+    def independentSections(): Unit = {
+      // ---- design points: the round's FIRST-TIME coverage runs before
+      // the sections the r12 record already certifies — both rehearsal
+      // days this round lost the design TAIL to CPU-steal waves, and a
+      // new point that never lands is absent from the round entirely
+      // while a re-certified one just keeps its prior-record value ----
+
+      // planted-structure recall counterpart (r12 verdict item 3): new
+      // stamps this round. Its own corpus (6.3 GB) plus the still-cached
+      // raw corpus both fit the 64g heap's protected pool.
+      try clusteredRecallPoint(spark)
+      catch { case _: BudgetUp =>
+        addSkip("(clustered recall counterpart skipped on budget)") }
+
+      // streaming store ingest + the dedup screens — svs_stream_semdedup
+      // (r12 verdict item 2) is new this round and lives at this
+      // section's end, so the section as a whole moves up
+      try streamIngestPoint(spark)
+      catch { case _: BudgetUp => addSkip("(streaming ingest section skipped on budget)") }
+
+      // ---- remaining design points (corpus-independent), cheapest and
+      // least-often-certified first ----
+      // composed end-to-end curation at two scales (r10): the 100×
+      // design claims are per-operator; this point runs the x12
+      // composition (Gopher rules ∧ exact-dup representative ∧ quality
+      // above the corpus median — three keyed/narrow stages over one
+      // corpus) at 200k and at 2M docs, so the RECORD certifies the
+      // composition scales ~linearly (2m ≈ 10× 200k), not just its
+      // pieces. Synthetic ~1200-char docs — the sfDir documents table
+      // (5k rows) sits under the job floor at both scales. Runs first
+      // among the RE-CERTIFIED design points (the r13 first-time
+      // sections above take precedence; see the "ordering" note).
+      try curationScalePoints(spark)
+      catch { case _: BudgetUp => addSkip("(curation section skipped on budget)") }
+
+      // lakehouse layout + data skipping, measured on a 6M-row table
+      // with a ~256-byte payload (~1.5 GB raw) and a 1/8-range predicate
+      // on one of two z-interleaved dimensions, payload in the
+      // aggregate so scans are decode-bound like a real wide table.
+      // (r7 interlude: a 3M variant proved too SMALL to demonstrate
+      // anything — at 0.77 GB both layouts scan under the ~0.25 s job
+      // floor; at 6M the unordered scan is decode-bound and the layout
+      // delta is real.)
+      //  - svs_zscan_pruned_6m: z-ordered layout, plain scan — the
+      //    engine's own row-group stats prune because the LAYOUT made
+      //    ranges tight (and the same layout serves BOTH dims);
+      //  - svs_scan_unordered_6m: identical data, naive layout — every
+      //    row group straddles the predicate; the delta vs pruned is
+      //    the measured z-order win;
+      //  - svs_skip_scan_6m: the manifest file-skipping path (15/64
+      //    files read). At local-NVMe scale its timed cost ≈ pruned
+      //    plus a fixed ~0.2 s manifest lookup — the honest local
+      //    story; its real win (one manifest read replacing per-file
+      //    footer opens, 4× fewer tasks) is object-store metadata
+      //    latency, which this VM cannot exhibit. Result parity for
+      //    the composition is LayoutSpec-pinned.
+      try {
+        setup(60.0)
+        val zdir = "/tmp/graft_bench_zorder"
+        val udir = "/tmp/graft_bench_unordered"
+        KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
+        val zdf = spark.range(6000000L).select(col("id"),
+          pmod(hash(col("id")), lit(1024)).cast("long").as("x"),
+          pmod(hash(col("id") + 7L), lit(1024)).cast("long").as("y"),
+          concat_ws("", (0 until 8).map(i =>
+            md5(concat(col("id"), lit(i)))): _*).as("payload"))
+        record("svs_zorder_write_6m", estS = 8.0, reps = 1) {
+          graft.ops.Layout.writeZordered(zdf, zdir,
+            graft.ops.Layout.zValue(10, col("x"), col("y")), numFiles = 64)
+        }
+        zdf.repartition(64).write.mode("overwrite").parquet(udir)
+        val zstats = graft.ops.Layout
+          .parquetFileStats(spark, zdir, Seq("x", "y"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        zstats.count()
+        def scanAgg(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.agg(count(lit(1)), sum(length(col("payload")))).collect(); ()
+        }
+        // each rep drops the page cache first: at this VM's scan speed a
+        // cache-warm 1.5 GB table decodes under the job floor and BOTH
+        // layouts time identically — the honest comparison is IO-bound,
+        // which is what any real cluster reading cold data sees
+        record("svs_skip_scan_6m", estS = 3.0) {
+          KbStoreCleanup.dropPageCache()
+          scanAgg(graft.ops.Layout.skippingScan(spark, zdir, zstats,
+            "x", 0, 127))
+        }
+        record("svs_zscan_pruned_6m", estS = 3.0) {
+          KbStoreCleanup.dropPageCache()
+          scanAgg(spark.read.parquet(zdir).where(col("x").between(0, 127)))
+        }
+        record("svs_scan_unordered_6m", estS = 3.0) {
+          KbStoreCleanup.dropPageCache()
+          scanAgg(spark.read.parquet(udir).where(col("x").between(0, 127)))
+        }
+        zstats.unpersist()
+        KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
+      } catch { case _: BudgetUp => addSkip("(z-order section skipped on budget)") }
+
+      // batched BPE training at a production-ish merge count (r8): the
+      // jobs-per-merge fix, measured — the naive loop is 1000 jobs for
+      // 1000 merges; the batched passes run ~2 jobs per batch of
+      // disjoint merges (Bpe.bpeTrain scaladoc), exactly greedy-
+      // equivalent (BpeSpec + the x15/x19 oracles pin it)
+      try {
+        setup(5.0)
+        val bpeDocs = Tables.t(spark, sfDirG, "documents")
+        record("svs_bpe_train_1k", estS = 30.0, reps = 1) {
+          graft.ops.Bpe.bpeTrain(bpeDocs, numMerges = 1000).count()
+        }
+      } catch { case _: BudgetUp => addSkip("(bpe train section skipped on budget)") }
+
+      // real-codec image near-dup mining at 100k (r8): synthetic JPEG
+      // corpus through ImageIoDecoder → aHash → banded Hamming join —
+      // the measured throughput behind the r7 "real pixel decode" claim.
+      try imageNearDupPoint(spark)
+      catch { case _: BudgetUp => addSkip("(image neardup section skipped on budget)") }
+    }
+    if (independentFirst) independentSections()
+
     // ---- the 1M protocol (the BASELINE.md headline rows) ----
     // the entry gate covers only the MINIMUM useful slice (staging ~40
     // + build ~70 + cold ~25): every interior point re-checks the
@@ -1396,122 +1564,8 @@ object Bench {
     assigned1m.unpersist()
     KbStoreCleanup.delete(ivfPath)
 
-    // ---- design points: the round's FIRST-TIME coverage runs before
-    // the sections the r12 record already certifies — both rehearsal
-    // days this round lost the design TAIL to CPU-steal waves, and a
-    // new point that never lands is absent from the round entirely
-    // while a re-certified one just keeps its prior-record value ----
+    if (!independentFirst) independentSections()
 
-    // planted-structure recall counterpart (r12 verdict item 3): new
-    // stamps this round. Its own corpus (6.3 GB) plus the still-cached
-    // raw corpus both fit the 64g heap's protected pool.
-    try clusteredRecallPoint(spark)
-    catch { case _: BudgetUp =>
-      addSkip("(clustered recall counterpart skipped on budget)") }
-
-    // streaming store ingest + the dedup screens — svs_stream_semdedup
-    // (r12 verdict item 2) is new this round and lives at this
-    // section's end, so the section as a whole moves up
-    try streamIngestPoint(spark)
-    catch { case _: BudgetUp => addSkip("(streaming ingest section skipped on budget)") }
-
-    // ---- remaining design points (corpus-independent), cheapest and
-    // least-often-certified first ----
-    // composed end-to-end curation at two scales (r10): the 100×
-    // design claims are per-operator; this point runs the x12
-    // composition (Gopher rules ∧ exact-dup representative ∧ quality
-    // above the corpus median — three keyed/narrow stages over one
-    // corpus) at 200k and at 2M docs, so the RECORD certifies the
-    // composition scales ~linearly (2m ≈ 10× 200k), not just its
-    // pieces. Synthetic ~1200-char docs — the sfDir documents table
-    // (5k rows) sits under the job floor at both scales. Runs first
-    // among the RE-CERTIFIED design points (the r13 first-time
-    // sections above take precedence; see the "ordering" note).
-    try curationScalePoints(spark)
-    catch { case _: BudgetUp => addSkip("(curation section skipped on budget)") }
-
-    // lakehouse layout + data skipping, measured on a 6M-row table
-    // with a ~256-byte payload (~1.5 GB raw) and a 1/8-range predicate
-    // on one of two z-interleaved dimensions, payload in the
-    // aggregate so scans are decode-bound like a real wide table.
-    // (r7 interlude: a 3M variant proved too SMALL to demonstrate
-    // anything — at 0.77 GB both layouts scan under the ~0.25 s job
-    // floor; at 6M the unordered scan is decode-bound and the layout
-    // delta is real.)
-    //  - svs_zscan_pruned_6m: z-ordered layout, plain scan — the
-    //    engine's own row-group stats prune because the LAYOUT made
-    //    ranges tight (and the same layout serves BOTH dims);
-    //  - svs_scan_unordered_6m: identical data, naive layout — every
-    //    row group straddles the predicate; the delta vs pruned is
-    //    the measured z-order win;
-    //  - svs_skip_scan_6m: the manifest file-skipping path (15/64
-    //    files read). At local-NVMe scale its timed cost ≈ pruned
-    //    plus a fixed ~0.2 s manifest lookup — the honest local
-    //    story; its real win (one manifest read replacing per-file
-    //    footer opens, 4× fewer tasks) is object-store metadata
-    //    latency, which this VM cannot exhibit. Result parity for
-    //    the composition is LayoutSpec-pinned.
-    try {
-      setup(60.0)
-      val zdir = "/tmp/graft_bench_zorder"
-      val udir = "/tmp/graft_bench_unordered"
-      KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
-      val zdf = spark.range(6000000L).select(col("id"),
-        pmod(hash(col("id")), lit(1024)).cast("long").as("x"),
-        pmod(hash(col("id") + 7L), lit(1024)).cast("long").as("y"),
-        concat_ws("", (0 until 8).map(i =>
-          md5(concat(col("id"), lit(i)))): _*).as("payload"))
-      record("svs_zorder_write_6m", estS = 8.0, reps = 1) {
-        graft.ops.Layout.writeZordered(zdf, zdir,
-          graft.ops.Layout.zValue(10, col("x"), col("y")), numFiles = 64)
-      }
-      zdf.repartition(64).write.mode("overwrite").parquet(udir)
-      val zstats = graft.ops.Layout
-        .parquetFileStats(spark, zdir, Seq("x", "y"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      zstats.count()
-      def scanAgg(df: org.apache.spark.sql.DataFrame): Unit = {
-        df.agg(count(lit(1)), sum(length(col("payload")))).collect(); ()
-      }
-      // each rep drops the page cache first: at this VM's scan speed a
-      // cache-warm 1.5 GB table decodes under the job floor and BOTH
-      // layouts time identically — the honest comparison is IO-bound,
-      // which is what any real cluster reading cold data sees
-      record("svs_skip_scan_6m", estS = 3.0) {
-        KbStoreCleanup.dropPageCache()
-        scanAgg(graft.ops.Layout.skippingScan(spark, zdir, zstats,
-          "x", 0, 127))
-      }
-      record("svs_zscan_pruned_6m", estS = 3.0) {
-        KbStoreCleanup.dropPageCache()
-        scanAgg(spark.read.parquet(zdir).where(col("x").between(0, 127)))
-      }
-      record("svs_scan_unordered_6m", estS = 3.0) {
-        KbStoreCleanup.dropPageCache()
-        scanAgg(spark.read.parquet(udir).where(col("x").between(0, 127)))
-      }
-      zstats.unpersist()
-      KbStoreCleanup.delete(zdir); KbStoreCleanup.delete(udir)
-    } catch { case _: BudgetUp => addSkip("(z-order section skipped on budget)") }
-
-    // batched BPE training at a production-ish merge count (r8): the
-    // jobs-per-merge fix, measured — the naive loop is 1000 jobs for
-    // 1000 merges; the batched passes run ~2 jobs per batch of
-    // disjoint merges (Bpe.bpeTrain scaladoc), exactly greedy-
-    // equivalent (BpeSpec + the x15/x19 oracles pin it)
-    try {
-      setup(5.0)
-      val bpeDocs = Tables.t(spark, sfDirG, "documents")
-      record("svs_bpe_train_1k", estS = 30.0, reps = 1) {
-        graft.ops.Bpe.bpeTrain(bpeDocs, numMerges = 1000).count()
-      }
-    } catch { case _: BudgetUp => addSkip("(bpe train section skipped on budget)") }
-
-    // real-codec image near-dup mining at 100k (r8): synthetic JPEG
-    // corpus through ImageIoDecoder → aHash → banded Hamming join —
-    // the measured throughput behind the r7 "real pixel decode" claim.
-    try imageNearDupPoint(spark)
-    catch { case _: BudgetUp => addSkip("(image neardup section skipped on budget)") }
 
     // ---- most expensive non-headline sweeps LAST ----
     // §3.3 scale point: top-25 pairwise scores over the SAME 1M × d1536
@@ -2029,7 +2083,7 @@ object Bench {
     val svsQs = ordered.filter(_._1.startsWith("svs_"))
       .map { case (k, v) => "\"" + k + "\":" + trim2(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDirG","full":"$outPathG","writer":"$writerG","run_id":"$runIdG","ladder_monotone":${ladderMonotoneJson()},"ladder_cycles":$ladderCycles,"bucketed_vs_pq_s":${bucketedVsPqJson()},"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"n_part1":${ordered.count(!_._1.startsWith("svs_"))},"skipped_n":${skipped.size},"queries":$svsQs}"""
+    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDirG","full":"$outPathG","writer":"$writerG","run_id":"$runIdG","ladder_monotone":${ladderMonotoneJson()},"ladder_cycles":$ladderCycles,"bucketed_vs_pq_s":${bucketedVsPqJson()},"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"sweep_first":$sweepFirstG,"n_part1":${ordered.count(!_._1.startsWith("svs_"))},"skipped_n":${skipped.size},"queries":$svsQs}"""
   }
 
   /** [[calib]] without re-taking [[lock]] — for callers already in it. */
@@ -2061,7 +2115,7 @@ object Bench {
     val provJson = ordered.flatMap { case (k, _) =>
       provenance.get(k).map(p => "\n    \"" + k + "\": " + p) }
       .mkString(",")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","writer":"$writerG","run_id":"$runIdG","ladder_monotone":${ladderMonotoneJson()},"ladder_cycles":$ladderCycles,"bucketed_vs_pq_s":${bucketedVsPqJson()},"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"skipped":${skippedJson()},"notes":${notesJson()},"provenance":{$provJson\n},"queries":{${
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDirG","writer":"$writerG","run_id":"$runIdG","ladder_monotone":${ladderMonotoneJson()},"ladder_cycles":$ladderCycles,"bucketed_vs_pq_s":${bucketedVsPqJson()},"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"calib":${f"$calibUnlocked%.2f"},"sweep_first":$sweepFirstG,"skipped":${skippedJson()},"notes":${notesJson()},"provenance":{$provJson\n},"queries":{${
       ordered.map { case (k, v) => "\n    \"" + k + "\": " + f"$v%.4f" }
         .mkString(",")}\n}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPathG),

@@ -716,12 +716,23 @@ final class KbStore private (
     // parallelism, so without this a 500-doc commit writes ~32 tiny
     // files per table whose chain every subsequent read must fold —
     // file-count hygiene per guide §6, worth nothing at bulk-load
-    // sizes (left untouched) and a lot at high commit frequency
+    // sizes (left untouched) and a lot at high commit frequency.
+    // docRows coalesce (no exchange — building a doc row is trivial);
+    // embRows REPARTITION (r13 verdict item 10): a coalesce(1) here
+    // collapsed the embedding mapPartitions into one task, serializing
+    // up to ~11 provider chunk calls that a remote provider wants in
+    // parallel — the repartition's exchange keeps the embed stage at
+    // source parallelism and single-tasks only the file write, at the
+    // cost of shuffling one micro-batch of vectors (~12 MB at 2048 ×
+    // d1536, local)
     val onePart = (df: DataFrame) =>
       if (added <= 2048) df.coalesce(1) else df
+    val onePartShuffled = (df: DataFrame) =>
+      if (added <= 2048) df.repartition(1) else df
     val patches = Map(
       "docs" -> KbStore.TablePatch(add = Some(onePart(docRows))),
-      "embeddings" -> KbStore.TablePatch(add = Some(onePart(embRows.toDF())))) ++
+      "embeddings" -> KbStore.TablePatch(
+        add = Some(onePartShuffled(embRows.toDF())))) ++
       ingestMarker.map { case (mk, mv) =>
         "keyval" -> KbStore.TablePatch(
           del = Some(Seq(mk).toDF("key")),
@@ -893,6 +904,29 @@ final class KbStore private (
           Seq(docRow.copy(meta = newMeta))).toDF()))),
       identity,
       statsDelta = Some(() => KbStore.StatsDelta()))
+  }
+
+  /** TEST DOOR (RefreshFastPathSpec): tombstone doc `id` and re-add it
+    * with `newText` in one delta commit — the id-reuse-with-CHANGED-
+    * text shape no public mutation currently produces (adds allocate
+    * fresh high-water ids; [[updateDocMeta]] / [[setDocEmbedding]]
+    * re-add the SAME text). The refresh routes must agree on it anyway
+    * (the segment route re-indexes it by construction; the full-diff
+    * fallback re-indexes it via [[fullDiffWithReadds]]), and any
+    * future public mutation of this shape inherits that pinned
+    * contract. Leaves the text/dedup families STALE like every doc
+    * mutation. */
+  private[graft] def replaceDocTextForSpec(id: Long, newText: String): Unit = {
+    val docRow = docs.filter($"id" === id).collect().headOption
+      .getOrElse(throw new NoSuchElementException(s"doc $id"))
+    commitDelta(
+      Map("docs" -> KbStore.TablePatch(
+        del = Some(Seq(id).toDF("id")),
+        add = Some(spark.createDataset(
+          Seq(docRow.copy(text = newText))).toDF()))),
+      identity,
+      statsDelta = Some(() => KbStore.StatsDelta(
+        chars = newText.length.toLong - docRow.text.length.toLong)))
   }
 
   // ------------------------------------------------------------------
@@ -1115,8 +1149,37 @@ final class KbStore private (
     * is two corpus scans plus two corpus-sized exchanges per
     * micro-batch; the segment route reads exactly the delta files the
     * index missed.
+    *
+    * WATERMARK INVARIANT (r13 advice): every caller passes
+    * `tv(indexTable)` as `since`, treating the index table's manifest
+    * version as a COVERAGE watermark over the data table. That is
+    * valid because every index-table writer (build*, refresh*) commits
+    * in the same manifest transaction that reads the data table's
+    * current head — an index row set at version V has, by
+    * construction, folded every data segment ≤ V. A future writer
+    * that bumps an index table's version WITHOUT covering the data
+    * table (e.g. a metadata-only rewrite of the postings layout) would
+    * silently skip rows here; such a writer must either keep the index
+    * version below the data table's or use a full rebuild path.
     */
   private def changedSince(table: String, since: Long)
+      : Option[(DataFrame, DataFrame)] = {
+    val r = changedSinceImpl(table, since)
+    // engagement probe (r13 verdict item 3): RefreshFastPathSpec's
+    // parity tests are vacuous if the fast path silently stops
+    // engaging (route parity with the fallback is then parity with
+    // itself) — the spec asserts this flag after each refresh
+    lastRefreshRoute = Some(if (r.isDefined) "segment" else "full")
+    r
+  }
+
+  /** Which route the most recent [[changedSince]] call resolved to:
+    * Some("segment") = delta-chain fast path proved exact,
+    * Some("full") = caller fell back to the full keyed diff,
+    * None = no refresh has derived changed ids yet. Test probe. */
+  private[graft] var lastRefreshRoute: Option[String] = None
+
+  private def changedSinceImpl(table: String, since: Long)
       : Option[(DataFrame, DataFrame)] = {
     val head = metaCache
     if (!head.table_versions.contains(table)) return None
@@ -1131,6 +1194,15 @@ final class KbStore private (
     if (basePtr(old) != basePtr(head) || !headChain.startsWith(oldChain))
       return None
     val appended = headChain.drop(oldChain.size)
+    // plan-depth cap (r13 verdict item 6): the fold below builds one
+    // left_anti + union operator pair PER segment, so Catalyst
+    // analysis cost grows with the window length. The head chain is
+    // already bounded by DeltaChainLimit's minor compaction (which
+    // also breaks the startsWith proof and lands here as None), but
+    // the cap is stated explicitly so raising the chain limit can
+    // never hand the analyzer an unbounded plan: past it the full
+    // keyed diff is cheaper than the plan itself.
+    if (appended.size > KbStore.DeltaChainLimit) return None
     val keys = KbStore.DeltaKeys(table)
     val schema = read(table).limit(0)
     var adds = schema
@@ -1150,6 +1222,63 @@ final class KbStore private (
           .select(schema.columns.map(col(_)): _*))
     }
     Some((adds, dels.distinct()))
+  }
+
+  /** Distinct keys of `table` rows tombstoned by any del segment in
+    * the CURRENT head chain — the candidates for deleted-then-re-added
+    * ids. Reads only the chain's (small) del files, never the base;
+    * None when the chain holds no tombstones. */
+  private def tombstonedKeysInChain(table: String): Option[DataFrame] = {
+    val chain = metaCache.table_deltas.getOrElse(table, Seq.empty[Long])
+    val keys = KbStore.DeltaKeys(table)
+    val dels = chain.flatMap { v =>
+      val dir = tableDir(table, v)
+      if (KbStore.hasParquetFiles(s"$dir/del"))
+        Some(spark.read.parquet(s"$dir/del").select(keys.map(col(_)): _*))
+      else None
+    }
+    dels.reduceOption(_.unionByName(_)).map(_.distinct())
+  }
+
+  /** The refresh fallbacks' full keyed diff, made re-add-aware (r13
+    * verdict item 5): `live` is the data table projected to the index
+    * key column `key` (plus payload columns), `storedKeys` the index
+    * family's current key set. The plain diff —
+    * new = live ∖ stored, gone = stored ∖ live — leaves the index's
+    * STALE row in place for a key that was deleted and re-added
+    * between the index version and now (it is in both sides), while
+    * the segment route tombstones and re-indexes it; the two routes
+    * then disagree and which one runs depends on compaction history.
+    * Here any live key that also appears in the head chain's del
+    * segments is re-indexed too (tombstone + fresh add in the same
+    * patch — the updates-tombstone-before-re-adding shape the
+    * read-side fold is built for). After a compaction the del history
+    * is gone and only the post-compaction window is visible; for the
+    * elided window the store-level invariants carry the proof instead:
+    * doc/edge adds allocate fresh high-water ids, the only key-reusing
+    * doc mutations (updateDocMeta, setDocEmbedding's doc patch) re-add
+    * the SAME text so a surviving index row is never wrong, and
+    * embeddings VECTOR REPLACEMENT drops the vector families outright
+    * (preserveIndex = false) rather than leaving them stale.
+    *
+    * Returns (rows of `live` the index must (re-)ingest, keys whose
+    * index rows must tombstone) — the two sides of each union are
+    * disjoint by construction, so no distinct is needed. */
+  private def fullDiffWithReadds(live: DataFrame, storedKeys: DataFrame,
+      key: String, dataTable: String): (DataFrame, DataFrame) = {
+    val liveKeys = live.select(col(key))
+    val newBase = live.join(storedKeys, Seq(key), "left_anti")
+    val goneBase = storedKeys.join(liveKeys, Seq(key), "left_anti")
+    tombstonedKeysInChain(dataTable) match {
+      case None => (newBase, goneBase)
+      case Some(delKeys) =>
+        val rk = delKeys.toDF(key) // chain keys carry the DATA table's
+                                   // key name (e.g. "id") — rename
+        val reIdx = live.join(rk, Seq(key), "left_semi")
+          .join(storedKeys, Seq(key), "left_semi")
+        (newBase.unionByName(reIdx),
+          goneBase.unionByName(reIdx.select(col(key))))
+    }
   }
 
   /** Catch a stale index up with the batch it missed: assignments of
@@ -1188,9 +1317,8 @@ final class KbStore private (
             val emb = embeddings.toDF()
               .select($"id".as("vec_id"), $"vec".as("embedding"))
             val old = read(KbStore.IvfAssignTable)
-            (emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti"),
-              old.select($"vec_id")
-                .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti"))
+            fullDiffWithReadds(emb, old.select($"vec_id"), "vec_id",
+              "embeddings")
         }
       val packedCents = read(KbStore.IvfCentroidsTable).collect()
         .map { r =>
@@ -1481,9 +1609,8 @@ final class KbStore private (
           case None =>
             val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
             val old = read(KbStore.SqCodesTable)
-            (emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti"),
-              old.select($"vec_id")
-                .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti"))
+            fullDiffWithReadds(emb, old.select($"vec_id"), "vec_id",
+              "embeddings")
         }
       val added = graft.ops.VectorQuant.sqEncodePacked(
           newEmb.select($"vec_id".as("id"), floatVecPack($"vec").as("vec")))
@@ -1649,10 +1776,10 @@ final class KbStore private (
               dels.select($"id".as("vec_id")))
           case None =>
             val emb = embeddings.toDF().select($"id".as("vec_id"), $"vec")
-            (emb.join(old.select($"vec_id"), Seq("vec_id"), "left_anti")
-               .select($"vec_id".as("id"), floatVecPack($"vec").as("vec")),
-              old.select($"vec_id")
-                .join(emb.select($"vec_id"), Seq("vec_id"), "left_anti"))
+            val (nw, rm) = fullDiffWithReadds(emb, old.select($"vec_id"),
+              "vec_id", "embeddings")
+            (nw.select($"vec_id".as("id"), floatVecPack($"vec").as("vec")),
+              rm)
         }
       val added = graft.ops.VectorQuant.ivfPqEncode(
           graft.ops.VectorQuant.ivfResiduals(newEmb, loadPqCents()),
@@ -1995,9 +2122,8 @@ final class KbStore private (
           case None =>
             val live = docs.toDF().select($"id".as("doc_id"), $"text")
             val oldLens = read(KbStore.TextDocLensTable)
-            (live.join(oldLens.select($"doc_id"), Seq("doc_id"), "left_anti"),
-              oldLens.select($"doc_id")
-                .join(live.select($"doc_id"), Seq("doc_id"), "left_anti"))
+            fullDiffWithReadds(live, oldLens.select($"doc_id"), "doc_id",
+              "docs")
         }
       // tokenize the catch-up batch exactly as the original build did
       val (addPost, addLens) =
@@ -2196,8 +2322,7 @@ final class KbStore private (
             val live = docs.toDF().select($"id".as("doc_id"), $"text")
             val stored = read(KbStore.DedupBandsTable)
               .select($"doc_id").distinct()
-            (live.join(stored, Seq("doc_id"), "left_anti"),
-              stored.join(live.select($"doc_id"), Seq("doc_id"), "left_anti"))
+            fullDiffWithReadds(live, stored, "doc_id", "docs")
         }
       commitDelta(Map(
         KbStore.DedupBandsTable -> KbStore.TablePatch(

@@ -274,8 +274,14 @@ object VectorQuant {
 
   /** Transposed-book nearest codeword: same argmin_j (||c_j||² −
     * 2·v·c_j) objective, strict-< ascending-j tie rule and NaN → code
-    * 0 behavior as [[nearestCodeFlat]]. `acc` is a caller-provided
-    * ncodes-sized scratch (reused across subspaces and rows).
+    * 0 behavior as [[nearestCodeFlat]] — but NOT bit-identical
+    * distances: this kernel accumulates the dot in double while
+    * nearestCodeFlat rides the float SIMD dotFloatsAt, so assignments
+    * can flip between the two on NEAR-tied (float-rounding-scale)
+    * codewords, not just exactly equidistant ones; indexes rebuilt
+    * through this path are equivalent in objective, not in bits, to
+    * pre-round-13 ones. `acc` is a caller-provided ncodes-sized
+    * scratch (reused across subspaces and rows).
     */
   private[ops] def nearestCodeT(flatT: Array[Double], norms: Array[Double],
       dsub: Int, v: Array[Float], off: Int, acc: Array[Double]): Int = {
