@@ -1164,7 +1164,16 @@ final class KbStore private (
     */
   private def changedSince(table: String, since: Long)
       : Option[(DataFrame, DataFrame)] = {
-    val r = changedSinceImpl(table, since)
+    // measurement-only kill switch (round 14 evidence debt): lets the
+    // profiling mains time the refresh paths with the segment route
+    // DISABLED (forcing every refresh onto the full keyed diff) so the
+    // O(corpus) → O(batch) claim has a recorded before/after on one
+    // tree. Never set outside a measurement run.
+    val r =
+      if (sys.props.get("graft.kb.forceFullRefreshDiff").contains("true") ||
+          sys.env.get("GRAFT_KB_FORCE_FULL_REFRESH_DIFF").contains("true"))
+        None
+      else changedSinceImpl(table, since)
     // engagement probe (r13 verdict item 3): RefreshFastPathSpec's
     // parity tests are vacuous if the fast path silently stops
     // engaging (route parity with the fallback is then parity with
