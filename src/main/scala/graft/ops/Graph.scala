@@ -27,10 +27,14 @@ object GraphOps {
     * keys on that same column, so the 100 TB edge table shuffles ONCE
     * at setup and each iteration reuses the layout; the only
     * per-iteration shuffle is the `groupBy(dst)` contribution sum,
-    * which is map-side partial. The dangling term is a scalar
-    * aggregate action per iteration (a driver-side double, not a data
-    * collect). `localCheckpoint` truncates the growing lineage so the
-    * plan stays O(1) per iteration instead of O(iters) at replan time.
+    * which is map-side partial. The dangling term is a one-row
+    * aggregate broadcast-crossed into the same iteration DAG (round
+    * 14: it was previously a driver `collect()` per iteration — an
+    * extra scheduled job and a driver round-trip each step, the
+    * "driver loop in the query path" shape guide §5 bans; same sum,
+    * same IEEE division, one fewer action per iteration).
+    * `localCheckpoint` truncates the growing lineage so the plan
+    * stays O(1) per iteration instead of O(iters) at replan time.
     *
     * @return (id LONG, rank DOUBLE), Σ rank = 1 up to FP noise
     */
@@ -52,19 +56,21 @@ object GraphOps {
       .localCheckpoint()
     var it = 0
     while (it < iters) {
-      // mass sitting on dangling nodes (no out-edges) this step
+      // mass sitting on dangling nodes (no out-edges) this step — a
+      // one-row aggregate, broadcast-crossed into the iteration's DAG
+      // below instead of collect()ed to the driver
       val dangling = ranks
         .join(outdeg, ranks("id") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)))
-        .collect()(0).getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling"))
       val share = ranks.join(outdeg, ranks("id") === outdeg("src"))
         .select(col("id"), (col("rank") / col("outdeg")).as("share"))
       val contribs = share.join(e, share("id") === e("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
       val next = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(nodes("id"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
+            (coalesce(col("contrib"), lit(0.0)) + col("dangling") / n))
             .as("rank"))
         .localCheckpoint()
       ranks.unpersist()
