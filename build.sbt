@@ -11,6 +11,39 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bounded-parallel test groups (round 14, r13 verdict item 7): the
+// suite ran 84 min healthy as ONE sequential forked JVM at local[4] on
+// a 32-core box — past the driver's patience on a degraded day
+// (r13 tests_ok: false with zero visible failures, the run simply
+// timed out). The suites already isolate state (per-suite
+// SparkSession, createTempDirectory fixtures, no shared catalog
+// names), so the two heavyweights get their own JVMs and everything
+// else splits across two more: wall time ≈ the slowest suite, not the
+// sum. Session-level conf mutation (BucketedOverwriteSpec, the
+// bucketed-mirror writers) stays safe because groups are separate
+// JVMs, never threads in one session. Each group JVM runs local[4]
+// with a 20g heap (4 × 20g fits the 128 GiB box; the old single JVM
+// took 64g for the same fixtures).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+    .filterNot(_.startsWith("-Xmx")) :+ "-Xmx20g"
+  def group(name: String, pick: String => Boolean) = Tests.Group(
+    name,
+    tests.filter(t => pick(t.name)),
+    Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  val g1 = Set("graft.StoreScaleSpec")
+  val g2 = Set("graft.OpsSpec")
+  val g3 = Set("graft.StreamingSpec", "graft.RefreshFastPathSpec",
+    "graft.DedupIndexSpec", "graft.SemanticScreenSpec",
+    "graft.ScaleAddSpec")
+  Seq(
+    group("store-scale", g1.contains),
+    group("ops", g2.contains),
+    group("streaming-dedup", g3.contains),
+    group("rest", n => !g1.contains(n) && !g2.contains(n) && !g3.contains(n)))
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 4)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -791,13 +791,23 @@ object Bench {
     // ---- corpus-INDEPENDENT design sections, hoisted into a local
     // def (r14, r13 verdict item 1): each block below is
     // individually budget-gated and try-caught. On a degraded day
-    // (calib > 1.5 after the re-probe above) they run BEFORE the 1M
-    // spine, so a BudgetUp in the protocol — which unwinds this whole
-    // function — can no longer erase the round's design coverage
-    // (r13's official record lost all of it to exactly that unwind);
-    // on a healthy day they run exactly where they always did, after
-    // the compressed tiers, and the emitted order is unchanged.
-    val independentFirst = calib > 1.5
+    // they run BEFORE the 1M spine, so a BudgetUp in the protocol —
+    // which unwinds this whole function — can no longer erase the
+    // round's design coverage (r13's official record lost all of it to
+    // exactly that unwind); on a healthy day they run exactly where
+    // they always did, after the compressed tiers, and the emitted
+    // order is unchanged.
+    //
+    // The flag is the OPENING decision (sweepFirstG), NOT a re-read of
+    // calib: the re-probe above can lower calib mid-run (this round's
+    // first record: opening 5.0 → re-probe 1.29), and re-deriving here
+    // deferred the sections past a spine that then ate the whole
+    // budget — the sections were neither run nor marked skipped. Once
+    // a run has started degraded (no ladder reservation, sweep already
+    // taken first), the inverted priority must persist: the budget
+    // arithmetic the reservation-free path planned with assumed the
+    // sections come before the spine.
+    val independentFirst = sweepFirstG
     def independentSections(): Unit = {
       // ---- design points: the round's FIRST-TIME coverage runs before
       // the sections the r12 record already certifies — both rehearsal

@@ -59,8 +59,15 @@ object TextRetrieval {
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .cache()
+    // docLens is one row per doc but costs a full shuffle over
+    // postings to derive; the multi-pass consumers (BM25's stats agg +
+    // per-doc join, RM3's three passes) each re-derived it — caching
+    // collapses up to five of those shuffles per query into one
+    // (round 14: b4_rm3_expansion was the most expensive part-1 point
+    // at 11.6 s largely from exactly this)
     val docLens = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
+      .cache()
     (postings, docLens)
   }
 
